@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * Re-expresses the distance kernels of the reference's hnswlib index
+  * (reference: src/database/vector_index.py:107-210 — cosine / l2 / ip
+  * spaces) as codegen'd Spark expressions: sequential left-to-right
+  * double accumulation, which is both fast (no boxing, whole-stage
+  * codegen) and bit-reproducible against an unrolled SQL oracle.
+  */
+trait VectorBinaryExpr extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _         => a.getDouble(i)
+  }
+
+  /** Codegen element accessor, e.g. `a.getFloat(i)`. */
+  protected def cGet(v: String, t: DataType, i: String): String = t match {
+    case FloatType => s"(double) $v.getFloat($i)"
+    case _         => s"$v.getDouble($i)"
+  }
+}
+
+/** dot(a, b) accumulated in double, left-to-right. */
+case class DotD(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += get(a, ta, i) * get(b, tb, i); i += 1 }
+    dot
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ta, tb) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += (${cGet(a, ta, i)}) * (${cGet(b, tb, i)});
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine similarity = dot/(||a||·||b||), one fused pass. */
+case class CosineSimD(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(a, ta, i); val y = get(b, tb, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ta, tb) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${cGet(a, ta, i)}; double $y = ${cGet(b, tb, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** squared L2 distance = Σ (a_i − b_i)². hnswlib's 'l2' space returns
+  * the squared distance (reference: vector_index.py:141 converts it via
+  * 1/(1+d)). */
+case class L2SqD(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = get(a, ta, i) - get(b, tb, i); s += d * d; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ta, tb) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (${cGet(a, ta, i)}) - (${cGet(b, tb, i)});
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** FP16 round-trip of a float vector — the reference's storage
+  * compression (vector_index.py:87-97: float32→float16→float32 before
+  * indexing). JDK17 has no Float.floatToFloat16, so the IEEE 754
+  * binary16 conversion (round-to-nearest-even) is implemented here.
+  */
+object Fp16 {
+  def floatToHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val e = (bits >>> 23) & 0xff
+    val m = bits & 0x7fffff
+    if (e == 0xff) { // Inf / NaN
+      (sign | 0x7c00 | (if (m != 0) 0x200 | (m >> 13) else 0)).toShort
+    } else {
+      val newExp = e - 127 + 15
+      if (newExp >= 0x1f) (sign | 0x7c00).toShort // overflow → ±Inf
+      else if (newExp <= 0) {
+        if (newExp < -10) sign.toShort // underflow → ±0
+        else {
+          val mm = m | 0x800000
+          val shift = 14 - newExp
+          val half = mm >>> shift
+          val rem = mm & ((1 << shift) - 1)
+          val halfway = 1 << (shift - 1)
+          val r = if (rem > halfway || (rem == halfway && (half & 1) == 1)) half + 1 else half
+          (sign | r).toShort
+        }
+      } else {
+        val half = (newExp << 10) | (m >> 13)
+        val rem = m & 0x1fff
+        val r = if (rem > 0x1000 || (rem == 0x1000 && (half & 1) == 1)) half + 1 else half
+        (sign | r).toShort // mantissa carry rolls into the exponent correctly
+      }
+    }
+  }
+
+  def halfToFloat(h: Short): Float = {
+    val hh = h & 0xffff
+    val e = (hh >> 10) & 0x1f
+    val m = hh & 0x3ff
+    if (e == 0) {
+      val v = m * 5.9604645e-8f // subnormal: m × 2⁻²⁴
+      if ((hh & 0x8000) != 0) -v else v
+    } else if (e == 0x1f) {
+      if (m == 0) { if ((hh & 0x8000) != 0) Float.NegativeInfinity else Float.PositiveInfinity }
+      else Float.NaN
+    } else {
+      java.lang.Float.intBitsToFloat(((hh & 0x8000) << 16) | ((e - 15 + 127) << 23) | (m << 13))
+    }
+  }
+
+  def round(f: Float): Float = halfToFloat(floatToHalf(f))
+}
+
+/** array<float> → array<float> with each element FP16-round-tripped. */
+case class Fp16RoundArr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = Fp16.round(a.getFloat(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fp16 = Fp16.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $fp16.round($a.getFloat($i));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points. */
+object VectorOps {
+  private def col(e: Expression): Column = Shims.column(e)
+  private def ex(c: Column): Expression = Shims.expression(c)
+
+  def dot(a: Column, b: Column): Column = col(DotD(ex(a), ex(b)))
+  def cosineSim(a: Column, b: Column): Column = col(CosineSimD(ex(a), ex(b)))
+  def l2Sq(a: Column, b: Column): Column = col(L2SqD(ex(a), ex(b)))
+  def fp16(a: Column): Column = col(Fp16RoundArr(ex(a)))
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational core over the testdata star schema (TPC-H-ish shapes).
+  *
+  * Exactness discipline shared with the DuckDB oracles: monetary
+  * doubles are 2-decimal → scale to integer cents before summing, so
+  * every aggregate is order-independent and bit-identical; divide by
+  * the scale once at the end. Timestamps are never emitted raw
+  * (Spark=µs vs DuckDB=ns) — they leave as formatted strings or epoch
+  * seconds.
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier) are
+  * broadcast; the fact-side scans keep filters pushed to parquet; AQE
+  * handles skew/coalescing on a real cluster.
+  */
+object Relational {
+  private def cents(c: String) = round(col(c) * 100).cast("long")
+
+  /** TPC-H Q1-shaped pricing summary. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val c = cents("l_extendedprice")
+    val d = cents("l_discount") // 0..10 (discount is 2-dec ≤ 0.10)
+    val t = cents("l_tax")
+    val qty = col("l_quantity").cast("long")
+    val cnt = count(lit(1))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(qty).as("sum_qty"),
+        (sum(c).cast("double") / 100.0).as("sum_base_price"),
+        (sum(c * (lit(100L) - d)).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(c * (lit(100L) - d) * (lit(100L) + t)).cast("double") / 1000000.0).as("sum_charge"),
+        (sum(qty).cast("double") / cnt.cast("double")).as("avg_qty"),
+        (sum(c).cast("double") / cnt.cast("double") / 100.0).as("avg_price"),
+        (sum(d).cast("double") / cnt.cast("double") / 100.0).as("avg_disc"),
+        cnt.as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      | CAST(sum(c) AS DOUBLE)/100.0 AS sum_base_price,
+      | CAST(sum(c*(100-d)) AS DOUBLE)/10000.0 AS sum_disc_price,
+      | CAST(sum(c*(100-d)*(100+t)) AS DOUBLE)/1000000.0 AS sum_charge,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_qty,
+      | CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE)/100.0 AS avg_price,
+      | CAST(sum(d) AS DOUBLE)/CAST(count(*) AS DOUBLE)/100.0 AS avg_disc,
+      | count(*) AS count_order
+      |FROM (SELECT *,
+      |        CAST(round(l_extendedprice*100) AS BIGINT) AS c,
+      |        CAST(round(l_discount*100) AS BIGINT) AS d,
+      |        CAST(round(l_tax*100) AS BIGINT) AS t
+      |      FROM lineitem)
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** TPC-H Q3-shaped top-10 revenue orders (broadcast customer dim). */
+  def q3RevenueTopN(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg((sum(col("rev")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_orderdate", "revenue")
+  }
+
+  val q3RevenueTopNSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+      |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped revenue by nation within one region. */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev"))
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg((sum(col("rev")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5NationRevenueSql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem
+      | JOIN orders   ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation   ON s_nationkey = n_nationkey
+      | JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Top-3 orders per customer by price (window rank). */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(cents("o_totalprice").desc, col("o_orderkey").asc)
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      | SELECT *, row_number() OVER (
+      |   PARTITION BY o_custkey
+      |   ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC) AS rn
+      | FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** 30-minute-gap sessionization over the events table (batch twin of
+    * the Structured Streaming flatMapGroupsWithState version). */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    // ts arrives as nanos-since-epoch (LongType, see Tables.load) —
+    // all gap/session math is exact integer arithmetic.
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), cents("value").as("vc"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("ts"), 1).over(wOrd)
+    val isNew = when(prev.isNull ||
+      col("ts") - prev > 1800L * 1000000000L, 1L).otherwise(0L)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("sess_id", sum(isNew).over(wCum))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        min(col("ts")).as("min_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("vc")).as("sum_value_cents"))
+      // `div` = integer division: ts ≈ 1.7e18 ns exceeds double's exact
+      // integer range, so `/` (double divide) would corrupt the second.
+      .select(col("user_id"), col("sess_id"),
+        expr("min_ts div 1000000000").as("session_start"),
+        col("n_events"), col("sum_value_cents"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH e AS (
+      | SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS vc,
+      |   CASE WHEN lag(ts) OVER w IS NULL
+      |          OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+      |        THEN 1 ELSE 0 END AS is_new
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |se AS (
+      | SELECT user_id, ts, vc,
+      |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      | FROM e)
+      |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      | CAST(epoch_ns(min(ts)) // 1000000000 AS BIGINT) AS session_start,
+      | CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(sum(vc) AS BIGINT) AS sum_value_cents
+      |FROM se GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** Tumbling 1-hour window counts/sums per event type (batch twin of
+    * the streaming watermark+window aggregation). */
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events") // ts = nanos-since-epoch
+    ev.groupBy(
+        expr("(ts div 3600000000000) * 3600").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents("value")).as("sum_value_cents"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val eventsTumblingSql: String =
+    """SELECT CAST((epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS hour_start,
+      | event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_revenue_topn" -> (q3RevenueTopN _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "q_window_rank" -> (qWindowRank _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_tumbling" -> (eventsTumbling _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_revenue_topn" -> q3RevenueTopNSql,
+    "q5_nation_revenue" -> q5NationRevenueSql,
+    "q_window_rank" -> qWindowRankSql,
+    "events_sessionize" -> eventsSessionizeSql,
+    "events_tumbling" -> eventsTumblingSql)
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{OracleSql, Tables}
+
+/** Driver-checkable k-NN query surface over the `embeddings` table —
+  * the Spark re-expression of the reference's search paths
+  * (vector_index.py search/search_batch + search_engine.py filters).
+  *
+  * Query vectors are the first 10 `vec_id`s (a deterministic batch,
+  * mirroring `search_batch`); the corpus is the full table. Each query
+  * returns (qid, vec_id, score, rank) with rank 1..k by score desc,
+  * vec_id asc. Self-matches are kept (the reference's tests assert the
+  * query finds itself, tests/test_vector_index.py:36-40).
+  */
+object VectorSearch {
+  val K = 10
+  val NQueries = 10
+
+  private def corpusAndQueries(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.load(s, dir, "embeddings")
+    (emb, emb.filter(col("vec_id") < NQueries))
+  }
+
+  def knn(metric: Knn.Metric)(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(s, dir)
+    Knn.topK(corpus, queries, K, metric)
+  }
+
+  /** Metadata-filtered search: predicate pushed into the corpus scan
+    * (cheaper than the reference's k·10 overfetch + post-filter). */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(s, dir)
+    Knn.topK(corpus.filter(col("label") < 5), queries, K, Knn.Cosine)
+  }
+
+  /** Matryoshka search: truncate to the 16-dim prefix (then cosine,
+    * which self-normalizes — equivalent to the reference's truncate +
+    * L2-renorm, projection.py MatryoshkaProjection). */
+  val MatryoshkaDim = 16
+  def knnMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val sliced = emb.select(col("vec_id"), slice(col("embedding"), 1, MatryoshkaDim).as("embedding"))
+    Knn.topK(sliced, sliced.filter(col("vec_id") < NQueries), K, Knn.Cosine)
+  }
+
+  /** FP16-compressed corpus + query, then cosine search
+    * (vector_index.py:87-97 storage compression). Not SQL-expressible
+    * → rows-only oracle; recall vs exact is spec'd in ScalaTest. */
+  def knnFp16(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.fp16(col("embedding")).as("embedding"))
+    Knn.topK(emb, emb.filter(col("vec_id") < NQueries), K, Knn.Cosine)
+  }
+
+  /** Cross-modal engine surface: one corpus spanning modalities with a
+    * content_type column, query restricted to one modality
+    * (search_engine.py:174-223 filter_content_type). Modality is a
+    * deterministic derivation of `label` (the testdata carries no real
+    * multimodal payloads; the binary-column plumbing lives in
+    * graft.multimodal). */
+  def crossmodal(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings").withColumn("content_type",
+      element_at(array(lit("text"), lit("image"), lit("video"), lit("audio")),
+        (col("label") % 4 + 1).cast("int")))
+    val queries = emb.filter(col("vec_id") < NQueries)
+    Knn.topK(emb.filter(col("content_type") === "image"), queries, K, Knn.Cosine)
+  }
+
+  /** Index stats per modality (vector_index.py:279-291 get_stats). */
+  def indexStats(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings").withColumn("content_type",
+      element_at(array(lit("text"), lit("image"), lit("video"), lit("audio")),
+        (col("label") % 4 + 1).cast("int")))
+    emb.groupBy("content_type")
+      .agg(count(lit(1)).as("total_vectors"),
+        max(size(col("embedding"))).as("dimension"))
+      .withColumn("compression_ratio", lit(2.0)) // FP16 storage (reference: 2×)
+      .orderBy("content_type")
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  private def knnSql(scoreExpr: (String, String) => String,
+                     corpusWhere: String = "TRUE"): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+       |s AS (SELECT q.qid, e.vec_id, ${scoreExpr("q.qv", "e.embedding")} AS score
+       |      FROM q CROSS JOIN embeddings e WHERE $corpusWhere)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
+  val knnCosineSql: String = knnSql((a, b) => OracleSql.cosine(a, b))
+  val knnL2Sql: String = knnSql((a, b) => s"(1.0/(1.0 + ${OracleSql.l2sq(a, b)}))")
+  val knnIpSql: String = knnSql((a, b) => OracleSql.dot(a, b))
+  val knnFilteredSql: String = knnSql((a, b) => OracleSql.cosine(a, b), corpusWhere = "e.label < 5")
+
+  val knnMatryoshkaSql: String = {
+    val d = MatryoshkaDim
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+       |s AS (SELECT q.qid, e.vec_id, ${OracleSql.cosine("q.qv", "e.embedding", d)} AS score
+       |      FROM q CROSS JOIN embeddings e)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  val crossmodalSql: String =
+    s"""WITH m AS (SELECT *, (['text','image','video','audio'])[CAST(label % 4 AS INT) + 1] AS content_type
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM m WHERE vec_id < $NQueries),
+       |s AS (SELECT q.qid, e.vec_id, ${OracleSql.cosine("q.qv", "e.embedding")} AS score
+       |      FROM q CROSS JOIN m e WHERE e.content_type = 'image')
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
+  val indexStatsSql: String =
+    """SELECT content_type, CAST(count(*) AS BIGINT) AS total_vectors,
+      | CAST(max(len(embedding)) AS INT) AS dimension, 2.0 AS compression_ratio
+      |FROM (SELECT *, (['text','image','video','audio'])[CAST(label % 4 AS INT) + 1] AS content_type
+      |      FROM embeddings)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_cosine" -> knn(Knn.Cosine) _,
+    "knn_l2" -> knn(Knn.L2) _,
+    "knn_ip" -> knn(Knn.Ip) _,
+    "knn_filtered" -> (knnFiltered _),
+    "knn_matryoshka" -> (knnMatryoshka _),
+    "knn_fp16" -> (knnFp16 _),
+    "crossmodal_search" -> (crossmodal _),
+    "index_stats" -> (indexStats _))
+
+  val oracles: Map[String, String] = Map(
+    "knn_cosine" -> knnCosineSql,
+    "knn_l2" -> knnL2Sql,
+    "knn_ip" -> knnIpSql,
+    "knn_filtered" -> knnFilteredSql,
+    "knn_matryoshka" -> knnMatryoshkaSql,
+    "crossmodal_search" -> crossmodalSql,
+    "index_stats" -> indexStatsSql)
+}
