@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{OracleSql, Tables}
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-data-pipeline surface (SURVEY.md §2). All SQL-expressible
+  * variants are oracle-checked bit-exactly: ratios stay as raw
+  * int/int double divisions (single IEEE op — no rounding tolerance
+  * needed), counts stay integral.
+  *
+  * Scale notes: everything here is a narrow projection over `text`
+  * (column pruning reaches the scan); dedup candidate generation is
+  * blocked (by source / label) so the quadratic verify step only runs
+  * inside blocks — the unblocked scale path is MinHash-LSH
+  * (dedup_minhash_lsh) / SimHash, spec'd separately.
+  */
+object TextOps {
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  // Deterministic language-marker sets (shared with the SQL twins).
+  val MarkEn = Seq("the", "a", "or", "and", "of")
+  val MarkEs = Seq("el", "la", "de", "los", "que")
+  val MarkDe = Seq("der", "die", "und", "das", "ist")
+  val MarkFr = Seq("le", "les", "des", "et", "un")
+
+  private def markCount(ts: Column, set: Seq[String]): Column =
+    size(filter(ts, t => t.isInCollection(set)))
+  private def sqlMarkCount(set: Seq[String]): String =
+    s"CAST(len(list_filter(toks, t -> t IN (${set.map(w => s"'$w'").mkString(",")}))) AS INT)"
+
+  /** Token counting: whitespace tokens + a BPE-ish segmentation count. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_text"),
+        size(toks).as("n_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).as("n_bpe_ish"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
+      | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_bpe_ish
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rule-based language ID via marker-stopword counts (deterministic
+    * argmax with a fixed tie-break chain). */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").withColumn("toks", toks)
+    val (en, es, de, fr) = (col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+    d.select(col("doc_id"), col("lang"),
+        markCount(col("toks"), MarkEn).as("s_en"),
+        markCount(col("toks"), MarkEs).as("s_es"),
+        markCount(col("toks"), MarkDe).as("s_de"),
+        markCount(col("toks"), MarkFr).as("s_fr"))
+      .withColumn("predicted_lang",
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String =
+    s"""SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+       | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |      WHEN s_de >= s_fr THEN 'de'
+       |      ELSE 'fr' END AS predicted_lang
+       |FROM (SELECT doc_id, lang,
+       |  ${sqlMarkCount(MarkEn)} AS s_en,
+       |  ${sqlMarkCount(MarkEs)} AS s_es,
+       |  ${sqlMarkCount(MarkDe)} AS s_de,
+       |  ${sqlMarkCount(MarkFr)} AS s_fr
+       | FROM (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: token/char stats, stopword ratio, digit ratio,
+    * and a composite score — all exact IEEE ops over integers. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").withColumn("toks", toks)
+    val nt = col("n_tokens").cast("double")
+    d.select(col("doc_id"),
+        length(col("text")).as("n_chars_text"),
+        size(col("toks")).as("n_tokens"),
+        markCount(col("toks"), MarkEn).as("n_stop"),
+        regexp_count(col("text"), lit("[0-9]")).as("n_digit"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, b) => a + b)
+          .as("sum_tok_len"))
+      .withColumn("mean_word_len", col("sum_tok_len").cast("double") / nt)
+      .withColumn("stop_ratio", col("n_stop").cast("double") / nt)
+      .withColumn("digit_ratio", col("n_digit").cast("double") / col("n_chars_text").cast("double"))
+      .withColumn("quality_score",
+        lit(0.5) * least(lit(1.0), nt / lit(50.0)) + lit(0.5) * (col("n_stop").cast("double") / nt))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String =
+    s"""SELECT doc_id, n_chars_text, n_tokens, n_stop, n_digit, sum_tok_len,
+       | CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS mean_word_len,
+       | CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       | CAST(n_digit AS DOUBLE)/CAST(n_chars_text AS DOUBLE) AS digit_ratio,
+       | 0.5 * least(1.0, CAST(n_tokens AS DOUBLE)/50.0)
+       |   + 0.5 * (CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)) AS quality_score
+       |FROM (SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  ${sqlMarkCount(MarkEn)} AS n_stop,
+       |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digit,
+       |  CAST(list_sum(list_transform(toks, t -> length(t))) AS INT) AS sum_tok_len
+       | FROM (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 of the normalized text (exact-dup key;
+    * the rolling-hash winnowing variant lives in Fingerprint.scala). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup: canonical doc per text-hash group (map-side combine;
+    * at 100 TB this is the cheap first pass before MinHash). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .orderBy("text_hash")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+      | CAST(count(*) AS BIGINT) AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs, blocked by source: distinct 3-word
+    * shingles, |A∩B|/|A∪B| ≥ 0.5. The in-block quadratic verify is the
+    * exactness twin of MinHash-LSH. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val ts = split(col("text"), " ")
+    val sh = array_distinct(transform(sequence(lit(1), size(ts) - 2),
+      i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+    val t = d.select(col("doc_id"), col("source"), sh.as("sh"))
+    val a = t.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
+    a.join(b, "source")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "source", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      | FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+      | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Embedding-cosine near-dup pairs, blocked by label (the LSH-blocked
+    * variant at scale; exact within blocks here). */
+  val NearDupTau = 0.4
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val e = Tables.load(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("emb_b"))
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", VectorOps.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= NearDupTau)
+      .select("vec_a", "vec_b", "label", "score")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       | ${OracleSql.cosine("a.embedding", "b.embedding")} AS score
+       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${OracleSql.cosine("a.embedding", "b.embedding")} >= $NearDupTau
+       |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_fingerprint" -> (textFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}
