@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashing kernels for near-duplicate detection: MinHash signatures and
+  * SimHash, as native Catalyst expressions (single pass per row, no
+  * shuffle — the banding/bucketing around them is plain DataFrame ops).
+  *
+  * Hash family: FNV-1a 64 over UTF-8 bytes as the base hash, then a
+  * splitmix64 finalizer keyed by a per-function seed — both classic
+  * public-domain constructions. Deterministic across runs and engines.
+  */
+object TextHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+  final val Golden = 0x9E3779B97F4A7C15L
+
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer (public domain, Steele et al.). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + Golden
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature of a shingle set. */
+  def minhash(shingles: Iterator[Array[Byte]], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      val base = fnv1a64(s)
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ (i.toLong * Golden))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** 64-bit SimHash of a token multiset. */
+  def simhash(tokens: Iterator[Array[Byte]], acc: Array[Int]): Long = {
+    java.util.Arrays.fill(acc, 0)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
+/** array<string> shingles → array<long> MinHash signature (k hashes). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val it = (0 until a.numElements()).iterator
+      .map(i => a.getUTF8String(i).getBytes)
+    new GenericArrayData(TextHash.minhash(it, k))
+  }
+  // Interpreted path only: one virtual call per row is negligible next
+  // to the k·|shingles| hashing loop, which is already tight JVM code.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val th = TextHash.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig"); val base = ctx.freshName("base"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $base = $th.fnv1a64($a.getUTF8String($i).getBytes());
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = $th.mix64($base ^ (((long) $j) * ${TextHash.Golden}L));
+         |    if ($h < $sig[$j]) $sig[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array<string> tokens → 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val it = (0 until a.numElements()).iterator
+      .map(i => a.getUTF8String(i).getBytes)
+    TextHash.simhash(it, new Array[Int](64))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val th = TextHash.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val h = ctx.freshName("h"); val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $acc = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $th.fnv1a64($a.getUTF8String($i).getBytes());
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $acc[$j]++; else $acc[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($acc[$j] > 0) $out |= (1L << $j); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashOps {
+  def minhashSig(shingles: Column, k: Int): Column =
+    Shims.column(MinHashSig(Shims.expression(shingles), k))
+  def simhash64(tokens: Column): Column =
+    Shims.column(SimHash64(Shims.expression(tokens)))
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHashOps
+
+/** Scale-path near-duplicate detection: MinHash + banded LSH and
+  * SimHash. Candidate generation shuffles only signatures/keys (never
+  * document text); the quadratic verify runs strictly inside LSH
+  * buckets, with a bucket-size cap as skew guard — the 100 TB design.
+  *
+  * dedup_minhash_lsh is verified against the exact all-pairs Jaccard
+  * oracle: LSH prunes candidates, the surviving pairs are re-checked
+  * with EXACT Jaccard, so output == exact output whenever LSH recall
+  * at the threshold is 1 (128 hashes / 64 bands × 2 rows ⇒ a j=0.5
+  * pair escapes with p=(1−0.25)^64 ≈ 1e-8; spec'd empirically too).
+  */
+object Dedup {
+  val NumHashes = 128
+  val Bands = 64
+  val RowsPerBand: Int = NumHashes / Bands
+  val JaccardThreshold = 0.5
+  /** Skew guard: LSH buckets larger than this are dropped (a bucket
+    * this hot means a degenerate band, not near-dups). */
+  val MaxBucketSize = 10000
+
+  /** Distinct 3-word shingles of a clean single-space text column. */
+  def shingles3(text: Column): Column = {
+    val ts = split(text, " ")
+    array_distinct(transform(sequence(lit(1), size(ts) - 2),
+      i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+  }
+
+  /** Candidate pairs via banded MinHash-LSH, then exact-Jaccard verify. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = JaccardThreshold): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), shingles3(col(textCol)).as("sh"))
+    val sig = base.withColumn("sig", TextHashOps.minhashSig(col("sh"), NumHashes))
+
+    // One row per (doc, band): key = xxhash64(band_idx, row slice).
+    val bandKeys = sig.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .select(col("doc_id"), col("pos"), col("col").as("bh"))
+
+    // Skew guard: drop degenerate buckets before the in-bucket join.
+    val sized = bandKeys.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("pos", "bh")))
+      .filter(col("bucket_n") <= MaxBucketSize)
+
+    val cand = sized.select(col("pos"), col("bh"), col("doc_id").as("doc_a"))
+      .join(sized.select(col("pos"), col("bh"), col("doc_id").as("doc_b")), Seq("pos", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    // Exact verify inside candidates only.
+    val shA = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dups: 64-bit fingerprints, blocked on 4×16-bit bands
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one identical band), verified
+    * by exact hamming distance. */
+  val SimHashMaxHamming = 3
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), TextHashOps.simhash64(toks).as("sh64"))
+    val chunks = array((0 until 4).map(b =>
+      shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = base.select(col("doc_id"), col("sh64"), posexplode(chunks))
+      .select(col("doc_id"), col("sh64"), col("pos"), col("col").as("chunk"))
+    val a = banded.select(col("pos"), col("chunk"), col("doc_id").as("doc_a"), col("sh64").as("ha"))
+    val b = banded.select(col("pos"), col("chunk"), col("doc_id").as("doc_b"), col("sh64").as("hb"))
+    a.join(b, Seq("pos", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --------------------------------------------------------- query surface
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  /** Exact all-pairs twin: what the LSH path must reproduce. */
+  val dedupMinhashLshSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      | FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> dedupMinhashLshSql)
+}
