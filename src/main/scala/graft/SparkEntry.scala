@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, EvalMetrics, Knn, Relational, TextOps, VectorSearch}
+import graft.operators.{Dedup, EvalMetrics, IvfIndex, Knn, LshAnn, Mmr, ProductQuant, Projection, Relational, TextOps, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
@@ -19,10 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ VectorSearch.queries ++ TextOps.queries ++
-      EvalMetrics.queries ++ Dedup.queries
+      EvalMetrics.queries ++ Dedup.queries ++ IvfIndex.queries ++
+      LshAnn.queries ++ ProductQuant.queries ++ Mmr.queries ++ Projection.queries
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ VectorSearch.oracles ++ TextOps.oracles ++
-      EvalMetrics.oracles ++ Dedup.oracles
+      EvalMetrics.oracles ++ Dedup.oracles ++ IvfIndex.oracles ++
+      LshAnn.oracles ++ ProductQuant.oracles ++ Mmr.oracles ++ Projection.oracles
 }

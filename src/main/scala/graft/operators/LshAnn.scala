@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** Random-hyperplane LSH ANN (SimHash-for-vectors): the second scale
+  * path for similarity search. Each vector hashes to an h-bit bucket
+  * (sign of ⟨v, rᵢ⟩ for h pseudo-random hyperplanes); queries scan
+  * their own bucket plus all hamming-1 neighbors (multiprobe), then
+  * re-rank candidates exactly.
+  *
+  * The hyperplanes are derived from splitmix64 — no RNG state, fully
+  * deterministic and reproducible on any executor.
+  */
+object LshAnn {
+  val NumBits = 12
+
+  /** Hyperplane component r[b][i] ∈ [-1, 1), deterministic. */
+  def plane(bit: Int, i: Int): Double = {
+    val h = TextHash.mix64(bit.toLong * 1000003L + i.toLong)
+    // map top 53 bits to [0,1) then shift
+    (h >>> 11) / 9007199254740992.0 * 2.0 - 1.0
+  }
+
+  def bucketOf(v: Array[Double], numBits: Int): Int = {
+    var bkt = 0
+    var b = 0
+    while (b < numBits) {
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * plane(b, i); i += 1 }
+      if (dot > 0) bkt |= (1 << b)
+      b += 1
+    }
+    bkt
+  }
+
+  def lshSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                numBits: Int = NumBits): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bucketed = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v, bucketOf(v.toArray, numBits)) }
+      .toDF("vec_id", "embedding", "bucket")
+
+    // Multiprobe: query bucket + hamming-1 neighbors.
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val b = bucketOf(r.getSeq[Double](1).toArray, numBits)
+      (b +: (0 until numBits).map(i => b ^ (1 << i))).map(p => (qid, p))
+    }
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "bucket")
+
+    val cand = bucketed.join(probeDf, "bucket")
+    val scored = cand.join(
+      queries.select(col("vec_id").as("qid"), col("embedding").cast(ArrayType(DoubleType)).as("qv")),
+      "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  def lshBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    lshSearch(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), VectorSearch.K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("lsh_bucket_join" -> (lshBucketJoin _))
+  val oracles: Map[String, String] = Map.empty // recall spec'd in LshAnnSpec
+}
