@@ -20,7 +20,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ VectorSearch.queries ++ TextOps.queries ++
       EvalMetrics.queries ++ Dedup.queries ++ IvfIndex.queries ++
-      LshAnn.queries ++ ProductQuant.queries ++ Mmr.queries ++ Projection.queries
+      LshAnn.queries ++ ProductQuant.queries ++ Mmr.queries ++ Projection.queries ++
+      Map("multimodal_embed" -> ((s: SparkSession, dir: String) =>
+        graft.multimodal.BinaryColumns.mediaFeatures(s, dir)
+          .select(col("vec_id"), col("modality"), size(col("embedding")).as("dim"))
+          .orderBy("vec_id")))
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] =

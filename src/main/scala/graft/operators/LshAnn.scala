@@ -18,7 +18,7 @@ import graft.functions.TextHash
   * deterministic and reproducible on any executor.
   */
 object LshAnn {
-  val NumBits = 12
+  val NumBits = 8
 
   /** Hyperplane component r[b][i] ∈ [-1, 1), deterministic. */
   def plane(bit: Int, i: Int): Double = {
@@ -49,13 +49,18 @@ object LshAnn {
       .map { case (id, v) => (id, v, bucketOf(v.toArray, numBits)) }
       .toDF("vec_id", "embedding", "bucket")
 
-    // Multiprobe: query bucket + hamming-1 neighbors.
+    // Multiprobe: query bucket + all hamming-≤2 neighbors (trades a
+    // wider candidate set — still a small corpus fraction — for recall
+    // on weakly-clustered vectors).
     val qRows = queries.select(col("vec_id").cast("long"),
       col("embedding").cast(ArrayType(DoubleType))).collect()
     val probes = qRows.flatMap { r =>
       val qid = r.getLong(0)
       val b = bucketOf(r.getSeq[Double](1).toArray, numBits)
-      (b +: (0 until numBits).map(i => b ^ (1 << i))).map(p => (qid, p))
+      val h1 = (0 until numBits).map(i => b ^ (1 << i))
+      val h2 = for (i <- 0 until numBits; j <- (i + 1) until numBits)
+        yield b ^ (1 << i) ^ (1 << j)
+      (b +: (h1 ++ h2): Seq[Int]).map(p => (qid, p))
     }
     val probeDf = spark.createDataFrame(
       spark.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "bucket")

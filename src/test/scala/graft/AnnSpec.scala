@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, Knn, LshAnn, ProductQuant, VectorSearch}
+
+/** Recall/quality specs for the approximate operators vs exact kNN. */
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  lazy val queries = emb.filter(col("vec_id") < 10)
+  lazy val exact: Map[Long, Set[Long]] =
+    Knn.topK(emb, queries, 10, Knn.Cosine)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  def recallOf(approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  test("IVF(nlist=16, nprobe=4) recall@10 vs exact is usable and deterministic") {
+    val (res, centroids) = IvfIndex.search(emb, queries, 10, nlist = 16, nprobe = 4)
+    val approx = res.select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = recallOf(approx)
+    assert(r >= 0.5, s"IVF recall $r too low")
+    // determinism: retrain → identical centroids
+    val (_, centroids2) = IvfIndex.search(emb, queries, 10, nlist = 16, nprobe = 4)
+    assert(centroids.map(_.toSeq).toSeq == centroids2.map(_.toSeq).toSeq)
+  }
+
+  test("IVF with nprobe=nlist degenerates to exact search") {
+    val (res, _) = IvfIndex.search(emb, queries, 10, nlist = 8, nprobe = 8)
+    val approx = res.select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(recallOf(approx) == 1.0)
+  }
+
+  test("LSH multiprobe recall@10 is usable; self is always found") {
+    val res = LshAnn.lshSearch(emb, queries, 10)
+    val approx = res.select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every query lands in its own bucket → finds itself
+    approx.foreach { case (q, ids) => assert(ids.contains(q)) }
+    assert(recallOf(approx) >= 0.2, s"LSH recall ${recallOf(approx)}")
+  }
+
+  test("PQ encode/decode: codes in range, reconstruction beats zero baseline") {
+    val sample = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cb = ProductQuant.train(sample, m = 8, k = 16)
+    val v = sample(7)
+    val codes = ProductQuant.encode(cb, v)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    val rec = ProductQuant.decode(cb, codes)
+    assert(rec.length == v.length)
+    def l2(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val zero = new Array[Double](v.length)
+    assert(l2(v, rec) < l2(v, zero), "PQ reconstruction should beat the zero vector")
+    // encode is stable on the reconstruction
+    assert(ProductQuant.encode(cb, rec).toSeq == codes.toSeq)
+  }
+}
