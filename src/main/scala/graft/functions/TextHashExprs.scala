@@ -105,6 +105,116 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** text → sorted distinct 64-bit hashes of its 3-word shingles, in one
+  * pass over the UTF-8 bytes: tokens split on spaces are contiguous in
+  * the source bytes, so each shingle is a byte slice — no intermediate
+  * strings, no lambda interpretation. (The HOF formulation
+  * split→transform→concat_ws→xxhash64 was re-evaluated per OUTPUT row
+  * under Generate and cost ~1.5 ms/row; this is ~3 µs.)
+  */
+case class ShingleHashArr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(ShingleHashArr.hashes(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ShingleHashArr.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cls.hashes($t));")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashArr {
+  /** Sorted distinct FNV-1a hashes of the 3-word shingles. Tokens are
+    * maximal runs of non-space bytes; a shingle hash covers the byte
+    * span from token i's first byte to token i+2's last byte. Texts
+    * with <3 tokens hash as one whole-text shingle. */
+  def hashes(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // token boundaries
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && bytes(i) != ' ') i += 1
+        ends += i
+      }
+    }
+    val nt = starts.length
+    val out =
+      if (nt < 3) Array(range(bytes, 0, n))
+      else Array.tabulate(nt - 2)(t => range(bytes, starts(t), ends(t + 2)))
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var w = 0; var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  private def range(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = TextHash.FnvOffset
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= TextHash.FnvPrime; i += 1 }
+    h
+  }
+}
+
+/** array<long> pre-hashed shingles → array<long> MinHash signature.
+  * Same family as MinHashSig but skips the per-row UTF-8 re-hash when
+  * shingles were already reduced to 64-bit hashes upstream (the dedup
+  * pipeline hashes shingles once and reuses them for LSH + verify). */
+case class MinHashSigLong(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var idx = 0
+    while (idx < n) {
+      val base = a.getLong(idx)
+      var i = 0
+      while (i < k) {
+        val h = TextHash.mix64(base ^ (i.toLong * TextHash.Golden))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      idx += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val th = TextHash.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig"); val base = ctx.freshName("base"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $base = $a.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = $th.mix64($base ^ (((long) $j) * ${TextHash.Golden}L));
+         |    if ($h < $sig[$j]) $sig[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** array<string> tokens → 64-bit SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -142,6 +252,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object TextHashOps {
   def minhashSig(shingles: Column, k: Int): Column =
     Shims.column(MinHashSig(Shims.expression(shingles), k))
+  def minhashSigLong(shingleHashes: Column, k: Int): Column =
+    Shims.column(MinHashSigLong(Shims.expression(shingleHashes), k))
+  def shingleHashes(text: Column): Column =
+    Shims.column(ShingleHashArr(Shims.expression(text)))
   def simhash64(tokens: Column): Column =
     Shims.column(SimHash64(Shims.expression(tokens)))
 }

@@ -33,11 +33,16 @@ object Dedup {
       i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
   }
 
+  /** Shingles reduced once to sorted distinct 64-bit hashes (single
+    * codegen pass over the text bytes): signature, LSH and verify all
+    * work off longs — no string set ops anywhere in the hot loop. */
+  def shingleHashes3(text: Column): Column = TextHashOps.shingleHashes(text)
+
   /** Candidate pairs via banded MinHash-LSH, then exact-Jaccard verify. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = JaccardThreshold): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), shingles3(col(textCol)).as("sh"))
-    val sig = base.withColumn("sig", TextHashOps.minhashSig(col("sh"), NumHashes))
+    val base = docs.select(col(idCol).as("doc_id"), shingleHashes3(col(textCol)).as("sh"))
+    val sig = base.withColumn("sig", TextHashOps.minhashSigLong(col("sh"), NumHashes))
 
     // One row per (doc, band): key = xxhash64(band_idx, row slice).
     val bandKeys = sig.select(col("doc_id"), posexplode(
@@ -45,24 +50,28 @@ object Dedup {
         b => xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .select(col("doc_id"), col("pos"), col("col").as("bh"))
 
-    // Skew guard: drop degenerate buckets before the in-bucket join.
-    val sized = bandKeys.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("pos", "bh")))
-      .filter(col("bucket_n") <= MaxBucketSize)
-
-    val cand = sized.select(col("pos"), col("bh"), col("doc_id").as("doc_a"))
-      .join(sized.select(col("pos"), col("bh"), col("doc_id").as("doc_b")), Seq("pos", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // One shuffle: group each LSH bucket, drop degenerate buckets (skew
+    // guard), and emit the in-bucket pair combinations directly — no
+    // self-join, no second shuffle of the band keys.
+    val ids = array_sort(collect_list(col("doc_id")))
+    val pairsOfBucket = {
+      val n = size(col("ids"))
+      flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(slice(col("ids"), i + 1, n - i), y =>
+          struct(element_at(col("ids"), i).as("doc_a"), y.as("doc_b")))))
+    }
+    val cand = bandKeys.groupBy("pos", "bh").agg(ids.as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucketSize))
+      .select(explode(pairsOfBucket).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
-    // Exact verify inside candidates only.
+    // Exact verify inside candidates only: merge-join Jaccard over the
+    // (already sorted) hash sets — single O(n) pass, no per-pair set builds.
     val shA = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", graft.functions.JaccardOps.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

@@ -142,18 +142,27 @@ object TextOps {
     * shingles, |A∩B|/|A∪B| ≥ 0.5. The in-block quadratic verify is the
     * exactness twin of MinHash-LSH. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Inverted-index set-similarity join (the 100 TB idiom): explode
+    // (doc, shingle-hash), count co-occurrences per doc pair — |A∩B|
+    // arrives as an integer count, |A∪B| = n_a + n_b − |A∩B|. No
+    // quadratic in-block pair scan, no per-pair array materialization;
+    // shuffle volume is Σ_shingle df·(df−1)/2 pair-events. The ratio of
+    // ints is identical to the string-set oracle (barring 2⁻⁶⁴ hash
+    // collisions), so bit-exactness is preserved.
     val d = Tables.load(s, dir, "documents")
-    val ts = split(col("text"), " ")
-    val sh = array_distinct(transform(sequence(lit(1), size(ts) - 2),
-      i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
-    val t = d.select(col("doc_id"), col("source"), sh.as("sh"))
-    val a = t.select(col("doc_id").as("doc_a"), col("source"), col("sh").as("sh_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("source"), col("sh").as("sh_b"))
-    a.join(b, "source")
-      .filter(col("doc_a") < col("doc_b"))
+    val t = d.select(col("doc_id"), col("source"), Dedup.shingleHashes3(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val sizes = t.select(col("doc_id"), col("source"), col("n"))
+    val posting = t.select(col("doc_id"), col("source"), explode(col("sh")).as("shh"))
+    val co = posting.alias("x").join(posting.alias("y"),
+        col("x.shh") === col("y.shh") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("x.source").as("source"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "source", "jaccard")
       .orderBy("doc_a", "doc_b")
