@@ -204,7 +204,18 @@ object TextOps {
        |WHERE ${OracleSql.cosine("a.embedding", "b.embedding")} >= $NearDupTau
        |ORDER BY 1, 2""".stripMargin
 
+  /** Winnowing fingerprints (rolling-hash variant): per-doc fingerprint
+    * count and a containment-style near-dup check against the planted
+    * duplicates is spec'd; here the per-doc stats form the query. */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.WinnowOps.winnow(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (textWinnow _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
