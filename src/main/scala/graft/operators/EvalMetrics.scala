@@ -72,11 +72,15 @@ object EvalMetrics {
   val evalMetricsSql: String = {
     val wList = WScaled.mkString("[", ", ", "]")
     val pList = WPrefixScaled.mkString("[", ", ", "]")
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
-       |           FROM embeddings WHERE vec_id < ${VectorSearch.NQueries}),
+    s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |             FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, e.label AS qlab, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE e.vec_id < ${VectorSearch.NQueries}),
        |s AS (SELECT q.qid, q.qlab, e.vec_id, e.label,
-       |        ${OracleSql.cosine("q.qv", "e.embedding")} AS score
-       |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE e.vec_id <> q.qid),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS r
        |      FROM s),
        |h AS (SELECT qid, qlab, r, CASE WHEN label = qlab THEN 1 ELSE 0 END AS h

@@ -198,10 +198,15 @@ object TextOps {
   }
 
   val dedupEmbeddingSql: String =
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       | ${OracleSql.cosine("a.embedding", "b.embedding")} AS score
-       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${OracleSql.cosine("a.embedding", "b.embedding")} >= $NearDupTau
+    s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |             FROM embeddings)
+       |SELECT vec_a, vec_b, label, score FROM (
+       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       |   ${OracleSql.dot("a.embedding", "b.embedding")} / (na.nm * nb.nm) AS score
+       | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |   JOIN nrm na ON a.vec_id = na.vec_id
+       |   JOIN nrm nb ON b.vec_id = nb.vec_id)
+       |WHERE score >= $NearDupTau
        |ORDER BY 1, 2""".stripMargin
 
   /** Winnowing fingerprints (rolling-hash variant): per-doc fingerprint

@@ -82,7 +82,56 @@ object VectorSearch {
       .orderBy("content_type")
   }
 
+  /** Soft-delete then search (reference: vector_index.py:212-222
+    * remove_vectors marks metadata deleted; search results exclude
+    * them). Deleted set here: vec_id ≡ 0 (mod 7). */
+  def indexDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val live = emb.filter(col("vec_id") % 7 =!= 0)
+    Knn.topK(live, emb.filter(col("vec_id") < NQueries), K, Knn.Cosine)
+  }
+
+  /** Matryoshka dimension tradeoff (reference: scripts/demo_matryoshka
+    * .py, projection.py nested dims): for each truncation dim, overlap
+    * of truncated top-K with the full-dim top-K per query. hits is an
+    * integer; recall = hits/K is one exact division. */
+  val MatryoshkaDims = Seq(64, 32, 16, 8)
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val parts = MatryoshkaDims.map { d =>
+      val sliced = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      Knn.topK(sliced, sliced.filter(col("vec_id") < NQueries), K, Knn.Cosine)
+        .select(lit(d).as("dim"), col("qid"), col("vec_id"))
+    }
+    val full = parts.head.select(col("qid").as("fqid"), col("vec_id").as("fvid"))
+    parts.map { p =>
+      p.join(full, col("qid") === col("fqid") && col("vec_id") === col("fvid"))
+        .groupBy("dim", "qid")
+        .agg(count(lit(1)).as("hits"))
+    }.reduce(_.unionAll(_))
+      .withColumn("recall", col("hits").cast("double") / lit(10.0))
+      .orderBy("dim", "qid")
+  }
+
   // ---------------------------------------------------------------- oracles
+
+  /** Cosine kNN oracle with norms factored into CTEs: one 64-term dot
+    * per (q,e) pair instead of three — mirrors the Scala loop (which
+    * also precomputes ‖e‖ per row and ‖q‖ per query) and keeps the
+    * DuckDB expression tree small. */
+  private def knnCosineSqlWhere(corpusWhere: String): String =
+    s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |            FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id WHERE e.vec_id < $NQueries),
+       |s AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE $corpusWhere)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
   private def knnSql(scoreExpr: (String, String) => String,
                      corpusWhere: String = "TRUE"): String =
@@ -94,10 +143,10 @@ object VectorSearch {
        |  FROM s)
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
-  val knnCosineSql: String = knnSql((a, b) => OracleSql.cosine(a, b))
+  val knnCosineSql: String = knnCosineSqlWhere("TRUE")
   val knnL2Sql: String = knnSql((a, b) => s"(1.0/(1.0 + ${OracleSql.l2sq(a, b)}))")
   val knnIpSql: String = knnSql((a, b) => OracleSql.dot(a, b))
-  val knnFilteredSql: String = knnSql((a, b) => OracleSql.cosine(a, b), corpusWhere = "e.label < 5")
+  val knnFilteredSql: String = knnCosineSqlWhere("e.label < 5")
 
   val knnMatryoshkaSql: String = {
     val d = MatryoshkaDim
@@ -113,13 +162,43 @@ object VectorSearch {
   val crossmodalSql: String =
     s"""WITH m AS (SELECT *, (['text','image','video','audio'])[CAST(label % 4 AS INT) + 1] AS content_type
        |           FROM embeddings),
-       |q AS (SELECT vec_id AS qid, embedding AS qv FROM m WHERE vec_id < $NQueries),
-       |s AS (SELECT q.qid, e.vec_id, ${OracleSql.cosine("q.qv", "e.embedding")} AS score
-       |      FROM q CROSS JOIN m e WHERE e.content_type = 'image')
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm FROM embeddings),
+       |q AS (SELECT m.vec_id AS qid, m.embedding AS qv, n.nm AS qn
+       |      FROM m JOIN nrm n ON m.vec_id = n.vec_id WHERE m.vec_id < $NQueries),
+       |s AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN m e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE e.content_type = 'image')
        |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
        |  FROM s)
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
+  val matryoshkaRecallSql: String = {
+    def knnCte(d: Int): String =
+      s"""nrm$d AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding", d)}) AS nm
+         |          FROM embeddings),
+         |s$d AS (SELECT q.qid, e.vec_id, row_number() OVER (
+         |   PARTITION BY q.qid
+         |   ORDER BY ${OracleSql.dot("q.qv", "e.embedding", d)} / (n.nm * qn.nm) DESC,
+         |            e.vec_id ASC) AS rnk
+         | FROM q CROSS JOIN embeddings e
+         |   JOIN nrm$d n ON e.vec_id = n.vec_id
+         |   JOIN nrm$d qn ON q.qid = qn.vec_id)""".stripMargin
+    val ctes = MatryoshkaDims.map(knnCte).mkString(",\n")
+    val unions = MatryoshkaDims.map { d =>
+      s"""SELECT $d AS dim, a.qid, CAST(count(*) AS BIGINT) AS hits
+         |FROM (SELECT * FROM s$d WHERE rnk <= $K) a
+         |JOIN (SELECT * FROM s64 WHERE rnk <= $K) b
+         |  ON a.qid = b.qid AND a.vec_id = b.vec_id
+         |GROUP BY a.qid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+       |$ctes
+       |SELECT dim, qid, hits, CAST(hits AS DOUBLE)/10.0 AS recall FROM (
+       |$unions
+       |) ORDER BY dim, qid""".stripMargin
+  }
 
   val indexStatsSql: String =
     """SELECT content_type, CAST(count(*) AS BIGINT) AS total_vectors,
@@ -136,9 +215,13 @@ object VectorSearch {
     "knn_matryoshka" -> (knnMatryoshka _),
     "knn_fp16" -> (knnFp16 _),
     "crossmodal_search" -> (crossmodal _),
+    "matryoshka_recall" -> (matryoshkaRecall _),
+    "index_delete" -> (indexDelete _),
     "index_stats" -> (indexStats _))
 
   val oracles: Map[String, String] = Map(
+    "matryoshka_recall" -> matryoshkaRecallSql,
+    "index_delete" -> knnSql((a, b) => OracleSql.cosine(a, b), corpusWhere = "e.vec_id % 7 <> 0"),
     "knn_cosine" -> knnCosineSql,
     "knn_l2" -> knnL2Sql,
     "knn_ip" -> knnIpSql,
