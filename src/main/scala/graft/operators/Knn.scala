@@ -29,7 +29,9 @@ object Knn {
   case object L2 extends Metric
   case object Ip extends Metric
 
-  /** Max query-set size we are willing to hold per task. */
+  /** Max query-set size broadcast per corpus pass; larger query sets
+    * run in chunks of this size (bounded executor memory — q·k heap
+    * entries per task — at the cost of one corpus scan per chunk). */
   val MaxBroadcastQueries = 65536
 
   def topK(
@@ -44,11 +46,18 @@ object Knn {
     val spark = corpus.sparkSession
 
     // Queries: small side → collect + broadcast, norms precomputed.
-    val qRows = queries
+    val qRowsAll = queries
       .select(col(qidCol).cast("long"), col(qvecCol).cast(ArrayType(DoubleType)))
       .collect()
-    require(qRows.length <= MaxBroadcastQueries,
-      s"query set too large to broadcast (${qRows.length})")
+    if (qRowsAll.length > MaxBroadcastQueries) {
+      // Chunked fan-out: one corpus pass per chunk, results unioned.
+      return qRowsAll.grouped(MaxBroadcastQueries).map { chunk =>
+        val ids = chunk.map(_.getLong(0)).toSet
+        val qChunk = queries.filter(col(qidCol).cast("long").isInCollection(ids))
+        topK(corpus, qChunk, k, metric, idCol, vecCol, qidCol, qvecCol)
+      }.reduce(_.unionAll(_)).orderBy(col("qid"), col("rank"))
+    }
+    val qRows = qRowsAll
     val qs: Array[(Long, Array[Double], Double)] = qRows.map { r =>
       val id = r.getLong(0)
       val v = r.getSeq[Double](1).toArray
