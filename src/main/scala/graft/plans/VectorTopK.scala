@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Knn
+
+/** Whole-operator form of brute-force kNN: a custom LogicalPlan +
+  * Strategy + SparkPlan (SURVEY §2 / spark_guide "custom operator"
+  * path (c)) planned via `spark.experimental.extraStrategies`.
+  *
+  * Semantically identical to Knn.topK's mapPartitions path — the
+  * partial per-partition top-k runs inside a proper physical operator,
+  * so the plan shows up in explain() as VectorTopKExec, composes with
+  * whole-stage-codegen'd children (filters/projections still push to
+  * the scan), and the final exact top-k over partials stays a tiny
+  * window. Queries are embedded at plan time (the broadcast-batch
+  * model of search_batch, reference vector_index.py:162-210).
+  */
+case class VectorTopKNode(
+    child: LogicalPlan,
+    queries: Seq[(Long, Seq[Double])],
+    k: Int,
+    metric: String,
+    // output as a constructor param: exprIds must survive node copies
+    // during optimizer transforms, or downstream references unbind
+    output: Seq[Attribute] = VectorTopKNode.freshOutput()) extends UnaryNode {
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override def simpleString(maxFields: Int): String =
+    s"VectorTopKNode [${queries.length} queries, k=$k, $metric]"
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+object VectorTopKNode {
+  def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("qid", LongType, nullable = false)(),
+    AttributeReference("vec_id", LongType, nullable = false)(),
+    AttributeReference("score", DoubleType, nullable = false)())
+}
+
+case class VectorTopKExec(
+    child: SparkPlan,
+    out: Seq[Attribute],
+    queries: Seq[(Long, Seq[Double])],
+    k: Int,
+    metric: String) extends UnaryExecNode {
+  override def output: Seq[Attribute] = out
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(out)
+  override def simpleString(maxFields: Int): String =
+    s"VectorTopK [${queries.length} queries, k=$k, $metric]"
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val qs = queries.map { case (id, v) =>
+      val a = v.toArray
+      var n = 0.0; var i = 0
+      while (i < a.length) { n += a(i) * a(i); i += 1 }
+      (id, a, math.sqrt(n))
+    }.toArray
+    val m = metric
+    val kk = k
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    child.execute().mapPartitions { rows =>
+      val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+      rows.foreach { row =>
+        val id = row.getLong(0)
+        val arr = row.getArray(1)
+        val n = arr.numElements()
+        val v = new Array[Double](n)
+        var i = 0
+        while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+        var sqNa = 0.0
+        if (m == "cosine") {
+          var na = 0.0; i = 0
+          while (i < n) { na += v(i) * v(i); i += 1 }
+          sqNa = math.sqrt(na)
+        }
+        var qi = 0
+        while (qi < qs.length) {
+          val (_, qv, qn) = qs(qi)
+          val d = math.min(n, qv.length)
+          var score = 0.0
+          m match {
+            case "cosine" =>
+              var dot = 0.0; i = 0
+              while (i < d) { dot += v(i) * qv(i); i += 1 }
+              score = dot / (sqNa * qn)
+            case "l2" =>
+              var ss = 0.0; i = 0
+              while (i < d) { val df = v(i) - qv(i); ss += df * df; i += 1 }
+              score = 1.0 / (1.0 + ss)
+            case _ =>
+              var dot = 0.0; i = 0
+              while (i < d) { dot += v(i) * qv(i); i += 1 }
+              score = dot
+          }
+          val h = heaps(qi)
+          if (h.size < kk) h.enqueue((score, id))
+          else {
+            val (ws, wid) = h.head
+            if (score > ws || (score == ws && id < wid)) { h.dequeue(); h.enqueue((score, id)) }
+          }
+          qi += 1
+        }
+      }
+      val proj = UnsafeProjection.create(schema)
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        h.iterator.map { case (s, id) =>
+          proj(new GenericInternalRow(Array[Any](qid, id, s))).copy(): InternalRow
+        }
+      }
+    }
+  }
+}
+
+object VectorTopKStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: VectorTopKNode =>
+      VectorTopKExec(planLater(n.child), n.output, n.queries, n.k, n.metric) :: Nil
+    case _ => Nil
+  }
+}
+
+object VectorTopK {
+  /** Install the planner strategy (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val st = spark.experimental.extraStrategies
+    if (!st.contains(VectorTopKStrategy))
+      spark.experimental.extraStrategies = st :+ VectorTopKStrategy
+  }
+
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           metric: Knn.Metric = Knn.Cosine,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    install(spark)
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val prepared = corpus.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("embedding"))
+    val metricName = metric match {
+      case Knn.Cosine => "cosine"
+      case Knn.L2 => "l2"
+      case Knn.Ip => "ip"
+    }
+    val partials = org.apache.spark.sql.graftshim.Shims.ofRows(spark,
+      VectorTopKNode(org.apache.spark.sql.graftshim.Shims.logicalPlan(prepared),
+        qs, k, metricName))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    partials.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+}
