@@ -99,6 +99,60 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over a near-dup pair graph → canonical
+    * (minimum) doc id per duplicate cluster. Iterative min-label
+    * propagation: each round every node takes the min label among
+    * itself and its neighbors; converges in O(component diameter)
+    * rounds (the standard distributed CC idiom — at 100 TB swap in
+    * large-star/small-star for skewed degree, same loop shape).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("comp", col("id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src2"), col("src") === col("src2"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neighborMin, col("id") === col("id2"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("old"))
+      val next = updated.select(col("id"), col("comp")).localCheckpoint(true)
+      changed = updated.filter(col("comp") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("canonical_id")).orderBy("doc_id")
+  }
+
+  /** Canonical cluster id for every doc in a verified near-dup pair. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupMinhashLsh(s, dir))
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      | FROM documents),
+      |p AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM t a JOIN t b ON a.doc_id < b.doc_id
+      | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |          UNION ALL SELECT doc_b, doc_a FROM p),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      | SELECT id, id FROM nodes
+      | UNION
+      | SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src)
+      |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- query surface
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -123,8 +177,10 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_minhash_lsh" -> dedupMinhashLshSql)
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

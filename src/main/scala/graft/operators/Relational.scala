@@ -207,7 +207,22 @@ object Relational {
       | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** Exact distinct users + event counts per type (the exact twin of
+    * the HLL approx_count_distinct path, spec'd in AnnSpec-adjacent
+    * suites; at 100 TB you run the sketch, here both are verified). */
+  def eventsDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val eventsDistinctSql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      | CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_distinct" -> (eventsDistinct _),
     "q1_pricing" -> (q1Pricing _),
     "q3_revenue_topn" -> (q3RevenueTopN _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -216,6 +231,7 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_distinct" -> eventsDistinctSql,
     "q1_pricing" -> q1PricingSql,
     "q3_revenue_topn" -> q3RevenueTopNSql,
     "q5_nation_revenue" -> q5NationRevenueSql,

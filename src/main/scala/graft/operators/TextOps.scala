@@ -197,6 +197,27 @@ object TextOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Salted variant of the label-blocked near-dup join: block keys with
+    * few distinct values (10 labels here) skew one shuffle partition
+    * per label. Salting splits each block R ways — side A keyed by
+    * (label, id mod R), side B replicated R× — so work spreads across
+    * R·|labels| reducers. Output is identical (spec'd in DedupSpec).
+    */
+  def dedupEmbeddingSalted(s: SparkSession, dir: String, r: Int = 4): DataFrame = {
+    import graft.functions.VectorOps
+    val e = Tables.load(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
+      .withColumn("salt", (col("vec_a") % r).cast("int"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("emb_b"))
+      .withColumn("salt", explode(array((0 until r).map(lit): _*)))
+    a.join(b, Seq("label", "salt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", VectorOps.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= NearDupTau)
+      .select("vec_a", "vec_b", "label", "score")
+      .orderBy("vec_a", "vec_b")
+  }
+
   val dedupEmbeddingSql: String =
     s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
        |             FROM embeddings)
