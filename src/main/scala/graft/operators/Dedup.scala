@@ -107,8 +107,11 @@ object Dedup {
     * large-star/small-star for skewed degree, same loop shape).
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Materialize the pair graph ONCE — the iteration must not re-run
+    // the (potentially expensive) candidate-generation lineage per round.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("comp", col("id"))
     var changed = 1L
@@ -118,12 +121,14 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src2"), col("src") === col("src2"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("comp")).as("ncomp"))
+      // one materialization per round serves both the convergence test
+      // and the next iteration's labels
       val updated = labels.join(neighborMin, col("id") === col("id2"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("old"))
-      val next = updated.select(col("id"), col("comp")).localCheckpoint(true)
+        .localCheckpoint(true)
       changed = updated.filter(col("comp") =!= col("old")).count()
-      labels = next
+      labels = updated.select(col("id"), col("comp"))
       rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("comp").as("canonical_id")).orderBy("doc_id")
