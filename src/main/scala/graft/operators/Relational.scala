@@ -207,6 +207,25 @@ object Relational {
       | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** TPC-H Q6-shaped forecast revenue: tight filter + single sum —
+    * every predicate reaches the parquet scan (PushedFilters). */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg((sum(cents("l_extendedprice") * cents("l_discount")).cast("double") / 10000.0)
+        .as("revenue"))
+  }
+
+  val q6ForecastSql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |               * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
   /** Exact distinct users + event counts per type (the exact twin of
     * the HLL approx_count_distinct path, spec'd in AnnSpec-adjacent
     * suites; at 100 TB you run the sketch, here both are verified). */
@@ -224,6 +243,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_distinct" -> (eventsDistinct _),
     "q1_pricing" -> (q1Pricing _),
+    "q6_forecast" -> (q6Forecast _),
     "q3_revenue_topn" -> (q3RevenueTopN _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q_window_rank" -> (qWindowRank _),
@@ -233,6 +253,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "events_distinct" -> eventsDistinctSql,
     "q1_pricing" -> q1PricingSql,
+    "q6_forecast" -> q6ForecastSql,
     "q3_revenue_topn" -> q3RevenueTopNSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q_window_rank" -> qWindowRankSql,
