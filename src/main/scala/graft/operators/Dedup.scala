@@ -106,12 +106,37 @@ object Dedup {
     * rounds (the standard distributed CC idiom — at 100 TB swap in
     * large-star/small-star for skewed degree, same loop shape).
     */
+  /** Below this edge count the component graph fits comfortably on the
+    * driver and a union-find beats ~3 Spark jobs per propagation round
+    * (the same size-adaptive reasoning as broadcast-join selection). */
+  val CcDriverEdgeLimit = 1000000L
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // Materialize the pair graph ONCE — the iteration must not re-run
     // the (potentially expensive) candidate-generation lineage per round.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
+    if (edges.count() <= CcDriverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      return spark.createDataFrame(out).toDF("doc_id", "canonical_id").orderBy("doc_id")
+    }
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("comp", col("id"))
     var changed = 1L
