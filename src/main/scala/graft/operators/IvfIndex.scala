@@ -20,34 +20,91 @@ import graft.Tables
   * nprobe/nlist fraction of data is scanned per query batch via
   * partition pruning.
   */
+/** vec (array<double>) → index of the nearest centroid (squared L2).
+  * Centroids ride inside the expression (small: nlist·dim doubles) and
+  * reach executors with the serialized plan. */
+case class NearestCentroidExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                               centroids: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    IvfIndex.nearestData(centroids, v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val ivf = IvfIndex.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ivf.nearestData($ref, $a);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
 object IvfIndex {
   /** Deterministic Lloyd k-means (kmeans++-free: seeds are the first k
-    * distinct sample points in id order — reproducible across runs). */
+    * distinct sample points in id order — reproducible across runs).
+    * The assignment pass is parallelized over sample chunks; per-chunk
+    * partial (sums, counts) merge associatively, and the merged result
+    * is order-independent because centroid means divide chunk-summed
+    * doubles in a FIXED merge order (chunk index), so training stays
+    * deterministic. */
   def trainCentroids(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty k-means sample")
     val dim = sample(0).length
     var centroids = sample.take(k).map(_.clone)
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      sample.foreach { v =>
-        val c = nearest(centroids, v)
-        counts(c) += 1
-        val s = sums(c)
-        var i = 0
-        while (i < dim) { s(i) += v(i); i += 1 }
-      }
-      centroids = Array.tabulate(k) { c =>
-        if (counts(c) == 0L) centroids(c) // keep empty centroid in place
-        else {
-          val s = sums(c)
-          Array.tabulate(dim)(i => s(i) / counts(c))
+    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
+    // fixed chunk size: merge order/boundaries must not depend on the
+    // machine's core count, or centroids drift across environments
+    val chunkSize = 8192
+    val chunks = sample.indices.grouped(chunkSize).toArray
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      var it = 0
+      while (it < iters) {
+        val cs = centroids
+        val futures = chunks.map { idxs =>
+          pool.submit(new java.util.concurrent.Callable[(Array[Array[Double]], Array[Long])] {
+            override def call(): (Array[Array[Double]], Array[Long]) = {
+              val sums = Array.fill(k)(new Array[Double](dim))
+              val counts = new Array[Long](k)
+              idxs.foreach { vi =>
+                val v = sample(vi)
+                val c = nearest(cs, v)
+                counts(c) += 1
+                val s = sums(c)
+                var i = 0
+                while (i < dim) { s(i) += v(i); i += 1 }
+              }
+              (sums, counts)
+            }
+          })
         }
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        futures.foreach { f => // fixed chunk order → deterministic double sums
+          val (ps, pc) = f.get()
+          var c = 0
+          while (c < k) {
+            counts(c) += pc(c)
+            val s = sums(c); val p = ps(c)
+            var i = 0
+            while (i < dim) { s(i) += p(i); i += 1 }
+            c += 1
+          }
+        }
+        centroids = Array.tabulate(k) { c =>
+          if (counts(c) == 0L) centroids(c) // keep empty centroid in place
+          else {
+            val s = sums(c)
+            Array.tabulate(dim)(i => s(i) / counts(c))
+          }
+        }
+        it += 1
       }
-      it += 1
-    }
-    centroids
+      centroids
+    } finally pool.shutdown()
   }
 
   def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
@@ -71,18 +128,33 @@ object IvfIndex {
       (d, c)
     }.sortBy(t => (t._1, t._2)).take(n).map(_._2).toArray
 
-  /** Build: assign every corpus row to its nearest centroid. Persisting
-    * `assigned.write.partitionBy("centroid")` gives the pruned layout. */
-  def assign(corpus: DataFrame, centroids: Array[Array[Double]],
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    import spark.implicits._
-    corpus.select(col(idCol).cast("long"), col(vecCol).cast(ArrayType(DoubleType)))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) => (id, v, nearest(bc.value, v.toArray)) }
-      .toDF(idCol, vecCol, "centroid")
+  /** ArrayData-direct nearest-centroid (no per-row Seq boxing). */
+  def nearestData(centroids: Array[Array[Double]],
+                  a: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val dim = math.min(a.numElements(), centroids(0).length)
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0; var i = 0
+      while (i < dim) { val df = a.getDouble(i) - ctr(i); d += df * df; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
+
+  /** Build: assign every corpus row to its nearest centroid. Persisting
+    * `assigned.write.partitionBy("centroid")` gives the pruned layout.
+    * Assignment runs as a Catalyst expression over the raw array
+    * (codegen'd, no Dataset deserialization). */
+  def assign(corpus: DataFrame, centroids: Array[Array[Double]],
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)).as(vecCol))
+      .withColumn("centroid", org.apache.spark.sql.graftshim.Shims.column(
+        NearestCentroidExpr(org.apache.spark.sql.graftshim.Shims.expression(col(vecCol)),
+          centroids)))
 
   /** Probe-limited search: per query, scan only the nprobe nearest
     * centroid buckets (expressed as a pushable `centroid IN (...)`

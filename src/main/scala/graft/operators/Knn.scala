@@ -34,7 +34,34 @@ object Knn {
     * entries per task — at the cost of one corpus scan per chunk). */
   val MaxBroadcastQueries = 65536
 
+  /** Exact top-k. Delegates to the custom physical operator
+    * (plans.VectorTopK), which reads InternalRows directly — ~6×
+    * faster than the original Dataset mapPartitions formulation, whose
+    * per-row `Seq[Double]` deserialization dominated at ≥1M rows
+    * (measured in tools/ScaleProbe). Kept bit-identical semantics
+    * (VectorTopKPlanSpec asserts equality with `topKMapPartitions`).
+    */
   def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: Metric = Cosine,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qidCol: String = "vec_id",
+      qvecCol: String = "embedding"): DataFrame = {
+    val nq = queries.count()
+    if (nq <= MaxBroadcastQueries) {
+      val res = graft.plans.VectorTopK.topK(corpus, queries, k, metric,
+        idCol = idCol, vecCol = vecCol, qidCol = qidCol, qvecCol = qvecCol)
+      return if (idCol == "vec_id") res else res.withColumnRenamed("vec_id", idCol)
+    }
+    topKMapPartitions(corpus, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  /** Original Dataset formulation (also the chunking driver for
+    * oversized query sets). */
+  def topKMapPartitions(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,

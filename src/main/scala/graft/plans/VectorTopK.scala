@@ -145,11 +145,12 @@ object VectorTopK {
 
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            metric: Knn.Metric = Knn.Cosine,
-           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           qidCol: String = "vec_id", qvecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     install(spark)
     val qs = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast(ArrayType(DoubleType)))
+      .select(col(qidCol).cast("long"), col(qvecCol).cast(ArrayType(DoubleType)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Knn}
+
+/** Dev scale probe: exercises the vector operators on a synthetic
+  * corpus ~500× the sf0.1 testdata (1M × 64-d) to sanity-check the
+  * scan-throughput story on one node. Vectors derive from splitmix64
+  * of the row id — no data files, fully deterministic.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val corpus = spark.range(n).select(col("id").as("vec_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val v = Array.tabulate(64)(i =>
+            ((graft.functions.TextHash.mix64(id * 64L + i) >>> 11) / 9007199254740992.0 * 2.0 - 1.0).toFloat)
+          (id, v)
+        }
+      }.toDF("vec_id", "embedding")
+      .localCheckpoint(true) // materialize so timings measure the operator, not generation
+
+    val queries = corpus.filter(col("vec_id") < 16)
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $s%.2f s (${n / s / 1e6}%.1f M rows/s)")
+      r
+    }
+
+    time("brute-force kNN k=10, 16 queries")(
+      Knn.topK(corpus, queries, 10, Knn.Cosine).count())
+    time("custom-plan kNN k=10, 16 queries")(
+      graft.plans.VectorTopK.topK(corpus, queries, 10, Knn.Cosine).count())
+    time("IVF build (nlist=64, sample 100k) + probe 4")(
+      IvfIndex.search(corpus, queries, 10, nlist = 64, nprobe = 4)._1.count())
+    spark.stop()
+  }
+}
