@@ -50,13 +50,9 @@ object Knn {
       vecCol: String = "embedding",
       qidCol: String = "vec_id",
       qvecCol: String = "embedding"): DataFrame = {
-    val nq = queries.count()
-    if (nq <= MaxBroadcastQueries) {
-      val res = graft.plans.VectorTopK.topK(corpus, queries, k, metric,
-        idCol = idCol, vecCol = vecCol, qidCol = qidCol, qvecCol = qvecCol)
-      return if (idCol == "vec_id") res else res.withColumnRenamed("vec_id", idCol)
-    }
-    topKMapPartitions(corpus, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+    val res = graft.plans.VectorTopK.topK(corpus, queries, k, metric,
+      idCol = idCol, vecCol = vecCol, qidCol = qidCol, qvecCol = qvecCol)
+    if (idCol == "vec_id") res else res.withColumnRenamed("vec_id", idCol)
   }
 
   /** Original Dataset formulation (also the chunking driver for

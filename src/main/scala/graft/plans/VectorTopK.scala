@@ -162,9 +162,13 @@ object VectorTopK {
       case Knn.L2 => "l2"
       case Knn.Ip => "ip"
     }
-    val partials = org.apache.spark.sql.graftshim.Shims.ofRows(spark,
-      VectorTopKNode(org.apache.spark.sql.graftshim.Shims.logicalPlan(prepared),
-        qs, k, metricName))
+    // Oversized query sets chunk here, on the already-collected rows:
+    // each chunk is one plan-embedded corpus pass (bounded task memory).
+    val partials = qs.grouped(Knn.MaxBroadcastQueries).map { chunk =>
+      org.apache.spark.sql.graftshim.Shims.ofRows(spark,
+        VectorTopKNode(org.apache.spark.sql.graftshim.Shims.logicalPlan(prepared),
+          chunk, k, metricName))
+    }.reduce(_.unionAll(_))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
     partials.withColumn("rank", row_number().over(w))
