@@ -226,6 +226,62 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q4-shaped: orders (in a window) having at least one late
+    * lineitem — LEFT SEMI join, counted by priority. */
+  def q4Semi(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4SemiSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Customers with no orders since 2001 — LEFT ANTI join. */
+  def qAntijoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val qAntijoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Revenue rollup over (returnflag, linestatus) — grouping sets. */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(sum(cents("l_extendedprice")).as("rev_cents"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Exact distinct users + event counts per type (the exact twin of
     * the HLL approx_count_distinct path, spec'd in AnnSpec-adjacent
     * suites; at 100 TB you run the sketch, here both are verified). */
@@ -243,6 +299,9 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_distinct" -> (eventsDistinct _),
     "q1_pricing" -> (q1Pricing _),
+    "q4_semi" -> (q4Semi _),
+    "q_antijoin" -> (qAntijoin _),
+    "q_rollup" -> (qRollup _),
     "q6_forecast" -> (q6Forecast _),
     "q3_revenue_topn" -> (q3RevenueTopN _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -253,6 +312,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "events_distinct" -> eventsDistinctSql,
     "q1_pricing" -> q1PricingSql,
+    "q4_semi" -> q4SemiSql,
+    "q_antijoin" -> qAntijoinSql,
+    "q_rollup" -> qRollupSql,
     "q6_forecast" -> q6ForecastSql,
     "q3_revenue_topn" -> q3RevenueTopNSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
