@@ -164,7 +164,9 @@ object VectorTopK {
     }
     // Oversized query sets chunk here, on the already-collected rows:
     // each chunk is one plan-embedded corpus pass (bounded task memory).
-    val partials = qs.grouped(Knn.MaxBroadcastQueries).map { chunk =>
+    val chunks = if (qs.isEmpty) Iterator(Seq.empty[(Long, Seq[Double])])
+                 else qs.grouped(Knn.MaxBroadcastQueries)
+    val partials = chunks.map { chunk =>
       org.apache.spark.sql.graftshim.Shims.ofRows(spark,
         VectorTopKNode(org.apache.spark.sql.graftshim.Shims.logicalPlan(prepared),
           chunk, k, metricName))

@@ -13,11 +13,11 @@ class VectorTopKPlanSpec extends SparkTestBase {
   lazy val queries = emb.filter(col("vec_id") < 5)
 
   for (m <- Seq(Knn.Cosine, Knn.L2, Knn.Ip)) {
-    test(s"planned topK($m) equals operator topK") {
+    test(s"planned topK($m) equals the independent mapPartitions formulation") {
       val a = VectorTopK.topK(emb, queries, 7, m)
         .select($"qid", $"rank", $"vec_id", $"score")
         .as[(Long, Int, Long, Double)].collect().toSeq
-      val b = Knn.topK(emb, queries, 7, m)
+      val b = Knn.topKMapPartitions(emb, queries, 7, m)
         .select($"qid", $"rank", $"vec_id", $"score")
         .as[(Long, Int, Long, Double)].collect().toSeq
       assert(a == b)
