@@ -48,11 +48,16 @@ object GraftFunctions {
     }
 }
 
-/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.GraftExtensions` — the complete
+  * integration point: SQL functions, the VectorTopK planner strategy,
+  * and the graft optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.VectorTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.Fp16Idempotence)
+  }
 }

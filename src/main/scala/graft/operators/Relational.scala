@@ -282,6 +282,32 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** TPC-H Q17-shaped: lineitems below 50% of their part's average
+    * quantity — per-part aggregate joined back (the DataFrame form of
+    * a correlated scalar subquery). avg stays exact: comparison uses
+    * 2·qty·cnt < sum (integer arithmetic), no double division. */
+  def q17AvgSub(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+        count(lit(1)).as("qty_cnt"))
+    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("long") * 2L * col("qty_cnt") < col("qty_sum"))
+      .groupBy()
+      .agg((sum(cents("l_extendedprice")).cast("double") / 100.0).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17AvgSubSql: String =
+    """WITH pp AS (SELECT l_partkey AS pk,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+      |  CAST(count(*) AS BIGINT) AS qty_cnt
+      | FROM lineitem GROUP BY 1)
+      |SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
+      | CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN pp ON l_partkey = pk
+      |WHERE CAST(l_quantity AS BIGINT) * 2 * qty_cnt < qty_sum""".stripMargin
+
   /** Exact distinct users + event counts per type (the exact twin of
     * the HLL approx_count_distinct path, spec'd in AnnSpec-adjacent
     * suites; at 100 TB you run the sketch, here both are verified). */
@@ -303,6 +329,7 @@ object Relational {
     "q_antijoin" -> (qAntijoin _),
     "q_rollup" -> (qRollup _),
     "q6_forecast" -> (q6Forecast _),
+    "q17_avg_sub" -> (q17AvgSub _),
     "q3_revenue_topn" -> (q3RevenueTopN _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q_window_rank" -> (qWindowRank _),
@@ -316,6 +343,7 @@ object Relational {
     "q_antijoin" -> qAntijoinSql,
     "q_rollup" -> qRollupSql,
     "q6_forecast" -> q6ForecastSql,
+    "q17_avg_sub" -> q17AvgSubSql,
     "q3_revenue_topn" -> q3RevenueTopNSql,
     "q5_nation_revenue" -> q5NationRevenueSql,
     "q_window_rank" -> qWindowRankSql,
