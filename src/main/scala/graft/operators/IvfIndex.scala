@@ -191,6 +191,48 @@ object IvfIndex {
     (res, centroids)
   }
 
+  /** Distributed trainer: MLlib KMeans (the cluster-scale path — no
+    * driver-side sample bound; seed fixed for reproducibility within
+    * an environment). Returns centroids in the same shape as
+    * trainCentroids. */
+  def trainCentroidsMLlib(corpus: DataFrame, k: Int, iters: Int = 10,
+                          vecCol: String = "embedding"): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast(ArrayType(DoubleType))).as("features"))
+    val model = new KMeans()
+      .setK(k).setMaxIter(iters).setSeed(42L).setFeaturesCol("features")
+      .fit(feats)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF search with MLlib-trained centroids (rows-only query; recall
+    * spec'd vs exact in AnnSpec). */
+  def ivfSearchMLlib(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = trainCentroidsMLlib(emb, 16)
+    val assigned = assign(emb, centroids)
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+    val probes = qRows.flatMap { r =>
+      nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
+    }
+    val probeDf = s.createDataFrame(
+      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+    val cand = assigned.join(probeDf, "centroid")
+    val scored = cand.join(
+      queries.select(col("vec_id").as("qid"),
+        col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= VectorSearch.K)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
   def ivfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
@@ -198,7 +240,8 @@ object IvfIndex {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ivf_search" -> (ivfSearch _))
+    Map("ivf_search" -> (ivfSearch _),
+      "ivf_search_mllib" -> (ivfSearchMLlib _))
   // k-means is not SQL-expressible → rows-only; recall vs exact kNN is
   // spec'd in IvfIndexSpec.
   val oracles: Map[String, String] = Map.empty

@@ -39,6 +39,17 @@ class AnnSpec extends SparkTestBase {
     assert(recallOf(approx) == 1.0)
   }
 
+  test("MLlib-trained IVF recall@10 vs exact is usable") {
+    val res = IvfIndex.ivfSearchMLlib(spark, sfDir)
+    val approx = res.select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // only first 10 queries overlap with `exact` built on vec_id < 10
+    val r = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(r >= 0.4, s"MLlib IVF recall $r")
+  }
+
   test("LSH multiprobe recall@10 is usable; self is always found") {
     val res = LshAnn.lshSearch(emb, queries, 10)
     val approx = res.select($"qid", $"vec_id").as[(Long, Long)].collect()
