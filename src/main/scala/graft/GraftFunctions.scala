@@ -38,7 +38,9 @@ object GraftFunctions {
     ("winnow_fp", "winnowing fingerprint hashes of a text (k=5, w=4)",
       (e: Seq[Expression]) => WinnowHashArr(e(0), 5, 4)),
     ("sorted_jaccard", "Jaccard of two sorted distinct long arrays",
-      (e: Seq[Expression]) => SortedJaccardD(e(0), e(1))))
+      (e: Seq[Expression]) => SortedJaccardD(e(0), e(1))),
+    ("vector_avg", "elementwise mean of a vector column (aggregate)",
+      (e: Seq[Expression]) => VectorAvgAgg(e.head)))
 
   /** Register into an existing session. */
   def register(spark: SparkSession): Unit =

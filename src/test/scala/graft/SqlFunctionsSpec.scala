@@ -32,6 +32,14 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(n.getLong(2) == 500L * 128L) // fixed-width signatures
   }
 
+  test("vector_avg works from SQL") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    val r = spark.sql(
+      "SELECT size(vector_avg(embedding)) AS d FROM embeddings").head
+    assert(r.getInt(0) == 64)
+  }
+
   test("kNN chunking: many-query batch equals single-batch result") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     import org.apache.spark.sql.functions.col
