@@ -322,7 +322,21 @@ object Relational {
       | CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Value histogram: fixed-width 50-unit bins over event values
+    * (integer cents arithmetic → exact bin edges in both engines). */
+  def eventsValueHist(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(expr("(cast(round(value*100) as bigint) div 5000) * 50").as("bin_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin_lo")
+
+  val eventsValueHistSql: String =
+    """SELECT (CAST(round(value*100) AS BIGINT) // 5000) * 50 AS bin_lo,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_value_hist" -> (eventsValueHist _),
     "events_distinct" -> (eventsDistinct _),
     "q1_pricing" -> (q1Pricing _),
     "q4_semi" -> (q4Semi _),
@@ -337,6 +351,7 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_value_hist" -> eventsValueHistSql,
     "events_distinct" -> eventsDistinctSql,
     "q1_pricing" -> q1PricingSql,
     "q4_semi" -> q4SemiSql,

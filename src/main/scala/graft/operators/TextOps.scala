@@ -240,7 +240,23 @@ object TextOps {
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
       .orderBy("doc_id")
 
+  /** Corpus-wide top-20 token frequencies (map-side-combined explode +
+    * count — the classic wordcount shape). */
+  def textTopWords(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  val textTopWordsSql: String =
+    """SELECT word, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_words" -> (textTopWords _),
     "text_winnow" -> (textWinnow _),
     "text_tokens" -> (textTokens _),
     "text_langid" -> (textLangid _),
@@ -251,6 +267,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "text_top_words" -> textTopWordsSql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
