@@ -55,8 +55,9 @@ object Knn {
     if (idCol == "vec_id") res else res.withColumnRenamed("vec_id", idCol)
   }
 
-  /** Original Dataset formulation (also the chunking driver for
-    * oversized query sets). */
+  /** Original Dataset formulation — kept as an independent reference
+    * implementation for the equality specs (chunking for oversized
+    * query sets lives in plans.VectorTopK.topK). */
   def topKMapPartitions(
       corpus: DataFrame,
       queries: DataFrame,
@@ -69,18 +70,11 @@ object Knn {
     val spark = corpus.sparkSession
 
     // Queries: small side → collect + broadcast, norms precomputed.
-    val qRowsAll = queries
+    val qRows = queries
       .select(col(qidCol).cast("long"), col(qvecCol).cast(ArrayType(DoubleType)))
       .collect()
-    if (qRowsAll.length > MaxBroadcastQueries) {
-      // Chunked fan-out: one corpus pass per chunk, results unioned.
-      return qRowsAll.grouped(MaxBroadcastQueries).map { chunk =>
-        val ids = chunk.map(_.getLong(0)).toSet
-        val qChunk = queries.filter(col(qidCol).cast("long").isInCollection(ids))
-        topK(corpus, qChunk, k, metric, idCol, vecCol, qidCol, qvecCol)
-      }.reduce(_.unionAll(_)).orderBy(col("qid"), col("rank"))
-    }
-    val qRows = qRowsAll
+    require(qRows.length <= MaxBroadcastQueries,
+      s"use topK (chunking) for query sets over $MaxBroadcastQueries")
     val qs: Array[(Long, Array[Double], Double)] = qRows.map { r =>
       val id = r.getLong(0)
       val v = r.getSeq[Double](1).toArray
