@@ -240,6 +240,28 @@ object TextOps {
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-based train/val/test split (90/5/5): assignment
+    * by the first two hex chars of md5(doc_id) — content-independent,
+    * engine-independent (md5 hex compares lexicographically =
+    * numerically at fixed width), stable under re-partitioning and
+    * incremental reruns — the standard split discipline for training
+    * pipelines. */
+  def dataSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+      .withColumn("split",
+        when(col("h") < "e6", "train").when(col("h") < "f2", "val").otherwise("test"))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  val dataSplitSql: String =
+    """SELECT doc_id,
+      | CASE WHEN h < 'e6' THEN 'train' WHEN h < 'f2' THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus-wide top-20 token frequencies (map-side-combined explode +
     * count — the classic wordcount shape). */
   def textTopWords(s: SparkSession, dir: String): DataFrame =
@@ -256,6 +278,7 @@ object TextOps {
       |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_split" -> (dataSplit _),
     "text_top_words" -> (textTopWords _),
     "text_winnow" -> (textWinnow _),
     "text_tokens" -> (textTokens _),
@@ -267,6 +290,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "data_split" -> dataSplitSql,
     "text_top_words" -> textTopWordsSql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
