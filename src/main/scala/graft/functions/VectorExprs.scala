@@ -211,6 +211,53 @@ case class Fp16RoundArr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** INT8 affine quantization round-trip (reference: base_embedder.py
+  * QuantizationType.INT8): per-vector min/max affine map to 0..255 and
+  * back — 4× storage compression simulation, max error (max−min)/510.
+  */
+case class Int8RoundArr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    new GenericArrayData(Int8RoundArr.round(a))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Int8RoundArr.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cls.round($a));")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Int8RoundArr {
+  def round(a: ArrayData): Array[Float] = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    if (n == 0) return out
+    var mn = Float.MaxValue; var mx = Float.MinValue
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    if (mx == mn) {
+      i = 0; while (i < n) { out(i) = mn; i += 1 }
+      return out
+    }
+    val scale = (mx - mn) / 255.0f
+    i = 0
+    while (i < n) {
+      val q = math.round((a.getFloat(i) - mn) / scale)
+      out(i) = mn + q * scale
+      i += 1
+    }
+    out
+  }
+}
+
 /** Column-API entry points. */
 object VectorOps {
   private def col(e: Expression): Column = Shims.column(e)
@@ -220,4 +267,5 @@ object VectorOps {
   def cosineSim(a: Column, b: Column): Column = col(CosineSimD(ex(a), ex(b)))
   def l2Sq(a: Column, b: Column): Column = col(L2SqD(ex(a), ex(b)))
   def fp16(a: Column): Column = col(Fp16RoundArr(ex(a)))
+  def int8(a: Column): Column = col(Int8RoundArr(ex(a)))
 }

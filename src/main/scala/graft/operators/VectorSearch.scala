@@ -62,6 +62,15 @@ object VectorSearch {
     Knn.topK(emb, emb.filter(col("vec_id") < NQueries), K, Knn.Cosine)
   }
 
+  /** INT8-quantized corpus search (base_embedder.py INT8 tier; 4×
+    * compression) — rows-only, recall spec'd in VectorExprsSpec. */
+  def knnInt8(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.int8(col("embedding")).as("embedding"))
+    Knn.topK(emb, emb.filter(col("vec_id") < NQueries), K, Knn.Cosine)
+  }
+
   /** Cross-modal engine surface: one corpus spanning modalities with a
     * content_type column, query restricted to one modality
     * (search_engine.py:174-223 filter_content_type). Modality is a
@@ -220,6 +229,7 @@ object VectorSearch {
     "knn_filtered" -> (knnFiltered _),
     "knn_matryoshka" -> (knnMatryoshka _),
     "knn_fp16" -> (knnFp16 _),
+    "knn_int8" -> (knnInt8 _),
     "crossmodal_search" -> (crossmodal _),
     "matryoshka_recall" -> (matryoshkaRecall _),
     "index_delete" -> (indexDelete _),

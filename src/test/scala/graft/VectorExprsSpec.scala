@@ -53,6 +53,30 @@ class VectorExprsSpec extends SparkTestBase {
     assert(Fp16.round(1.0f + math.pow(2, -11).toFloat) == 1.0f)
   }
 
+  test("int8 quantization: bounded error, idempotent, constant vectors exact") {
+    import graft.functions.VectorOps
+    val v = Seq(0.1f, -0.9f, 0.52f, 0.0f, 0.77f)
+    val df = Seq(Tuple1(v)).toDF("v")
+    val out = df.select(VectorOps.int8(col("v"))).head.getSeq[Float](0)
+    val maxErr = (v.max - v.min) / 255.0f / 2.0f + 1e-6f
+    v.zip(out).foreach { case (x, q) => assert(math.abs(x - q) <= maxErr, s"$x → $q") }
+    // idempotent: re-quantizing the quantized vector is a no-op
+    val again = Seq(Tuple1(out)).toDF("v")
+      .select(VectorOps.int8(col("v"))).head.getSeq[Float](0)
+    assert(again == out)
+    // constant vector reproduces exactly
+    val const = Seq(Tuple1(Seq(0.5f, 0.5f))).toDF("v")
+      .select(VectorOps.int8(col("v"))).head.getSeq[Float](0)
+    assert(const == Seq(0.5f, 0.5f))
+    // search on the int8 corpus still self-matches at rank 1
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorOps.int8(col("embedding")).as("embedding"))
+    val top1 = graft.operators.Knn.topK(emb, emb.filter(col("vec_id") < 3), 3)
+      .filter(col("rank") === 1).select("qid", "vec_id")
+      .as[(Long, Long)].collect()
+    top1.foreach { case (q, id) => assert(q == id) }
+  }
+
   test("Fp16RoundArr column expression round-trips an array") {
     val df = Seq(Tuple1(Seq(1.0f, 0.1f, -65504.0f))).toDF("v")
     val out = df.select(VectorOps.fp16(col("v"))).head.getSeq[Float](0)
