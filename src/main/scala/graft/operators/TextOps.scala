@@ -153,7 +153,14 @@ object TextOps {
     val t = d.select(col("doc_id"), col("source"), Dedup.shingleHashes3(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
     val sizes = t.select(col("doc_id"), col("source"), col("n"))
-    val posting = t.select(col("doc_id"), col("source"), explode(col("sh")).as("shh"))
+    val posting0 = t.select(col("doc_id"), col("source"), explode(col("sh")).as("shh"))
+    // Frequency pruning (ppjoin-style): a shingle shared by >cap docs
+    // contributes df²/2 pair-events; at 100 TB such stop-shingles melt
+    // the shuffle. Cap far above this corpus' max df (6 at sf0.01) so
+    // results are unchanged here while the guard holds at scale.
+    val hot = posting0.groupBy("source", "shh").count()
+      .filter(col("count") > MaxPostingDf).select("source", "shh")
+    val posting = posting0.join(broadcast(hot), Seq("source", "shh"), "left_anti")
     val co = posting.alias("x").join(posting.alias("y"),
         col("x.shh") === col("y.shh") && col("x.source") === col("y.source") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -180,6 +187,9 @@ object TextOps {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
       |ORDER BY 1, 2""".stripMargin
+
+  /** Posting-list document-frequency cap for dedup_ngram_jaccard. */
+  val MaxPostingDf = 10000L
 
   /** Embedding-cosine near-dup pairs, blocked by label (the LSH-blocked
     * variant at scale; exact within blocks here). */
