@@ -322,6 +322,62 @@ object Relational {
       | CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of join composed from built-ins (spark_guide preference (a)):
+    * each error event matched to the most recent prior click of the
+    * same user via an ignore-nulls running last over the event-time
+    * order — no custom operator needed, no self-join. */
+  def eventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events") // ts = nanos (LongType)
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ns",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), // µs: DuckDB reads nanos parquet at µs precision
+        expr("last_click_ns div 1000").as("last_click_us"),
+        // difference of the floored µs values (floor(a)−floor(b), to
+        // match the oracle's epoch_us subtraction — not floor(a−b))
+        expr("(ts div 1000) - (last_click_ns div 1000)").as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val eventsAsofSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_us,
+      | epoch_us(ts) - last_click_us AS gap_us
+      |FROM (SELECT *,
+      |  last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |          ROWS UNBOUNDED PRECEDING) AS last_click_us
+      | FROM events)
+      |WHERE event_type = 'error' ORDER BY event_id""".stripMargin
+
+  /** Signup → purchase conversion funnel per user (sequence detection:
+    * first purchase strictly after first signup). */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(expr("ts div 1000")).as("signup_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), expr("ts div 1000").as("pts"))
+    signup.join(purchases, col("user_id") === col("pu") && col("pts") > col("signup_us"), "left")
+      .groupBy("user_id", "signup_us")
+      .agg(min(col("pts")).as("purchase_us"))
+      .withColumn("converted", when(col("purchase_us").isNotNull, 1).otherwise(0))
+      .orderBy("user_id")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH s AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS signup_us
+      |           FROM events WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT s.user_id, s.signup_us,
+      | CAST(min(CASE WHEN p.ts IS NOT NULL THEN epoch_us(p.ts) END) AS BIGINT) AS purchase_us,
+      | CAST(CASE WHEN min(CASE WHEN p.ts IS NOT NULL THEN epoch_us(p.ts) END) IS NOT NULL
+      |      THEN 1 ELSE 0 END AS INT) AS converted
+      |FROM s LEFT JOIN events p
+      |  ON p.user_id = s.user_id AND p.event_type = 'purchase' AND epoch_us(p.ts) > s.signup_us
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** Value histogram: fixed-width 50-unit bins over event values
     * (integer cents arithmetic → exact bin edges in both engines). */
   def eventsValueHist(s: SparkSession, dir: String): DataFrame =
@@ -336,6 +392,8 @@ object Relational {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof" -> (eventsAsof _),
+    "events_funnel" -> (eventsFunnel _),
     "events_value_hist" -> (eventsValueHist _),
     "events_distinct" -> (eventsDistinct _),
     "q1_pricing" -> (q1Pricing _),
@@ -351,6 +409,8 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_asof" -> eventsAsofSql,
+    "events_funnel" -> eventsFunnelSql,
     "events_value_hist" -> eventsValueHistSql,
     "events_distinct" -> eventsDistinctSql,
     "q1_pricing" -> q1PricingSql,
