@@ -378,6 +378,41 @@ object Relational {
       |  ON p.user_id = s.user_id AND p.event_type = 'purchase' AND epoch_us(p.ts) > s.signup_us
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Pivot-shaped: per user decile, event counts by type as columns
+    * (manual conditional aggregation — the dialect-portable pivot). */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    ev.groupBy((col("user_id") % 10).as("user_mod"))
+      .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"))
+      .orderBy("user_mod")
+  }
+
+  val eventsPivotSql: String =
+    """SELECT user_id % 10 AS user_mod,
+      | CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      | CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Brand-level part stats (covers the part table; exact cents). */
+  def qPartStats(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+    p.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(cents("p_retailprice")).cast("double") / 100.0).as("sum_retail"),
+        max(col("p_size")).as("max_size"))
+      .orderBy("p_brand")
+  }
+
+  val qPartStatsSql: String =
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+      | CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_retail,
+      | CAST(max(p_size) AS INT) AS max_size
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Value histogram: fixed-width 50-unit bins over event values
     * (integer cents arithmetic → exact bin edges in both engines). */
   def eventsValueHist(s: SparkSession, dir: String): DataFrame =
@@ -394,6 +429,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> (eventsAsof _),
     "events_funnel" -> (eventsFunnel _),
+    "events_pivot" -> (eventsPivot _),
+    "q_part_stats" -> (qPartStats _),
     "events_value_hist" -> (eventsValueHist _),
     "events_distinct" -> (eventsDistinct _),
     "q1_pricing" -> (q1Pricing _),
@@ -411,6 +448,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "events_asof" -> eventsAsofSql,
     "events_funnel" -> eventsFunnelSql,
+    "events_pivot" -> eventsPivotSql,
+    "q_part_stats" -> qPartStatsSql,
     "events_value_hist" -> eventsValueHistSql,
     "events_distinct" -> eventsDistinctSql,
     "q1_pricing" -> q1PricingSql,
