@@ -32,6 +32,38 @@ class StreamingKnnSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("incremental ingest: streamed vectors route to their IVF bucket") {
+    // The streaming form of the reference's add_vectors: new vectors
+    // arrive, get centroid-assigned (broadcast centroids via the
+    // codegen expression), and land in the partitioned index layout.
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val sample = emb.select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = graft.operators.IvfIndex.trainCentroids(sample, 8, 10)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val assigned = graft.operators.IvfIndex.assign(
+      input.toDF().toDF("vec_id", "embedding"), centroids)
+    val q = assigned.writeStream.format("memory").queryName("ivf_ingest")
+      .outputMode("append").start()
+
+    val newVecs = emb.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    input.addData(newVecs.toSeq: _*)
+    q.processAllAvailable()
+
+    val got = spark.table("ivf_ingest")
+      .select($"vec_id", $"centroid").as[(Long, Int)].collect().toMap
+    assert(got.size == 20)
+    // assignments match the batch operator exactly
+    val batch = graft.operators.IvfIndex.assign(emb.filter($"vec_id" < 20), centroids)
+      .select($"vec_id", $"centroid").as[(Long, Int)].collect().toMap
+    assert(got == batch)
+    q.stop()
+  }
+
   test("salted near-dup join equals the unsalted one") {
     val plain = graft.operators.TextOps.dedupEmbedding(spark, sfDir)
       .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
