@@ -59,6 +59,14 @@ class AnnSpec extends SparkTestBase {
     assert(recallOf(approx) >= 0.2, s"LSH recall ${recallOf(approx)}")
   }
 
+  test("PQ-ADC search: good recall vs exact, self always found") {
+    val res = ProductQuant.pqAdcSearch(spark, sfDir)
+    val approx = res.select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    approx.foreach { case (q, ids) => assert(ids.contains(q), s"query $q lost itself") }
+    assert(recallOf(approx) >= 0.5, s"ADC recall ${recallOf(approx)}")
+  }
+
   test("PQ encode/decode: codes in range, reconstruction beats zero baseline") {
     val sample = emb.select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
