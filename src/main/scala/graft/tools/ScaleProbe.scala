@@ -47,6 +47,12 @@ object ScaleProbe {
       graft.plans.VectorTopK.topK(corpus, queries, 10, Knn.Cosine).count())
     time("IVF build (nlist=64, sample 100k) + probe 4")(
       IvfIndex.search(corpus, queries, 10, nlist = 64, nprobe = 4)._1.count())
+    time("PQ-ADC search (m=8, k=256, refine 4)")({
+      val sample = corpus.selectExpr("cast(embedding as array<double>)")
+        .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+      val cb = graft.operators.ProductQuant.train(sample, m = 8, k = 256)
+      graft.operators.ProductQuant.adcSearch(corpus, queries, cb, 10).count()
+    })
     spark.stop()
   }
 }
