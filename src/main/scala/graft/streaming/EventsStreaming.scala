@@ -73,3 +73,51 @@ object EventsStreaming {
       SessionOut(u, st.sessId, st.sessStart / 1000000000L, st.n, st.sumCents)
     }
 }
+
+/** Continuous top-k maintenance: corpus vectors stream in, the running
+  * exact top-k per (static, broadcast) query lives in keyed state —
+  * the "index ingests forever, best-k always current" serving shape.
+  */
+object StreamingTopK {
+  import org.apache.spark.sql.{Dataset, SparkSession}
+
+  case class Scored(qid: Long, vec_id: Long, score: Double)
+  case class TopKOut(qid: Long, vec_id: Long, score: Double, rank: Int)
+
+  def run(vectors: Dataset[(Long, Seq[Double])],
+          queries: Array[(Long, Array[Double])],
+          k: Int): Dataset[TopKOut] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(queries.map { case (id, v) =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      (id, v, math.sqrt(n))
+    })
+    val scored = vectors.flatMap { case (id, vSeq) =>
+      val v = vSeq.toArray
+      var na = 0.0; var i = 0
+      while (i < v.length) { na += v(i) * v(i); i += 1 }
+      val sqNa = math.sqrt(na)
+      bq.value.iterator.map { case (qid, qv, qn) =>
+        var dot = 0.0; var j = 0
+        val d = math.min(v.length, qv.length)
+        while (j < d) { dot += v(j) * qv(j); j += 1 }
+        Scored(qid, id, dot / (sqNa * qn))
+      }
+    }
+    scored.groupByKey(_.qid)
+      .flatMapGroupsWithState[List[(Double, Long)], TopKOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[Scored], state: GroupState[List[(Double, Long)]]) =>
+          var top = state.getOption.getOrElse(Nil)
+          it.foreach { s =>
+            top = ((s.score, s.vec_id) :: top)
+              .sortBy { case (sc, id) => (-sc, id) }
+              .take(k)
+          }
+          state.update(top)
+          top.zipWithIndex.map { case ((sc, id), i) => TopKOut(qid, id, sc, i + 1) }.iterator
+      }
+  }
+}

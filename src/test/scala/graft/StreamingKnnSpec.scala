@@ -64,6 +64,36 @@ class StreamingKnnSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("continuous top-k state converges to the batch kNN result") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+
+    val all = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingTopK.run(input.toDS(), queries, 5)
+      .writeStream.format("memory").queryName("cont_topk")
+      .outputMode("update").start()
+    // stream the corpus in two arrivals
+    val (half1, half2) = all.splitAt(all.length / 2)
+    input.addData(half1.toSeq: _*); q.processAllAvailable()
+    input.addData(half2.toSeq: _*); q.processAllAvailable()
+
+    // the final batch emitted the converged top-k: every batch-exact
+    // (qid, vec_id, rank) triple must appear in the update stream
+    val emitted = spark.table("cont_topk")
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val batch = graft.operators.Knn.topK(emb, emb.filter($"vec_id" < 3), 5)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(batch.subsetOf(emitted),
+      s"missing: ${(batch -- emitted).take(5)}")
+    q.stop()
+  }
+
   test("salted near-dup join equals the unsalted one") {
     val plain = graft.operators.TextOps.dedupEmbedding(spark, sfDir)
       .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
