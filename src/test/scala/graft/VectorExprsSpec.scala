@@ -51,6 +51,11 @@ class VectorExprsSpec extends SparkTestBase {
     assert(Fp16.round(Float.NaN).isNaN)
     // round-to-nearest-even: 1 + 2^-11 is halfway between 1.0 and 1+2^-10
     assert(Fp16.round(1.0f + math.pow(2, -11).toFloat) == 1.0f)
+    // signed zero preserved; half-subnormal magnitudes survive
+    assert(java.lang.Float.floatToRawIntBits(Fp16.round(-0.0f)) ==
+      java.lang.Float.floatToRawIntBits(-0.0f))
+    assert(Fp16.round(5.96e-8f) > 0f) // smallest half subnormal ≈ 5.96e-8
+    assert(Fp16.round(1e-9f) == 0f)   // below subnormal range → flush
   }
 
   test("int8 quantization: bounded error, idempotent, constant vectors exact") {
