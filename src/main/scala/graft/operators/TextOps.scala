@@ -272,6 +272,35 @@ object TextOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing for training batches: docs ordered longest-first
+    * are packed greedily into fixed token budgets via a running-total
+    * bucket (linear packing) — pack_id = (cumulative − own) div budget.
+    * All-integer arithmetic → engine-exact. The global ordering window
+    * is single-partition here (exactness for the oracle); at 100 TB
+    * packing runs per shard (partitionBy(split/shard) on the window),
+    * which preserves the budget invariant without a global sort. */
+  val PackBudget = 2048L
+  def docPacking(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackBudget").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val docPackingSql: String =
+    s"""SELECT doc_id, n_tokens, (cum - n_tokens) // $PackBudget AS pack_id
+       |FROM (SELECT doc_id, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       | FROM (SELECT doc_id,
+       |   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   /** Corpus-wide top-20 token frequencies (map-side-combined explode +
     * count — the classic wordcount shape). */
   def textTopWords(s: SparkSession, dir: String): DataFrame =
@@ -289,6 +318,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_split" -> (dataSplit _),
+    "doc_packing" -> (docPacking _),
     "text_top_words" -> (textTopWords _),
     "text_winnow" -> (textWinnow _),
     "text_tokens" -> (textTokens _),
@@ -301,6 +331,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
+    "doc_packing" -> docPackingSql,
     "text_top_words" -> textTopWordsSql,
     "text_tokens" -> textTokensSql,
     "text_langid" -> textLangidSql,
