@@ -283,8 +283,10 @@ object TextOps {
   def docPacking(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val w = Window.orderBy(col("n_tokens").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     d.withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $PackBudget").as("pack_id"))
