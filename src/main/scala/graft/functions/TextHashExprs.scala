@@ -127,9 +127,13 @@ case class ShingleHashArr(child: Expression) extends UnaryExpression {
 
 object ShingleHashArr {
   /** Sorted distinct FNV-1a hashes of the 3-word shingles. Tokens are
-    * maximal runs of non-space bytes; a shingle hash covers the byte
-    * span from token i's first byte to token i+2's last byte. Texts
-    * with <3 tokens hash as one whole-text shingle. */
+    * maximal runs of non-space bytes; a shingle hash covers token i,
+    * token i+1, token i+2 joined by SINGLE spaces — i.e. whitespace is
+    * normalized, so the hash set is (collision-free) equivalent to the
+    * distinct string-shingle set an oracle builds from non-empty
+    * tokens. Texts with <3 tokens hash as one whole-normalized-text
+    * shingle (queries that compare against a string oracle must filter
+    * such texts out on both sides — see dedupNgramJaccard). */
   def hashes(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
     val n = bytes.length
@@ -147,8 +151,8 @@ object ShingleHashArr {
     }
     val nt = starts.length
     val out =
-      if (nt < 3) Array(range(bytes, 0, n))
-      else Array.tabulate(nt - 2)(t => range(bytes, starts(t), ends(t + 2)))
+      if (nt < 3) Array(joined(bytes, starts, ends, 0, nt))
+      else Array.tabulate(nt - 2)(t => joined(bytes, starts, ends, t, 3))
     java.util.Arrays.sort(out)
     // in-place dedup of the sorted array
     var w = 0; var r = 0
@@ -159,10 +163,20 @@ object ShingleHashArr {
     if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
-  private def range(bytes: Array[Byte], from: Int, until: Int): Long = {
+  /** FNV-1a over `count` tokens starting at token `from`, joined by a
+    * single 0x20 byte (whitespace-normalized shingle). */
+  private def joined(bytes: Array[Byte],
+                     starts: scala.collection.mutable.ArrayBuffer[Int],
+                     ends: scala.collection.mutable.ArrayBuffer[Int],
+                     from: Int, count: Int): Long = {
     var h = TextHash.FnvOffset
-    var i = from
-    while (i < until) { h ^= (bytes(i) & 0xffL); h *= TextHash.FnvPrime; i += 1 }
+    var t = from
+    while (t < from + count) {
+      if (t > from) { h ^= 0x20L; h *= TextHash.FnvPrime }
+      var i = starts(t)
+      while (i < ends(t)) { h ^= (bytes(i) & 0xffL); h *= TextHash.FnvPrime; i += 1 }
+      t += 1
+    }
     h
   }
 }

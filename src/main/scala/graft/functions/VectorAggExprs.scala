@@ -48,8 +48,11 @@ case class VectorAvgAgg(
   override def merge(b: Buf, o: Buf): Buf = {
     if (o.sums == null) return b
     if (b.sums == null) return o
+    // bound by both lengths: partitions may have first seen vectors of
+    // different dims (update() guards the same way with math.min)
+    val d = math.min(b.sums.length, o.sums.length)
     var i = 0
-    while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
+    while (i < d) { b.sums(i) += o.sums(i); i += 1 }
     Buf(b.sums, b.count + o.count)
   }
 

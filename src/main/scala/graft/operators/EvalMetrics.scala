@@ -60,12 +60,20 @@ object EvalMetrics {
         sum(col("h") * element_at(wArr, col("r"))).as("dcg_s"))
       .join(broadcast(relCounts), col("qlab") === col("qlab2"))
       .withColumn("n_rel", col("lab_cnt") - 1L)
+      // n_rel = 0 (query's label unique in the corpus): recall/ap/ndcg
+      // are 0/0 → define them as 0.0, and clamp the ideal-DCG array
+      // index to ≥1 (element_at is 1-based; index 0 throws). Mirrored
+      // in the oracle SQL.
       .select(col("qid"), col("n_rel"),
-        (col("hits").cast("double") / col("n_rel").cast("double")).as("recall"),
+        when(col("n_rel") === 0L, lit(0.0))
+          .otherwise(col("hits").cast("double") / col("n_rel").cast("double")).as("recall"),
         (col("hits").cast("double") / lit(10.0)).as("precision"),
-        (col("ap_s").cast("double") / lit(2520.0) / col("n_rel").cast("double")).as("ap"),
-        (col("dcg_s").cast("double") /
-          element_at(pArr, least(lit(K), col("n_rel")).cast("int")).cast("double")).as("ndcg"))
+        when(col("n_rel") === 0L, lit(0.0))
+          .otherwise(col("ap_s").cast("double") / lit(2520.0) / col("n_rel").cast("double")).as("ap"),
+        when(col("n_rel") === 0L, lit(0.0))
+          .otherwise(col("dcg_s").cast("double") /
+            element_at(pArr, greatest(lit(1), least(lit(K), col("n_rel"))).cast("int"))
+              .cast("double")).as("ndcg"))
       .orderBy("qid")
   }
 
@@ -94,10 +102,14 @@ object EvalMetrics {
        |      FROM c1 GROUP BY 1, 2),
        |rel AS (SELECT label, count(*) AS lab_cnt FROM embeddings GROUP BY 1)
        |SELECT qid, CAST(lab_cnt - 1 AS BIGINT) AS n_rel,
-       | CAST(hits AS DOUBLE)/CAST(lab_cnt - 1 AS DOUBLE) AS recall,
+       | CASE WHEN lab_cnt = 1 THEN 0.0e0
+       |      ELSE CAST(hits AS DOUBLE)/CAST(lab_cnt - 1 AS DOUBLE) END AS recall,
        | CAST(hits AS DOUBLE)/10.0 AS precision,
-       | CAST(ap_s AS DOUBLE)/2520.0/CAST(lab_cnt - 1 AS DOUBLE) AS ap,
-       | CAST(dcg_s AS DOUBLE)/CAST(($pList)[least($K, CAST(lab_cnt - 1 AS INT))] AS DOUBLE) AS ndcg
+       | CASE WHEN lab_cnt = 1 THEN 0.0e0
+       |      ELSE CAST(ap_s AS DOUBLE)/2520.0/CAST(lab_cnt - 1 AS DOUBLE) END AS ap,
+       | CASE WHEN lab_cnt = 1 THEN 0.0e0
+       |      ELSE CAST(dcg_s AS DOUBLE)
+       |        /CAST(($pList)[greatest(1, least($K, CAST(lab_cnt - 1 AS INT)))] AS DOUBLE) END AS ndcg
        |FROM g JOIN rel ON g.qlab = rel.label
        |ORDER BY qid""".stripMargin
   }

@@ -53,7 +53,16 @@ object IvfIndex {
   def trainCentroids(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty k-means sample")
     val dim = sample(0).length
-    var centroids = sample.take(k).map(_.clone)
+    // first k DISTINCT sample points in order: duplicate seeds would
+    // pin two centroids to the same point (degenerate empty clusters)
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var si = 0
+    while (si < sample.length && seeds.length < k) {
+      if (seen.add(sample(si).toSeq)) seeds += sample(si)
+      si += 1
+    }
+    var centroids = seeds.toArray.map(_.clone)
     val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
     // fixed chunk size: merge order/boundaries must not depend on the
     // machine's core count, or centroids drift across environments

@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   * Scores (reference vector_index.py:137-144):
   *   cosine → dot/(‖a‖‖b‖)   (similarity = 1 − cosine distance)
   *   l2     → 1/(1 + d²)      (hnswlib l2 space returns squared dist)
-  *   ip     → dot
+  *   ip     → dot             (NOTE: the reference reports hnswlib's raw
+  *            ip "distance" 1 − dot as the similarity; ranking by dot
+  *            descending is equivalent, but the VALUES differ — do not
+  *            expect value-level parity with the reference for ip)
   * Ranking is by score descending, id ascending (deterministic ties).
   */
 object Knn {

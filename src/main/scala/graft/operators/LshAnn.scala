@@ -11,8 +11,8 @@ import graft.functions.TextHash
 /** Random-hyperplane LSH ANN (SimHash-for-vectors): the second scale
   * path for similarity search. Each vector hashes to an h-bit bucket
   * (sign of ⟨v, rᵢ⟩ for h pseudo-random hyperplanes); queries scan
-  * their own bucket plus all hamming-1 neighbors (multiprobe), then
-  * re-rank candidates exactly.
+  * their own bucket plus all buckets within hamming distance 2
+  * (multiprobe), then re-rank candidates exactly.
   *
   * The hyperplanes are derived from splitmix64 — no RNG state, fully
   * deterministic and reproducible on any executor.

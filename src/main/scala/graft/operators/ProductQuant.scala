@@ -64,7 +64,10 @@ object ProductQuant {
         val rec = decode(bc.value, codes)
         var err = 0.0; var i = 0
         while (i < v.length) { val d = v(i) - rec(i); err += d * d; i += 1 }
-        (id, codes.toSeq, math.sqrt(err), (v.length * 4.0) / bc.value.m)
+        // codes as a scalar string, not array<int>: the driver's
+        // pandas-side sort/hash of result parquet cannot hash ndarray
+        // cells (round-1 compare crashed on this column)
+        (id, codes.mkString("-"), math.sqrt(err), (v.length * 4.0) / bc.value.m)
       }
       .toDF("vec_id", "codes", "recon_err", "compression_ratio")
       .orderBy("vec_id")

@@ -417,7 +417,13 @@ object Relational {
     * (integer cents arithmetic → exact bin edges in both engines). */
   def eventsValueHist(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
-      .groupBy(expr("(cast(round(value*100) as bigint) div 5000) * 50").as("bin_lo"))
+      // FLOOR division in exact integer arithmetic: Spark's `div`
+      // truncates toward zero but DuckDB's `//` floors, so negative
+      // cents would land in different bins. (c - pmod(c, w)) div w is
+      // floor(c/w) for any sign of c, with no double rounding.
+      .groupBy(expr(
+        "((cast(round(value*100) as bigint) - pmod(cast(round(value*100) as bigint), 5000)) div 5000) * 50")
+        .as("bin_lo"))
       .agg(count(lit(1)).as("n"))
       .orderBy("bin_lo")
 

@@ -150,6 +150,10 @@ object TextOps {
     // ints is identical to the string-set oracle (barring 2⁻⁶⁴ hash
     // collisions), so bit-exactness is preserved.
     val d = Tables.load(s, dir, "documents")
+      // Guard: docs with <3 tokens have NO 3-shingles — the expression's
+      // whole-text fallback and the oracle's empty list would diverge
+      // (0/0 jaccard). Filter them out identically on both sides.
+      .filter(expr("size(filter(split(text, ' '), x -> x != '')) >= 3"))
     val t = d.select(col("doc_id"), col("source"), Dedup.shingleHashes3(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
     val sizes = t.select(col("doc_id"), col("source"), col("n"))
@@ -176,10 +180,13 @@ object TextOps {
   }
 
   val dedupNgramJaccardSql: String =
-    """WITH t AS (SELECT doc_id, source,
-      |  list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
-      | FROM documents)
+    """WITH tok AS (SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, source,
+      |  list_distinct(list_transform(range(1, len(w)-1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      | FROM tok WHERE len(w) >= 3)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
       | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
