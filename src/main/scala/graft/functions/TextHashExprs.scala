@@ -36,6 +36,22 @@ object TextHash {
     z ^ (z >>> 31)
   }
 
+  private val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Low 64 bits of MD5 — digest bytes 8..15 read little-endian, the
+    * exact convention of DuckDB's `md5_number_lower`, so SQL oracles
+    * can reproduce any hash built on this basis verbatim. */
+  def md5Lower64(bytes: Array[Byte]): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
   /** MinHash signature of a shingle set. */
   def minhash(shingles: Iterator[Array[Byte]], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
@@ -51,11 +67,13 @@ object TextHash {
     sig
   }
 
-  /** 64-bit SimHash of a token multiset. */
+  /** 64-bit SimHash of a token multiset. Per-token basis hash is
+    * md5Lower64 (not FNV) precisely so a DuckDB oracle can rebuild the
+    * identical fingerprint with `md5_number_lower(token)`. */
   def simhash(tokens: Iterator[Array[Byte]], acc: Array[Int]): Long = {
     java.util.Arrays.fill(acc, 0)
     tokens.foreach { t =>
-      val h = fnv1a64(t)
+      val h = md5Lower64(t)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
@@ -249,7 +267,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |int[] $acc = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $th.fnv1a64($a.getUTF8String($i).getBytes());
+         |  long $h = $th.md5Lower64($a.getUTF8String($i).getBytes());
          |  for (int $j = 0; $j < 64; $j++) {
          |    if ((($h >>> $j) & 1L) == 1L) $acc[$j]++; else $acc[$j]--;
          |  }

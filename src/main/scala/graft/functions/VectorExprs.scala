@@ -250,7 +250,11 @@ object Int8RoundArr {
     val scale = (mx - mn) / 255.0f
     i = 0
     while (i < n) {
-      val q = math.round((a.getFloat(i) - mn) / scale)
+      // explicit floor(v + 0.5f) (all float32) rather than Math.round:
+      // JDK9+ Math.round is exact nearest-int, which a SQL oracle
+      // cannot reproduce; floor-after-float-add is identical to
+      // DuckDB's floor((x-mn)/scale + 0.5::REAL) by construction
+      val q = math.floor(((a.getFloat(i) - mn) / scale) + 0.5f).toInt
       out(i) = mn + q * scale
       i += 1
     }

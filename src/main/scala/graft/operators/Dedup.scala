@@ -163,11 +163,23 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupMinhashLsh(s, dir))
 
+  /** Shingle-set CTE shared by the jaccard-twin oracles: non-empty
+    * tokens, 3-shingles joined by single spaces, and the same
+    * whole-normalized-text fallback for <3-token docs as
+    * ShingleHashArr — string sets with exactly the cardinalities of
+    * the engine's hash sets. */
+  private val shingleCte: String =
+    """tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |        FROM documents),
+      |t AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |  ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM tok)""".stripMargin
+
   val dedupClustersSql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id,
-      |  list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
-      | FROM documents),
+    s"""WITH RECURSIVE $shingleCte,
       |p AS (
       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       | FROM t a JOIN t b ON a.doc_id < b.doc_id
@@ -190,10 +202,7 @@ object Dedup {
 
   /** Exact all-pairs twin: what the LSH path must reproduce. */
   val dedupMinhashLshSql: String =
-    """WITH t AS (SELECT doc_id,
-      |  list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
-      | FROM documents)
+    s"""WITH $shingleCte
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
@@ -205,6 +214,32 @@ object Dedup {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text")
 
+  /** Brute-force SimHash twin: the per-token basis hash is
+    * md5_number_lower (same byte convention as TextHash.md5Lower64),
+    * bit votes ±1 per token occurrence over the UNFILTERED space-split
+    * (identical to the engine's split(text, ' ')), then all-pairs
+    * hamming ≤ 3 — the banded LSH path must find exactly these pairs
+    * (4×16-bit bands, pigeonhole on 3 flipped bits). */
+  val dedupSimhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tb AS (SELECT doc_id, md5_number_lower(w) AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tb CROSS JOIN range(64) r(j) GROUP BY 1, 2),
+       |shs AS (
+       |  SELECT doc_id,
+       |    bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS sh64
+       |  FROM bits GROUP BY 1),
+       |sh AS (
+       |  SELECT d.doc_id, coalesce(s.sh64, 0::UBIGINT) AS sh64
+       |  FROM documents d LEFT JOIN shs s ON d.doc_id = s.doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh64, b.sh64)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh64, b.sh64)) <= $SimHashMaxHamming
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
@@ -212,5 +247,6 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_simhash" -> dedupSimhashSql)
 }

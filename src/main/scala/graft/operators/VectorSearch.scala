@@ -63,7 +63,8 @@ object VectorSearch {
   }
 
   /** INT8-quantized corpus search (base_embedder.py INT8 tier; 4×
-    * compression) — rows-only, recall spec'd in VectorExprsSpec. */
+    * compression) — oracle-checked (knnInt8Sql rebuilds the float32
+    * dequantization in SQL); recall spec'd in VectorExprsSpec. */
   def knnInt8(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps
     val emb = Tables.load(s, dir, "embeddings")
@@ -159,6 +160,36 @@ object VectorSearch {
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
   val knnCosineSql: String = knnCosineSqlWhere("TRUE")
+
+  /** INT8 oracle: dequantized corpus rebuilt in SQL. All quantization
+    * arithmetic is float32 on both sides — DuckDB REAL ops mirror the
+    * JVM float chain bit-exactly (verified: REAL sub/div/mul/add stay
+    * REAL), and the engine uses floor(v + 0.5f) rather than
+    * Math.round so the SQL floor((x-mn)/sc + 0.5) is identical by
+    * construction. Scoring then runs the standard double cosine. */
+  val knnInt8Sql: String =
+    s"""WITH mm AS (SELECT vec_id, embedding AS e0,
+       |    list_aggregate(embedding, 'min') AS mn,
+       |    list_aggregate(embedding, 'max') AS mx
+       |  FROM embeddings),
+       |dq AS (SELECT vec_id,
+       |    CASE WHEN mx = mn THEN list_transform(e0, x -> mn)
+       |    ELSE list_transform(e0, x ->
+       |      mn + (CAST(floor((x - mn) / ((mx - mn) / 255.0e0::REAL) + 0.5e0::REAL) AS INT)::REAL
+       |            * ((mx - mn) / 255.0e0::REAL)))
+       |    END AS embedding
+       |  FROM mm),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM dq),
+       |q AS (SELECT d.vec_id AS qid, d.embedding AS qv, n.nm AS qn
+       |      FROM dq d JOIN nrm n ON d.vec_id = n.vec_id WHERE d.vec_id < $NQueries),
+       |s AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN dq e JOIN nrm n ON e.vec_id = n.vec_id)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
   val knnL2Sql: String = knnSql((a, b) => s"(1.0/(1.0 + ${OracleSql.l2sq(a, b)}))")
   val knnIpSql: String = knnSql((a, b) => OracleSql.dot(a, b))
   val knnFilteredSql: String = knnCosineSqlWhere("e.label < 5")
@@ -241,6 +272,7 @@ object VectorSearch {
     "knn_cosine" -> knnCosineSql,
     "knn_l2" -> knnL2Sql,
     "knn_ip" -> knnIpSql,
+    "knn_int8" -> knnInt8Sql,
     "knn_filtered" -> knnFilteredSql,
     "knn_matryoshka" -> knnMatryoshkaSql,
     "crossmodal_search" -> crossmodalSql,
