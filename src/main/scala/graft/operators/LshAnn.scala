@@ -82,7 +82,45 @@ object LshAnn {
     lshSearch(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), VectorSearch.K)
   }
 
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    // bare decimal literals parse as DECIMAL in DuckDB and drop the
+    // 17th digit; exponent notation forces DOUBLE
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  /** Bit-exact SQL twin: the 8×64 hyperplane components are
+    * deterministic constants (splitmix64-derived), so they are embedded
+    * as double literals — no need to reproduce the mixer in SQL. Bucket
+    * = 8 sign tests over left-associated double dots (same association
+    * as bucketOf's loop); the multiprobe set {b} ∪ hamming-1 ∪
+    * hamming-2 is exactly `bit_count(xor(qb, eb)) <= 2`; candidates
+    * re-rank by the standard double cosine. */
+  val lshBucketJoinSql: String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val bucketExpr = (0 until NumBits).map { b =>
+      val dot = (1 to OracleSql.Dim)
+        .map(i => s"CAST(embedding[$i] AS DOUBLE)*${dlit(plane(b, i - 1))}")
+        .mkString("(", " + ", ")")
+      s"(CASE WHEN $dot > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |            FROM embeddings),
+       |b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |q AS (SELECT b.vec_id AS qid, b.embedding AS qv, b.bucket AS qb, n.nm AS qn
+       |      FROM b JOIN nrm n ON b.vec_id = n.vec_id WHERE b.vec_id < $nq),
+       |s AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q JOIN b e ON bit_count(xor(q.qb, e.bucket)) <= 2
+       |      JOIN nrm n ON e.vec_id = n.vec_id)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("lsh_bucket_join" -> (lshBucketJoin _))
-  val oracles: Map[String, String] = Map.empty // recall spec'd in LshAnnSpec
+  val oracles: Map[String, String] = Map("lsh_bucket_join" -> lshBucketJoinSql)
 }
