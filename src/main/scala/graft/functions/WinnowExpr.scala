@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
-  * SIGMOD'03): rolling FNV hashes of character k-grams; keep the
-  * minimum hash of each sliding window of w consecutive k-gram hashes
-  * (rightmost minimum). The selected set is a position-robust
-  * fingerprint — the rolling-hash variant of document fingerprinting
+  * SIGMOD'03): hashes of character k-grams; keep the minimum hash of
+  * each sliding window of w consecutive k-gram hashes (rightmost
+  * minimum, unsigned order). The selected set is a position-robust
+  * fingerprint — the k-gram variant of document fingerprinting
   * alongside the md5 exact fingerprint (text_fingerprint).
+  *
+  * K-grams are CHARACTER substrings hashed by md5Lower64 and compared
+  * unsigned — exactly `md5_number_lower(substr(text, i, k))` under
+  * UBIGINT order in DuckDB, so the whole construction has a bit-exact
+  * SQL twin (textWinnowSql).
   */
 case class WinnowHashArr(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -31,26 +36,34 @@ case class WinnowHashArr(child: Expression, k: Int, w: Int) extends UnaryExpress
 object WinnowHashArr {
   /** Sorted distinct winnowed fingerprint hashes. */
   def fingerprints(s: UTF8String, k: Int, w: Int): Array[Long] = {
-    val bytes = s.getBytes
-    val n = bytes.length
-    if (n < k) return Array(hashRange(bytes, 0, n))
+    val n = s.numChars()
+    if (n < k) return Array(TextHash.md5Lower64(s.getBytes))
     val nGrams = n - k + 1
     val grams = new Array[Long](nGrams)
     var i = 0
-    while (i < nGrams) { grams(i) = hashRange(bytes, i, i + k); i += 1 }
+    while (i < nGrams) {
+      grams(i) = TextHash.md5Lower64(s.substring(i, i + k).getBytes)
+      i += 1
+    }
     if (nGrams <= w) {
       var m = grams(0); i = 1
-      while (i < nGrams) { if (grams(i) <= m) m = grams(i); i += 1 }
+      while (i < nGrams) {
+        if (java.lang.Long.compareUnsigned(grams(i), m) <= 0) m = grams(i)
+        i += 1
+      }
       return Array(m)
     }
-    // winnow: rightmost minimum of each window of w grams
+    // winnow: rightmost minimum (unsigned) of each window of w grams
     val sel = new scala.collection.mutable.ArrayBuffer[Long]()
     var prevPos = -1
     var start = 0
     while (start + w <= nGrams) {
       var mPos = start
       var j = start + 1
-      while (j < start + w) { if (grams(j) <= grams(mPos)) mPos = j; j += 1 }
+      while (j < start + w) {
+        if (java.lang.Long.compareUnsigned(grams(j), grams(mPos)) <= 0) mPos = j
+        j += 1
+      }
       if (mPos != prevPos) { sel += grams(mPos); prevPos = mPos }
       start += 1
     }
@@ -62,13 +75,6 @@ object WinnowHashArr {
       r += 1
     }
     if (wr == out.length) out else java.util.Arrays.copyOf(out, wr)
-  }
-
-  private def hashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
-    var h = TextHash.FnvOffset
-    var i = from
-    while (i < until) { h ^= (bytes(i) & 0xffL); h *= TextHash.FnvPrime; i += 1 }
-    h
   }
 }
 

@@ -325,6 +325,24 @@ object TextOps {
       |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
       |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin
 
+  /** Winnow twin: k-gram hashes are md5_number_lower(substr(text,i,5))
+    * (character k-grams, unsigned order — exactly WinnowHashArr's
+    * construction), window minima via least() over 4 consecutive
+    * grams. n_fingerprints = count of DISTINCT window minima: the
+    * engine's rightmost-tie/consecutive-position rules only affect
+    * which POSITION is selected, never the selected value set. Texts
+    * with <2 windows (length ≤ 8) emit exactly one fingerprint. */
+  val textWinnowSql: String =
+    """WITH h AS (SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text) - 3),
+      |      i -> md5_number_lower(substr(text, i, 5))) AS g
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN n <= 8 THEN 1
+      |       ELSE len(list_distinct(list_transform(range(1, len(g) - 2),
+      |            s -> least(g[s], g[s+1], g[s+2], g[s+3])))) END AS INT) AS n_fingerprints
+      |FROM h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_split" -> (dataSplit _),
     "doc_packing" -> (docPacking _),
@@ -339,6 +357,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "text_winnow" -> textWinnowSql,
     "data_split" -> dataSplitSql,
     "doc_packing" -> docPackingSql,
     "text_top_words" -> textTopWordsSql,
