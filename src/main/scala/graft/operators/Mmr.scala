@@ -96,7 +96,71 @@ object Mmr {
     rerank(emb, emb.filter(col("vec_id") < VectorSearch.NQueries))
   }
 
+  /** Bit-exact SQL twin of the greedy loop, UNROLLED: selection step t
+    * is a CTE that anti-joins the already-selected set (s1..s_{t-1}),
+    * scores λ·rel − (1−λ)·max(sim to selected), and keeps the
+    * row_number()=1 winner under (mmr DESC, original rank ASC) — the
+    * same first-index-on-tie rule as the strict `>` in select().
+    * λ = 0.5 is exactly representable, the pairwise cosine carries the
+    * reference's 1e-8 epsilon, and every reduction is the standard
+    * unrolled left-assoc double sum. MATERIALIZED hints stop DuckDB
+    * from re-inlining the shared CTEs once per unrolled step. */
+  val mmrRerankSql: String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH nrm AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+         |  FROM embeddings),
+         |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+         |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+         |      WHERE e.vec_id < $nq),
+         |sc AS (SELECT q.qid, e.vec_id,
+         |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS rel
+         |       FROM q CROSS JOIN embeddings e JOIN nrm n ON e.vec_id = n.vec_id),
+         |cand AS MATERIALIZED (SELECT qid, vec_id, rel, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rnk
+         |  FROM sc) WHERE rnk <= $CandidateK),
+         |pair AS MATERIALIZED (
+         |  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+         |    ${OracleSql.dot("ea.embedding", "eb.embedding")} / (na.nm * nb.nm + 1.0e-8) AS sim
+         |  FROM cand a JOIN cand b ON a.qid = b.qid
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  JOIN nrm na ON na.vec_id = a.vec_id
+         |  JOIN nrm nb ON nb.vec_id = b.vec_id),
+         |s1 AS MATERIALIZED (SELECT qid, vec_id, rnk, 0.5e0 * rel AS mmr_score
+         |  FROM cand WHERE rnk = 1)""".stripMargin)
+    for (t <- 2 to SelectK) {
+      val prevSels = (1 until t).map(i => s"SELECT qid, vec_id FROM s$i").mkString(" UNION ALL ")
+      sb.append(
+        s""",
+           |sel$t AS MATERIALIZED ($prevSels),
+           |sc$t AS (
+           |  SELECT c.qid, c.vec_id, c.rnk, 0.5e0 * c.rel - 0.5e0 * max(p.sim) AS mmr
+           |  FROM cand c
+           |  LEFT JOIN sel$t x ON x.qid = c.qid AND x.vec_id = c.vec_id
+           |  JOIN sel$t s ON s.qid = c.qid
+           |  JOIN pair p ON p.qid = c.qid AND p.ia = c.vec_id AND p.ib = s.vec_id
+           |  WHERE x.vec_id IS NULL
+           |  GROUP BY c.qid, c.vec_id, c.rnk, c.rel),
+           |s$t AS MATERIALIZED (SELECT qid, vec_id, rnk, mmr AS mmr_score FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, rnk ASC) AS rr
+           |  FROM sc$t) WHERE rr = 1)""".stripMargin)
+    }
+    val union = (1 to SelectK)
+      .map(t => s"SELECT qid, vec_id, $t AS step, mmr_score FROM s$t")
+      .mkString("\n UNION ALL ")
+    sb.append(
+      s"""
+         |SELECT qid, vec_id, CAST(step AS INT) AS mmr_rank, mmr_score FROM (
+         |$union)
+         |ORDER BY qid, mmr_rank""".stripMargin)
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("mmr_rerank" -> (mmrRerank _))
-  val oracles: Map[String, String] = Map.empty // iterative → spec'd in MmrSpec
+  val oracles: Map[String, String] = Map("mmr_rerank" -> mmrRerankSql)
 }
