@@ -161,6 +161,57 @@ object VectorSearch {
 
   val knnCosineSql: String = knnCosineSqlWhere("TRUE")
 
+  /** FP16 oracle: float→half→float round-trip rebuilt in EXACT double
+    * arithmetic. Every step is IEEE-exact: 2^k built by integer shift
+    * (never pow()), division/multiplication by powers of two, and
+    * round-to-nearest-even emulated with floor/frac comparisons on the
+    * exactly-representable q = a·2^(10−e). floor(log2(a)) is the only
+    * inexact call and is self-corrected by comparing against exact
+    * 2^e0±1. Subnormal halves (a < 2^-14) quantize on the fixed 2^-24
+    * grid (underflow to 0 falls out of RTNE), and the r=2048 mantissa
+    * rollover lands on 2^(e+1) automatically — with the e=15 rollover
+    * and e≥16 overflowing to ±Inf exactly like Fp16.floatToHalf. */
+  val knnFp16Sql: String = {
+    def p2(k: String) =
+      s"(CASE WHEN ($k) >= 0 THEN ((1::UBIGINT << ($k))::DOUBLE) ELSE 1.0e0/((1::UBIGINT << (-($k)))::DOUBLE) END)"
+    val e0 = "CAST(floor(log2(a)) AS INT)"
+    val smallestNormal = "6.103515625e-5" // 2^-14
+    s"""WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |             unnest(range(1, len(embedding)+1)) AS i
+       |           FROM embeddings),
+       |t1 AS (SELECT vec_id, i, x, abs(x) AS a,
+       |        CASE WHEN x < 0 THEN -1.0e0 ELSE 1.0e0 END AS sg FROM el),
+       |t2 AS (SELECT *, CASE WHEN a >= $smallestNormal THEN
+       |         (CASE WHEN ${p2(s"$e0+1")} <= a THEN $e0+1
+       |               WHEN ${p2(e0)} > a THEN $e0-1
+       |               ELSE $e0 END)
+       |       ELSE 0 END AS e FROM t1),
+       |t3 AS (SELECT *, CASE WHEN a = 0 THEN 0.0e0
+       |                      WHEN a < $smallestNormal THEN a * 16777216.0e0
+       |                      ELSE (a / ${p2("e")}) * 1024.0e0 END AS q FROM t2),
+       |t4 AS (SELECT *, CAST(floor(q) AS BIGINT) AS f FROM t3),
+       |t5 AS (SELECT *, CASE WHEN q - f > 0.5e0 THEN f + 1
+       |                      WHEN q - f < 0.5e0 THEN f
+       |                      ELSE f + (f % 2) END AS r FROM t4),
+       |t6 AS (SELECT vec_id, i, CASE WHEN a = 0 THEN x
+       |         WHEN e >= 16 OR (e = 15 AND r = 2048) THEN sg * 'Infinity'::DOUBLE
+       |         WHEN a < $smallestNormal THEN sg * (CAST(r AS DOUBLE) / 16777216.0e0)
+       |         ELSE sg * (CAST(r AS DOUBLE) * ${p2("e - 10")}) END AS y FROM t5),
+       |fp AS MATERIALIZED (SELECT vec_id, list(y ORDER BY i) AS embedding
+       |                    FROM t6 GROUP BY vec_id),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM fp),
+       |q AS (SELECT d.vec_id AS qid, d.embedding AS qv, n.nm AS qn
+       |      FROM fp d JOIN nrm n ON d.vec_id = n.vec_id WHERE d.vec_id < $NQueries),
+       |s AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN fp e JOIN nrm n ON e.vec_id = n.vec_id)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
   /** INT8 oracle: dequantized corpus rebuilt in SQL. All quantization
     * arithmetic is float32 on both sides — DuckDB REAL ops mirror the
     * JVM float chain bit-exactly (verified: REAL sub/div/mul/add stay
@@ -273,6 +324,7 @@ object VectorSearch {
     "knn_l2" -> knnL2Sql,
     "knn_ip" -> knnIpSql,
     "knn_int8" -> knnInt8Sql,
+    "knn_fp16" -> knnFp16Sql,
     "knn_filtered" -> knnFilteredSql,
     "knn_matryoshka" -> knnMatryoshkaSql,
     "crossmodal_search" -> crossmodalSql,
