@@ -29,4 +29,28 @@ object OracleSql {
   def l2sq(a: String, b: String, dim: Int = Dim): String =
     terms(dim)(i =>
       s"(CAST($a[$i] AS DOUBLE)-CAST($b[$i] AS DOUBLE))*(CAST($a[$i] AS DOUBLE)-CAST($b[$i] AS DOUBLE))")
+
+  /** Double literal that DuckDB parses as DOUBLE with full 17-digit
+    * round-trip fidelity (bare decimals parse as DECIMAL and lose the
+    * 17th digit; exponent notation forces DOUBLE). */
+  def dlit(d: Double): String = {
+    val s0 = d.toString
+    val s = if (s0.contains('E') || s0.contains('e')) s0 else s0 + "e0"
+    // parenthesize negatives: "x--0.5e0" would start a SQL comment
+    if (d < 0) s"($s)" else s
+  }
+
+  /** Unrolled Σ (v[offset+j]−c_j)² against LITERAL centroid components
+    * — same i-ascending left association as IvfIndex.nearest's loop. */
+  def l2sqLit(v: String, c: Array[Double], offset: Int = 0): String =
+    c.indices.map { j =>
+      val t = s"(CAST($v[${offset + j + 1}] AS DOUBLE)-${dlit(c(j))})"
+      s"$t*$t"
+    }.mkString("(", " + ", ")")
+
+  /** [d_0 … d_{k−1}] list of squared distances to each literal
+    * centroid; first-wins argmin = list_position(dl, list_min(dl))−1,
+    * matching the engine's strict-< scan. */
+  def distList(v: String, centroids: Array[Array[Double]], offset: Int = 0): String =
+    centroids.map(c => l2sqLit(v, c, offset)).mkString("[", ", ", "]")
 }

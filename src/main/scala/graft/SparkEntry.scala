@@ -26,9 +26,18 @@ object SparkEntry {
           .select(col("vec_id"), col("modality"), size(col("embedding")).as("dim"))
           .orderBy("vec_id")))
 
-  /** DuckDB twins for the driver's correctness gate. */
+  /** DuckDB twins for the driver's correctness gate. NOTE: built AFTER
+    * `queries` runs (Verify dumps oracle_sql.json last) — the trained-
+    * operator oracles (PQ/IVF) embed the run's deterministic codebooks
+    * as literals, so the SQL twin independently recomputes assignment
+    * and scoring. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ VectorSearch.oracles ++ TextOps.oracles ++
       EvalMetrics.oracles ++ Dedup.oracles ++ IvfIndex.oracles ++
-      LshAnn.oracles ++ ProductQuant.oracles ++ Mmr.oracles ++ Projection.oracles
+      LshAnn.oracles ++ ProductQuant.oracles ++ Mmr.oracles ++ Projection.oracles ++
+      Map("multimodal_embed" ->
+        """SELECT doc_id AS vec_id,
+          |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+          |  CAST(64 AS INT) AS dim
+          |FROM documents ORDER BY vec_id""".stripMargin)
 }

@@ -222,6 +222,7 @@ object IvfIndex {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
     val centroids = trainCentroidsMLlib(emb, 16)
+    lastMllibCentroids = centroids
     val assigned = assign(emb, centroids)
     val qRows = queries.select(col("vec_id").cast("long"),
       col("embedding").cast(ArrayType(DoubleType))).collect()
@@ -245,13 +246,60 @@ object IvfIndex {
   def ivfSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
-    search(emb, queries, VectorSearch.K, nlist = 16, nprobe = 4)._1
+    val (res, ctrs) = search(emb, queries, VectorSearch.K, nlist = 16, nprobe = 4)
+    lastIvfCentroids = ctrs
+    res
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ivf_search" -> (ivfSearch _),
       "ivf_search_mllib" -> (ivfSearchMLlib _))
-  // k-means is not SQL-expressible → rows-only; recall vs exact kNN is
-  // spec'd in IvfIndexSpec.
-  val oracles: Map[String, String] = Map.empty
+
+  // ------------------------------------------------------------ oracles
+  // k-means TRAINING is not SQL-expressible, but it is deterministic and
+  // the driver dumps oracle SQL AFTER the queries run — so the trained
+  // centroids of this run are embedded as literals and the oracle
+  // independently recomputes assignment (first-wins argmin over
+  // unrolled squared distances), probe selection ((dist, idx)-ordered
+  // top-nprobe), candidate generation, and the exact cosine re-rank.
+  // Training itself is covered by AnnSpec recall bounds + the
+  // determinism audit.
+  @volatile private var lastIvfCentroids: Array[Array[Double]] = _
+  @volatile private[operators] var lastMllibCentroids: Array[Array[Double]] = _
+
+  private def ivfSql(centroids: Array[Array[Double]], nprobe: Int): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val nlist = centroids.length
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
+       |pe AS (SELECT vec_id AS qid, unnest(dl) AS dist, unnest(range(0, $nlist)) AS c
+       |       FROM d WHERE vec_id < $nq),
+       |pr AS (SELECT qid, c FROM (
+       |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
+       |   FROM pe) WHERE rn <= $nprobe),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id WHERE e.vec_id < $nq),
+       |s AS (SELECT p.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM pr p JOIN a e ON e.centroid = p.c
+       |      JOIN q ON q.qid = p.qid
+       |      JOIN nrm n ON n.vec_id = e.vec_id)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    if (lastIvfCentroids != null) m += "ivf_search" -> ivfSql(lastIvfCentroids, 4)
+    if (lastMllibCentroids != null) m += "ivf_search_mllib" -> ivfSql(lastMllibCentroids, 4)
+    m.result()
+  }
 }

@@ -54,6 +54,7 @@ object ProductQuant {
     val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
       .limit(100000).collect().map(_.getSeq[Double](0).toArray)
     val cb = train(sample, m, k)
+    lastCodebooks = cb
     val bc = s.sparkContext.broadcast(cb)
     import s.implicits._
     emb.select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
@@ -159,11 +160,100 @@ object ProductQuant {
     val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
       .limit(100000).collect().map(_.getSeq[Double](0).toArray)
     val cb = train(sample, m = 8, k = 16)
+    lastAdcCodebooks = cb
     adcSearch(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), cb, VectorSearch.K)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pq_codes" -> (pqCodes _),
       "pq_adc_search" -> (pqAdcSearch _))
-  val oracles: Map[String, String] = Map.empty // k-means → spec'd in ProductQuantSpec
+
+  // ------------------------------------------------------------ oracles
+  // Codebook TRAINING is deterministic but not SQL-expressible; the
+  // driver dumps oracle SQL after the queries run, so this run's
+  // trained codebooks are embedded as literals and DuckDB recomputes
+  // encode (first-wins argmin per subspace) and the reconstruction
+  // error independently.
+  @volatile private var lastCodebooks: Codebooks = _
+
+  private def pqCodesSql(cb: Codebooks): String = {
+    import graft.OracleSql
+    val dim = cb.m * cb.subDim
+    val dls = (0 until cb.m).map(s =>
+      s"${OracleSql.distList("embedding", cb.books(s), s * cb.subDim)} AS dl$s").mkString(",\n  ")
+    val ks = (0 until cb.m).map(s =>
+      s"CAST(list_position(dl$s, list_min(dl$s)) - 1 AS INT) AS k$s").mkString(",\n  ")
+    val codeStr = (0 until cb.m).map(s => s"k$s::VARCHAR").mkString(" || '-' || ")
+    val reconTerms = (0 until dim).map { i =>
+      val s = i / cb.subDim; val j = i % cb.subDim
+      val lst = cb.books(s).map(c => OracleSql.dlit(c(j))).mkString("[", ", ", "]")
+      val t = s"(CAST(embedding[${i + 1}] AS DOUBLE) - ($lst)[k$s + 1])"
+      s"$t*$t"
+    }.mkString("(", " + ", ")")
+    s"""WITH dce AS MATERIALIZED (SELECT vec_id, embedding,
+       |  $dls
+       |  FROM embeddings),
+       |kc AS (SELECT vec_id, embedding,
+       |  $ks
+       |  FROM dce)
+       |SELECT vec_id, $codeStr AS codes,
+       |  sqrt($reconTerms) AS recon_err,
+       |  ${OracleSql.dlit((dim * 4.0) / cb.m)} AS compression_ratio
+       |FROM kc ORDER BY vec_id""".stripMargin
+  }
+
+  @volatile private var lastAdcCodebooks: Codebooks = _
+
+  /** ADC twin: encode the corpus (first-wins argmin per subspace),
+    * build each query's [m×k] LUT as literal-centroid distance lists,
+    * ADC distance = m list lookups summed in subspace order, keep the
+    * (adc, vec_id)-ordered top k·refine (the per-partition heap keeps
+    * lexicographically smallest pairs, so the global window is
+    * equivalent), then exact cosine re-rank. */
+  private def pqAdcSql(cb: Codebooks, k: Int, refine: Int): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries
+    val nCand = k * refine
+    val dls = (0 until cb.m).map(s =>
+      s"${OracleSql.distList("embedding", cb.books(s), s * cb.subDim)} AS dl$s").mkString(",\n  ")
+    val ks = (0 until cb.m).map(s =>
+      s"CAST(list_position(dl$s, list_min(dl$s)) - 1 AS INT) AS k$s").mkString(",\n  ")
+    val lls = (0 until cb.m).map(s =>
+      s"${OracleSql.distList("embedding", cb.books(s), s * cb.subDim)} AS ll$s").mkString(",\n  ")
+    val adcSum = (0 until cb.m).map(s => s"q.ll$s[kc.k$s + 1]").mkString("(", " + ", ")")
+    s"""WITH dce AS (SELECT vec_id, embedding,
+       |  $dls
+       |  FROM embeddings),
+       |kc AS MATERIALIZED (SELECT vec_id,
+       |  $ks
+       |  FROM dce),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+       |  $lls
+       |  FROM embeddings WHERE vec_id < $nq),
+       |ad AS (SELECT q.qid, kc.vec_id, $adcSum AS adc FROM q CROSS JOIN kc),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+       |  FROM ad) WHERE rn <= $nCand),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |s AS (SELECT c.qid, c.vec_id,
+       |        ${OracleSql.dot("e.embedding", "q.qv")} / (n.nm * nq2.nm) AS score
+       |      FROM cand c
+       |      JOIN embeddings e ON e.vec_id = c.vec_id
+       |      JOIN nrm n ON n.vec_id = c.vec_id
+       |      JOIN q ON q.qid = c.qid
+       |      JOIN nrm nq2 ON nq2.vec_id = c.qid)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    if (lastCodebooks != null) m += "pq_codes" -> pqCodesSql(lastCodebooks)
+    if (lastAdcCodebooks != null)
+      m += "pq_adc_search" -> pqAdcSql(lastAdcCodebooks, VectorSearch.K, 4)
+    m.result()
+  }
 }
