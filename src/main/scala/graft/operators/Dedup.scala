@@ -67,10 +67,13 @@ object Dedup {
       .distinct()
 
     // Exact verify inside candidates only: merge-join Jaccard over the
-    // (already sorted) hash sets — single O(n) pass, no per-pair set builds.
+    // (already sorted) hash sets — single O(n) pass, no per-pair set
+    // builds. The candidate pair set is orders of magnitude smaller
+    // than the corpus, so broadcast IT and stream the shingle table —
+    // no shuffle of the (wide) hash arrays at any scale.
     val shA = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
+    broadcast(broadcast(cand).join(shA, "doc_a")).join(shB, "doc_b")
       .withColumn("jaccard", graft.functions.JaccardOps.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
