@@ -432,7 +432,99 @@ object Relational {
       | CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Top-10 suppliers by revenue (covers the supplier dimension with a
+    * broadcast join; exact cents). */
+  def qSupplierTop(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val sup = Tables.load(s, dir, "supplier")
+    l.groupBy("l_suppkey")
+      .agg(sum(cents("l_extendedprice")).as("rev_c"), count(lit(1)).as("n_items"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  val qSupplierTopSql: String =
+    """SELECT s_suppkey, s_name,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+      | CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2 ORDER BY revenue DESC, s_suppkey LIMIT 10""".stripMargin
+
+  /** Cohort retention: cohort = a user's first active day (integer day
+    * from the nanosecond clock — exact), D1/D7 = distinct users active
+    * exactly 1/7 days later. The standard training-corpus/product
+    * analytics shape; all arithmetic integer-exact. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val act = e.distinct()
+    first.join(act, "user_id")
+      .groupBy("cohort")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("day") === col("cohort") + 1, col("user_id"))).as("d1"),
+        countDistinct(when(col("day") === col("cohort") + 7, col("user_id"))).as("d7"))
+      .orderBy("cohort")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, day FROM e)
+      |SELECT cohort, CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+      | CAST(count(DISTINCT CASE WHEN day = cohort + 1 THEN f.user_id END) AS BIGINT) AS d1,
+      | CAST(count(DISTINCT CASE WHEN day = cohort + 7 THEN f.user_id END) AS BIGINT) AS d7
+      |FROM f JOIN a ON f.user_id = a.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-user activity profile (count / distinct kinds / exact-cents
+    * sum / first+last activity in raw nanos — never a timestamp type,
+    * engines disagree on µs vs ns). */
+  def eventsUserStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (sum(cents("value")).cast("double") / 100.0).as("sum_value"),
+        // µs, not raw nanos: DuckDB TIMESTAMP carries µs resolution
+        expr("min(ts) div 1000").as("first_ts_us"),
+        expr("max(ts) div 1000").as("last_ts_us"))
+      .orderBy("user_id")
+
+  val eventsUserStatsSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+      | CAST(epoch_us(min(ts)) AS BIGINT) AS first_ts_us,
+      | CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_us
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Order-to-ship delay histogram (date arithmetic; the shape of a
+    * co-partitioned fact-fact join — orderkey is the natural bucket
+    * key for both tables at scale). */
+  def qShipDelayHist(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).as("delay_days"))
+      .groupBy("delay_days").agg(count(lit(1)).as("n"))
+      .orderBy("delay_days")
+  }
+
+  val qShipDelayHistSql: String =
+    """SELECT CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS INT) AS delay_days,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_supplier_top" -> (qSupplierTop _),
+    "events_retention" -> (eventsRetention _),
+    "events_user_stats" -> (eventsUserStats _),
+    "q_ship_delay_hist" -> (qShipDelayHist _),
     "events_asof" -> (eventsAsof _),
     "events_funnel" -> (eventsFunnel _),
     "events_pivot" -> (eventsPivot _),
@@ -452,6 +544,10 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q_supplier_top" -> qSupplierTopSql,
+    "events_retention" -> eventsRetentionSql,
+    "events_user_stats" -> eventsUserStatsSql,
+    "q_ship_delay_hist" -> qShipDelayHistSql,
     "events_asof" -> eventsAsofSql,
     "events_funnel" -> eventsFunnelSql,
     "events_pivot" -> eventsPivotSql,

@@ -343,7 +343,40 @@ object TextOps {
       |            s -> least(g[s], g[s+1], g[s+2], g[s+3])))) END AS INT) AS n_fingerprints
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF-ranked top terms per document with INTEGER-EXACT scoring:
+    * score_ppm = (tf · 1e6) div df is monotone in tf/df, fully
+    * deterministic, and identical across engines (no log(), whose libm
+    * implementations differ bit-wise between JVM and DuckDB). The
+    * document-frequency table is vocabulary-sized → broadcast. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .withColumn("score_ppm", expr("(tf * 1000000) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("word"), col("score_ppm"), col("rk").cast("int").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val textTfidfSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |            FROM documents),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id, tf.word, (tf.tf * 1000000) // df.df AS score_ppm,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY (tf.tf * 1000000) // df.df DESC, tf.word ASC) AS rk
+      |       FROM tf JOIN df ON tf.word = df.word)
+      |SELECT doc_id, word, CAST(score_ppm AS BIGINT) AS score_ppm, CAST(rk AS INT) AS rk
+      |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
     "data_split" -> (dataSplit _),
     "doc_packing" -> (docPacking _),
     "text_top_words" -> (textTopWords _),
@@ -357,6 +390,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfSql,
     "text_winnow" -> textWinnowSql,
     "data_split" -> dataSplitSql,
     "doc_packing" -> docPackingSql,
