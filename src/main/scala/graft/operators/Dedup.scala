@@ -73,7 +73,7 @@ object Dedup {
     // no shuffle of the (wide) hash arrays at any scale.
     val shA = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    broadcast(broadcast(cand).join(shA, "doc_a")).join(shB, "doc_b")
+    broadcast(cand).join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", graft.functions.JaccardOps.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
