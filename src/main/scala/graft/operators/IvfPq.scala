@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.Tables
+
+/** IVF-PQ: the standard billion-scale ANN layout (Jégou et al., PAMI
+  * 2011 — "Product Quantization for Nearest Neighbor Search"), composed
+  * from the two operators this engine already has:
+  *
+  *   route (IVF centroids) → encode RESIDUAL v − c(v) with PQ →
+  *   probe nprobe buckets → per-bucket ADC over 1-byte codes →
+  *   exact re-rank of the top k·refine
+  *
+  * Residual encoding matters: residuals concentrate near 0, so one
+  * shared codebook quantizes them far better than raw vectors — this
+  * is what makes 8 bytes/vector workable at scale. At rest the codes
+  * live with the bucket (partitioned by centroid → partition pruning);
+  * per (query, bucket) the LUT is [m×k] floats, and scanning a
+  * candidate costs m byte-indexed lookups instead of a dim-wide float
+  * scan.
+  *
+  * Everything after training is deterministic arithmetic, so the
+  * DuckDB oracle (centroids + codebooks embedded as literals, same
+  * stash pattern as IvfIndex/ProductQuant) recomputes the ENTIRE
+  * pipeline — routing, residuals, encoding, ADC, candidate cut,
+  * re-rank — independently, bit-exact.
+  */
+object IvfPq {
+  val NList = 16
+  val NProbe = 4
+  val M = 8
+  val Kcb = 16
+  val Refine = 4
+
+  case class Model(centroids: Array[Array[Double]], cb: ProductQuant.Codebooks)
+
+  def trainModel(sample: Array[Array[Double]], nlist: Int = NList,
+                 m: Int = M, k: Int = Kcb): Model = {
+    val centroids = IvfIndex.trainCentroids(sample, nlist, 10)
+    val residuals = sample.map { v =>
+      val c = centroids(IvfIndex.nearest(centroids, v))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    Model(centroids, ProductQuant.train(residuals, m, k))
+  }
+
+  def search(corpus: DataFrame, queries: DataFrame, k: Int,
+             model: Model, nprobe: Int = NProbe, refine: Int = Refine): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bm = spark.sparkContext.broadcast(model)
+
+    // encode once: bucket + residual PQ codes per corpus row (the
+    // at-rest layout; codes are 1 byte each, bucket is the partition key)
+    val coded = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val mdl = bm.value
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val b = IvfIndex.nearest(mdl.centroids, v)
+          val ctr = mdl.centroids(b)
+          val res = Array.tabulate(v.length)(i => v(i) - ctr(i))
+          (id, b, ProductQuant.encode(mdl.cb, res).toSeq)
+        }
+      }.toDF("vec_id", "bucket", "codes")
+
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bq = spark.sparkContext.broadcast(qRows)
+
+    val nCand = k * refine
+    // per (query, probed bucket): residual LUT; scan that bucket's codes
+    val partials = coded.as[(Long, Int, Seq[Int])]
+      .mapPartitions { it =>
+        val mdl = bm.value
+        val qs = bq.value
+        val probes: Map[Long, Array[Int]] = qs.map { case (qid, qv) =>
+          qid -> IvfIndex.nearestN(mdl.centroids, qv, NProbe)
+        }.toMap
+        // LUT keyed by (query index, bucket): lut(s)(code) over residual q − centroid_b
+        val lutCache = scala.collection.mutable.HashMap.empty[(Int, Int), Array[Array[Double]]]
+        def lut(qi: Int, b: Int): Array[Array[Double]] =
+          lutCache.getOrElseUpdate((qi, b), {
+            val qv = qs(qi)._2
+            val ctr = mdl.centroids(b)
+            val qres = Array.tabulate(qv.length)(i => qv(i) - ctr(i))
+            Array.tabulate(mdl.cb.m, mdl.cb.books(0).length) { (s, code) =>
+              val cc = mdl.cb.books(s)(code)
+              var d = 0.0; var i = 0
+              while (i < mdl.cb.subDim) {
+                val df = qres(s * mdl.cb.subDim + i) - cc(i); d += df * df; i += 1
+              }
+              d
+            }
+          })
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)))
+        it.foreach { case (id, b, codes) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (probes(qs(qi)._1).contains(b)) {
+              val l = lut(qi, b)
+              var d = 0.0; var s = 0
+              while (s < mdl.cb.m) { d += l(s)(codes(s)); s += 1 }
+              val h = heaps(qi)
+              if (h.size < nCand) h.enqueue((d, id))
+              else {
+                val (wd, wid) = h.head
+                if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, id) => (bq.value(qi)._1, id, d) }
+        }
+      }.toDF("qid", "vec_id", "adc")
+
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = partials.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= nCand).select("qid", "vec_id")
+    val scored = broadcast(cand)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  def ivfpqSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
+      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val model = trainModel(sample)
+    lastModel = model
+    search(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), VectorSearch.K, model)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("ivfpq_search" -> (ivfpqSearch _))
+
+  // ------------------------------------------------------------ oracle
+  @volatile private var lastModel: Model = _
+
+  /** Full-pipeline SQL twin from this run's trained model literals:
+    * route (argmin over centroid distances), residual, encode (argmin
+    * per subspace over residual-centroid distances), per-(query,bucket)
+    * residual LUTs, ADC sum in subspace order, (adc, vec_id)-ordered
+    * candidate cut, exact cosine re-rank. */
+  private def ivfpqSql(mdl: Model): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val nCand = k * Refine
+    val nlist = mdl.centroids.length
+    val dim = mdl.cb.m * mdl.cb.subDim
+    val subDim = mdl.cb.subDim
+    // the [nlist × dim] centroid matrix as ONE literal, indexed by the
+    // computed bucket — keeps the generated SQL compact
+    val ctrs = mdl.centroids
+      .map(c => c.map(OracleSql.dlit).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    // encode: dl_s over residual-list elements vs PQ centroid literals
+    val dls = (0 until mdl.cb.m).map { s =>
+      val dl = mdl.cb.books(s).map { c =>
+        (0 until subDim).map { jj =>
+          val j = s * subDim + jj
+          val t = s"(res[${j + 1}]-${OracleSql.dlit(c(jj))})"
+          s"$t*$t"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+      s"$dl AS dl$s"
+    }.mkString(",\n  ")
+    val ks = (0 until mdl.cb.m).map(s =>
+      s"CAST(list_position(dl$s, list_min(dl$s)) - 1 AS INT) AS k$s").mkString(",\n  ")
+    // query-side LUTs over the per-(query, probed-bucket) residual list
+    val lls = (0 until mdl.cb.m).map { s =>
+      val ll = mdl.cb.books(s).map { c =>
+        (0 until subDim).map { jj =>
+          val j = s * subDim + jj
+          val t = s"(qres[${j + 1}]-${OracleSql.dlit(c(jj))})"
+          s"$t*$t"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+      s"$ll AS ll$s"
+    }.mkString(",\n  ")
+    val adcSum = (0 until mdl.cb.m).map(s => s"l.ll$s[e.k$s + 1]").mkString("(", " + ", ")")
+    s"""WITH da AS (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", mdl.centroids)} AS bdl
+       |  FROM embeddings),
+       |asg AS (SELECT vec_id, embedding,
+       |        CAST(list_position(bdl, list_min(bdl)) - 1 AS INT) AS bucket FROM da),
+       |res AS (SELECT vec_id, bucket,
+       |        list_transform(range(1, ${dim + 1}),
+       |          j -> CAST(embedding[j] AS DOUBLE) - ($ctrs)[bucket + 1][j]) AS res
+       |        FROM asg),
+       |enc AS MATERIALIZED (SELECT vec_id, bucket,
+       |  $ks
+       |  FROM (SELECT vec_id, bucket,
+       |  $dls
+       |  FROM res)),
+       |qp AS (SELECT vec_id AS qid, embedding AS qv, bdl FROM da WHERE vec_id < $nq),
+       |pr AS (SELECT qid, c FROM (
+       |   SELECT qid, unnest(bdl) AS dist, unnest(range(0, $nlist)) AS c FROM qp) t0
+       |   QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) <= $NProbe),
+       |qres AS (SELECT p.qid, p.c,
+       |        list_transform(range(1, ${dim + 1}),
+       |          j -> CAST(qp.qv[j] AS DOUBLE) - ($ctrs)[p.c + 1][j]) AS qres
+       |        FROM pr p JOIN qp ON qp.qid = p.qid),
+       |luts AS MATERIALIZED (SELECT qid, c,
+       |  $lls
+       |  FROM qres),
+       |ad AS (SELECT l.qid, e.vec_id, $adcSum AS adc
+       |       FROM luts l JOIN enc e ON e.bucket = l.c),
+       |cand AS (SELECT qid, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+       |  FROM ad) WHERE rn <= $nCand),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |s AS (SELECT c.qid, c.vec_id,
+       |        ${OracleSql.dot("e.embedding", "q.embedding")} / (n.nm * nq2.nm) AS score
+       |      FROM cand c
+       |      JOIN embeddings e ON e.vec_id = c.vec_id
+       |      JOIN nrm n ON n.vec_id = c.vec_id
+       |      JOIN embeddings q ON q.vec_id = c.qid
+       |      JOIN nrm nq2 ON nq2.vec_id = c.qid)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  def oracles: Map[String, String] =
+    if (lastModel == null) Map.empty
+    else Map("ivfpq_search" -> ivfpqSql(lastModel))
+}

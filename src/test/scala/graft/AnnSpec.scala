@@ -67,6 +67,35 @@ class AnnSpec extends SparkTestBase {
     assert(recallOf(approx) >= 0.5, s"ADC recall ${recallOf(approx)}")
   }
 
+  test("IVF-PQ: residual coding beats raw-vector PQ recall; usable vs exact") {
+    val res = graft.operators.IvfPq.ivfpqSearch(spark, sfDir)
+    val approx = res.select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(r >= 0.4, s"IVF-PQ recall $r")
+    // residuals concentrate near zero → the shared codebook reconstructs
+    // them better than raw vectors (the reason IVF-PQ exists)
+    val sample = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val mdl = graft.operators.IvfPq.trainModel(sample)
+    val rawCb = ProductQuant.train(sample, m = 8, k = 16)
+    def recon(v: Array[Double]): Double = {
+      val b = IvfIndex.nearest(mdl.centroids, v)
+      val ctr = mdl.centroids(b)
+      val resid = Array.tabulate(v.length)(i => v(i) - ctr(i))
+      val dec = ProductQuant.decode(mdl.cb, ProductQuant.encode(mdl.cb, resid))
+      math.sqrt(resid.indices.map(i => math.pow(resid(i) - dec(i), 2)).sum)
+    }
+    def reconRaw(v: Array[Double]): Double = {
+      val dec = ProductQuant.decode(rawCb, ProductQuant.encode(rawCb, v))
+      math.sqrt(v.indices.map(i => math.pow(v(i) - dec(i), 2)).sum)
+    }
+    val (errRes, errRaw) = (sample.map(recon).sum, sample.map(reconRaw).sum)
+    assert(errRes < errRaw, s"residual coding $errRes !< raw $errRaw")
+  }
+
   test("PQ encode/decode: codes in range, reconstruction beats zero baseline") {
     val sample = emb.select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
