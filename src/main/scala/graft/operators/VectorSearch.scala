@@ -42,6 +42,39 @@ object VectorSearch {
     Knn.topK(corpus.filter(col("label") < 5), queries, K, Knn.Cosine)
   }
 
+  /** Exact k-NN GRAPH: every vector's top-k non-self neighbors — the
+    * adjacency builder behind embedding-dedup clustering, diversity
+    * sampling, and graph-ANN construction in a training pipeline.
+    * Queries = the whole corpus: the operator broadcasts queries in
+    * bounded chunks (Knn.MaxBroadcastQueries), one corpus scan per
+    * chunk, heaps never exceed chunk·k entries — O(n²) work spread
+    * embarrassingly parallel, zero pairwise shuffle. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    Knn.topK(emb, emb, K + 1, Knn.Cosine)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |            FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id),
+       |s AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE e.vec_id <> q.qid)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
   /** Matryoshka search: truncate to the 16-dim prefix (then cosine,
     * which self-normalizes — equivalent to the reference's truncate +
     * L2-renorm, projection.py MatryoshkaProjection). */
@@ -53,8 +86,9 @@ object VectorSearch {
   }
 
   /** FP16-compressed corpus + query, then cosine search
-    * (vector_index.py:87-97 storage compression). Not SQL-expressible
-    * → rows-only oracle; recall vs exact is spec'd in ScalaTest. */
+    * (vector_index.py:87-97 storage compression) — oracle-checked
+    * (knnFp16Sql rebuilds the IEEE half round-trip in exact double
+    * arithmetic); recall vs exact is spec'd in ScalaTest. */
   def knnFp16(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps
     val emb = Tables.load(s, dir, "embeddings")
@@ -309,6 +343,7 @@ object VectorSearch {
     "knn_l2" -> knn(Knn.L2) _,
     "knn_ip" -> knn(Knn.Ip) _,
     "knn_filtered" -> (knnFiltered _),
+    "knn_graph" -> (knnGraph _),
     "knn_matryoshka" -> (knnMatryoshka _),
     "knn_fp16" -> (knnFp16 _),
     "knn_int8" -> (knnInt8 _),
@@ -326,6 +361,7 @@ object VectorSearch {
     "knn_int8" -> knnInt8Sql,
     "knn_fp16" -> knnFp16Sql,
     "knn_filtered" -> knnFilteredSql,
+    "knn_graph" -> knnGraphSql,
     "knn_matryoshka" -> knnMatryoshkaSql,
     "crossmodal_search" -> crossmodalSql,
     "index_stats" -> indexStatsSql)
