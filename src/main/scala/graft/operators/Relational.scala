@@ -520,7 +520,32 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Semi-structured extraction: per event type, stats of the JSON
+    * payload's `k` field (engine table-stakes — codegen'd JSON path
+    * evaluation, no UDF). */
+  def eventsPropsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val eventsPropsJsonSql: String =
+    """SELECT event_type,
+      | CAST(count(k) AS BIGINT) AS n_with_k,
+      | CAST(sum(k) AS BIGINT) AS sum_k,
+      | CAST(min(k) AS BIGINT) AS min_k,
+      | CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_props_json" -> (eventsPropsJson _),
     "q_supplier_top" -> (qSupplierTop _),
     "events_retention" -> (eventsRetention _),
     "events_user_stats" -> (eventsUserStats _),
@@ -544,6 +569,7 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_props_json" -> eventsPropsJsonSql,
     "q_supplier_top" -> qSupplierTopSql,
     "events_retention" -> eventsRetentionSql,
     "events_user_stats" -> eventsUserStatsSql,
