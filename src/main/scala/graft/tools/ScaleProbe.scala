@@ -53,6 +53,14 @@ object ScaleProbe {
       val cb = graft.operators.ProductQuant.train(sample, m = 8, k = 256)
       graft.operators.ProductQuant.adcSearch(corpus, queries, cb, 10).count()
     })
+    time("IVF-PQ search (nlist=64, m=8, k=16, probe 4, refine 4)")({
+      val sample = corpus.selectExpr("cast(embedding as array<double>)")
+        .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+      val mdl = graft.operators.IvfPq.trainModel(sample, nlist = 64)
+      graft.operators.IvfPq.search(corpus, queries, 10, mdl).count()
+    })
+    time("per-bucket NSW graphs + IVF routing (nlist=64, probe 4)")(
+      graft.operators.HnswAnn.hnswSearch(corpus, queries, 10, nlist = 64).count())
     spark.stop()
   }
 }
