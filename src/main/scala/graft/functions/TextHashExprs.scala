@@ -281,7 +281,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** string → low 64 bits of MD5 (DuckDB md5_number_lower convention) —
+  * the engine-portable deterministic hash for seeded initialization
+  * (NN-Descent init edges). */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.md5Lower64(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val th = TextHash.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $th.md5Lower64($s.getBytes());")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextHashOps {
+  def md5Lower64(s: Column): Column =
+    Shims.column(Md5Lower64(Shims.expression(s)))
   def minhashSig(shingles: Column, k: Int): Column =
     Shims.column(MinHashSig(Shims.expression(shingles), k))
   def minhashSigLong(shingleHashes: Column, k: Int): Column =
