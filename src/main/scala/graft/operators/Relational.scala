@@ -544,7 +544,46 @@ object Relational {
       |      FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact discrete quantiles of event value per type: the element at
+    * 1-based index ceil(q·cnt) of the (cents, event_id)-sorted values —
+    * pure integer index arithmetic, identical in both engines (approx
+    * sketches like percentile_approx can never hash-match). */
+  def eventsValueQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"), cents("value").as("vc"), col("event_id"))
+    val w = Window.partitionBy("event_type").orderBy(col("vc").asc, col("event_id").asc)
+    val ranked = e.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+    // integer ceil: (cnt*num + den - 1) div den
+    def idx(num: Int, den: Int) = expr(s"(cnt * $num + ${den - 1}) div $den")
+    ranked
+      .groupBy("event_type")
+      .agg(
+        (sum(when(col("rn") === idx(1, 4), col("vc"))).cast("double") / 100.0).as("p25"),
+        (sum(when(col("rn") === idx(2, 4), col("vc"))).cast("double") / 100.0).as("p50"),
+        (sum(when(col("rn") === idx(3, 4), col("vc"))).cast("double") / 100.0).as("p75"),
+        (sum(when(col("rn") === idx(19, 20), col("vc"))).cast("double") / 100.0).as("p95"),
+        (sum(when(col("rn") === idx(99, 100), col("vc"))).cast("double") / 100.0).as("p99"))
+      .orderBy("event_type")
+  }
+
+  val eventsValueQuantilesSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc, event_id
+      |           FROM events),
+      |r AS (SELECT event_type, vc,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY vc ASC, event_id ASC) AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS cnt
+      |      FROM e)
+      |SELECT event_type,
+      | CAST(sum(CASE WHEN rn = (cnt * 1 + 3) // 4 THEN vc END) AS DOUBLE)/100.0 AS p25,
+      | CAST(sum(CASE WHEN rn = (cnt * 2 + 3) // 4 THEN vc END) AS DOUBLE)/100.0 AS p50,
+      | CAST(sum(CASE WHEN rn = (cnt * 3 + 3) // 4 THEN vc END) AS DOUBLE)/100.0 AS p75,
+      | CAST(sum(CASE WHEN rn = (cnt * 19 + 19) // 20 THEN vc END) AS DOUBLE)/100.0 AS p95,
+      | CAST(sum(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN vc END) AS DOUBLE)/100.0 AS p99
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_props_json" -> (eventsPropsJson _),
     "q_supplier_top" -> (qSupplierTop _),
     "events_retention" -> (eventsRetention _),
@@ -569,6 +608,7 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_value_quantiles" -> eventsValueQuantilesSql,
     "events_props_json" -> eventsPropsJsonSql,
     "q_supplier_top" -> qSupplierTopSql,
     "events_retention" -> eventsRetentionSql,
