@@ -39,6 +39,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => WinnowHashArr(e(0), 5, 4)),
     ("sorted_jaccard", "Jaccard of two sorted distinct long arrays",
       (e: Seq[Expression]) => SortedJaccardD(e(0), e(1))),
+    ("int8_round", "INT8 affine quantization round-trip of a float array",
+      (e: Seq[Expression]) => Int8RoundArr(e(0))),
+    ("md5_lower64", "low 64 bits of MD5 (DuckDB md5_number_lower convention)",
+      (e: Seq[Expression]) => Md5Lower64(e(0))),
     ("vector_avg", "elementwise mean of a vector column (aggregate)",
       (e: Seq[Expression]) => VectorAvgAgg(e.head)))
 
