@@ -251,9 +251,49 @@ object IvfIndex {
     res
   }
 
+  /** Save/load the reference's index persistence (vector_index.py:
+    * 224-277) as an at-rest layout: the assigned corpus is WRITTEN
+    * partitioned by centroid (each bucket its own directory — the
+    * partition-prunable index file set), RELOADED, and probed. Output
+    * equals ivf_search (same centroids, same probes) — which is the
+    * point: persistence round-trips the index bit-exactly, and the
+    * probe scan on the reloaded layout prunes to nprobe directories
+    * (asserted in FingerprintStorageSpec). */
+  def indexSaveLoad(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
+      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = trainCentroids(sample, 16, 10)
+    lastSaveLoadCentroids = centroids
+
+    val out = java.nio.file.Files.createTempDirectory("graft_index_saveload").toString
+    assign(emb, centroids).write.partitionBy("centroid").mode("overwrite").parquet(out)
+    val loaded = s.read.parquet(out)
+
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+    val probes = qRows.flatMap { r =>
+      nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
+    }
+    val probeDf = s.createDataFrame(
+      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+    val cand = loaded.join(probeDf, "centroid")
+    val scored = cand.join(
+      queries.select(col("vec_id").as("qid"),
+        col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= VectorSearch.K)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ivf_search" -> (ivfSearch _),
-      "ivf_search_mllib" -> (ivfSearchMLlib _))
+      "ivf_search_mllib" -> (ivfSearchMLlib _),
+      "index_save_load" -> (indexSaveLoad _))
 
   // ------------------------------------------------------------ oracles
   // k-means TRAINING is not SQL-expressible, but it is deterministic and
@@ -266,6 +306,7 @@ object IvfIndex {
   // determinism audit.
   @volatile private var lastIvfCentroids: Array[Array[Double]] = _
   @volatile private[operators] var lastMllibCentroids: Array[Array[Double]] = _
+  @volatile private var lastSaveLoadCentroids: Array[Array[Double]] = _
 
   private def ivfSql(centroids: Array[Array[Double]], nprobe: Int): String = {
     import graft.OracleSql
@@ -300,6 +341,8 @@ object IvfIndex {
     val m = Map.newBuilder[String, String]
     if (lastIvfCentroids != null) m += "ivf_search" -> ivfSql(lastIvfCentroids, 4)
     if (lastMllibCentroids != null) m += "ivf_search_mllib" -> ivfSql(lastMllibCentroids, 4)
+    if (lastSaveLoadCentroids != null)
+      m += "index_save_load" -> ivfSql(lastSaveLoadCentroids, 4)
     m.result()
   }
 }
