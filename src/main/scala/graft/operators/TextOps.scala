@@ -375,7 +375,51 @@ object TextOps {
       |SELECT doc_id, word, CAST(score_ppm AS BIGINT) AS score_ppm, CAST(rk AS INT) AS rk
       |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Overlapping fixed-length token chunking — the embedding-pipeline
+    * splitter (chunk length L tokens, stride S): chunk i covers tokens
+    * [i·S, i·S+L). Emits per chunk the token span plus an md5
+    * fingerprint of the chunk text (tokens joined by single spaces) —
+    * the downstream dedup/embedding key. Chunk count = 1 for docs with
+    * ≤L tokens, else ceil((n−L)/S)+1 — pure integer arithmetic; the
+    * last chunk is the only one allowed to be short. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+  def docChunking(s: SparkSession, dir: String): DataFrame = {
+    val L = ChunkLen; val S = ChunkStride
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= L, lit(1L))
+          .otherwise(expr(s"(n_tok - $L + $S - 1) div $S") + 1L))
+      .select(col("doc_id"), col("w"), col("n_tok"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        (col("chunk_id") * S).cast("long").as("start_tok"),
+        least(col("chunk_id") * S + L, col("n_tok")).cast("long").as("end_tok"),
+        md5(expr(s"cast(array_join(slice(w, chunk_id * $S + 1, $L), ' ') as binary)"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val docChunkingSql: String = {
+    val L = ChunkLen; val S = ChunkStride
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |           FROM documents),
+       |c AS (SELECT doc_id, w, len(w) AS n_tok,
+       |        CASE WHEN len(w) <= $L THEN 1
+       |             ELSE (len(w) - $L + $S - 1) // $S + 1 END AS n_chunks
+       |      FROM t)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(chunk_id * $S AS BIGINT) AS start_tok,
+       |  CAST(least(chunk_id * $S + $L, n_tok) AS BIGINT) AS end_tok,
+       |  md5(array_to_string(list_slice(w, chunk_id * $S + 1, chunk_id * $S + $L), ' ')) AS chunk_md5
+       |FROM (SELECT doc_id, w, n_tok, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunking" -> (docChunking _),
     "text_tfidf" -> (textTfidf _),
     "data_split" -> (dataSplit _),
     "doc_packing" -> (docPacking _),
@@ -390,6 +434,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "doc_chunking" -> docChunkingSql,
     "text_tfidf" -> textTfidfSql,
     "text_winnow" -> textWinnowSql,
     "data_split" -> dataSplitSql,
