@@ -540,7 +540,9 @@ object Relational {
       | CAST(sum(k) AS BIGINT) AS sum_k,
       | CAST(min(k) AS BIGINT) AS min_k,
       | CAST(max(k) AS BIGINT) AS max_k
-      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM (SELECT event_type,
+      |        CASE WHEN json_valid(props)
+      |             THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
       |      FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
