@@ -20,6 +20,16 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(r.getDouble(4) == 0.5)
   }
 
+  test("md5_lower64 pins the DuckDB md5_number_lower byte convention") {
+    GraftFunctions.register(spark)
+    // DuckDB: SELECT md5_number_lower('hello') = 10575884659879408057
+    // (digest bytes 8..15 little-endian); as a signed long that is
+    // 10575884659879408057 - 2^64
+    val got = spark.sql("SELECT md5_lower64('hello')").head.getLong(0)
+    assert(got == java.lang.Long.parseUnsignedLong("10575884659879408057"),
+      s"md5_lower64('hello') = $got")
+  }
+
   test("shingle_hashes and winnow_fp over the documents table in SQL") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, sfDir)
