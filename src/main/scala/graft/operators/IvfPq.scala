@@ -9,7 +9,9 @@ import graft.Tables
 
 /** IVF-PQ: the standard billion-scale ANN layout (Jégou et al., PAMI
   * 2011 — "Product Quantization for Nearest Neighbor Search"), composed
-  * from the two operators this engine already has:
+  * from the two reference capabilities this engine already re-expresses
+  * (hnsw-role ANN routing, vector_index.py:64-105 index_type handling;
+  * product quantization, quantization.py:28-124):
   *
   *   route (IVF centroids) → encode RESIDUAL v − c(v) with PQ →
   *   probe nprobe buckets → per-bucket ADC over 1-byte codes →
