@@ -120,6 +120,40 @@ object VectorSearch {
     Knn.topK(emb.filter(col("content_type") === "image"), queries, K, Knn.Cosine)
   }
 
+  /** Dual-embedding-space routing (reference README "Dual-Encoder
+    * Strategy": CLIP and CLAP vectors share one store but their
+    * similarities are NOT comparable — a query scores only against its
+    * own space). Space is a deterministic label derivation here; each
+    * query's scan is restricted to its space BEFORE scoring, so
+    * cross-space pairs are never computed, let alone compared. */
+  def dualspaceSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .withColumn("space", (col("label") % 2).cast("int"))
+    val q = emb.filter(col("vec_id") < NQueries)
+    Seq(0, 1).map { sp =>
+      Knn.topK(emb.filter(col("space") === sp), q.filter(col("space") === sp), K, Knn.Cosine)
+        .withColumn("space", lit(sp))
+    }.reduce(_ union _)
+      .select("qid", "space", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val dualspaceSearchSql: String =
+    s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |            FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, CAST(e.label % 2 AS INT) AS space,
+       |             e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE e.vec_id < $NQueries),
+       |s AS (SELECT q.qid, q.space, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE CAST(e.label % 2 AS INT) = q.space)
+       |SELECT qid, space, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
   /** Index stats per modality (vector_index.py:279-291 get_stats). */
   def indexStats(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings").withColumn("content_type",
@@ -344,6 +378,7 @@ object VectorSearch {
     "knn_ip" -> knn(Knn.Ip) _,
     "knn_filtered" -> (knnFiltered _),
     "knn_graph" -> (knnGraph _),
+    "dualspace_search" -> (dualspaceSearch _),
     "knn_matryoshka" -> (knnMatryoshka _),
     "knn_fp16" -> (knnFp16 _),
     "knn_int8" -> (knnInt8 _),
@@ -362,6 +397,7 @@ object VectorSearch {
     "knn_fp16" -> knnFp16Sql,
     "knn_filtered" -> knnFilteredSql,
     "knn_graph" -> knnGraphSql,
+    "dualspace_search" -> dualspaceSearchSql,
     "knn_matryoshka" -> knnMatryoshkaSql,
     "crossmodal_search" -> crossmodalSql,
     "index_stats" -> indexStatsSql)
