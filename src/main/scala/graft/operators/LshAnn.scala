@@ -82,13 +82,6 @@ object LshAnn {
     lshSearch(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), VectorSearch.K)
   }
 
-  private def dlit(d: Double): String = {
-    val s = d.toString
-    // bare decimal literals parse as DECIMAL in DuckDB and drop the
-    // 17th digit; exponent notation forces DOUBLE
-    if (s.contains('E') || s.contains('e')) s else s + "e0"
-  }
-
   /** Bit-exact SQL twin: the 8×64 hyperplane components are
     * deterministic constants (splitmix64-derived), so they are embedded
     * as double literals — no need to reproduce the mixer in SQL. Bucket
@@ -101,7 +94,7 @@ object LshAnn {
     val nq = VectorSearch.NQueries; val k = VectorSearch.K
     val bucketExpr = (0 until NumBits).map { b =>
       val dot = (1 to OracleSql.Dim)
-        .map(i => s"CAST(embedding[$i] AS DOUBLE)*${dlit(plane(b, i - 1))}")
+        .map(i => s"CAST(embedding[$i] AS DOUBLE)*${OracleSql.dlit(plane(b, i - 1))}")
         .mkString("(", " + ", ")")
       s"(CASE WHEN $dot > 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
