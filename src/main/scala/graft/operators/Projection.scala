@@ -42,14 +42,9 @@ object Projection {
   }
 
   val projectionSql: String = {
-    // Bare decimal literals parse as DECIMAL in DuckDB (truncating the
-    // 17th significant digit); an exponent suffix forces a true DOUBLE.
-    def dlit(x: Double): String = {
-      val s = x.toString
-      if (s.contains("E") || s.contains("e")) s else s + "e0"
-    }
     def projSql(j: Int): String =
-      (0 until InDim).map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*${dlit(w(j, i))}")
+      (0 until InDim)
+        .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*${graft.OracleSql.dlit(w(j, i))}")
         .mkString("(", " + ", ")")
     val ps = (0 until OutDim).map(j => s"${projSql(j)} AS p$j").mkString(",\n  ")
     val normSql = (0 until OutDim).map(j => s"p$j*p$j").mkString("sqrt(", " + ", ")")

@@ -90,21 +90,35 @@ object TextOps {
         regexp_count(col("text"), lit("[0-9]")).as("n_digit"),
         aggregate(transform(col("toks"), t => length(t)), lit(0), (a, b) => a + b)
           .as("sum_tok_len"))
-      .withColumn("mean_word_len", col("sum_tok_len").cast("double") / nt)
-      .withColumn("stop_ratio", col("n_stop").cast("double") / nt)
-      .withColumn("digit_ratio", col("n_digit").cast("double") / col("n_chars_text").cast("double"))
+      // zero-token/zero-char guards: Spark's x/0 is NULL while DuckDB's
+      // is NaN/Inf — define all ratios as 0.0 on empty docs (both sides)
+      .withColumn("mean_word_len",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("sum_tok_len").cast("double") / nt))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_stop").cast("double") / nt))
+      .withColumn("digit_ratio",
+        when(col("n_chars_text") === 0, lit(0.0))
+          .otherwise(col("n_digit").cast("double") / col("n_chars_text").cast("double")))
       .withColumn("quality_score",
-        lit(0.5) * least(lit(1.0), nt / lit(50.0)) + lit(0.5) * (col("n_stop").cast("double") / nt))
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(lit(0.5) * least(lit(1.0), nt / lit(50.0)) +
+            lit(0.5) * (col("n_stop").cast("double") / nt)))
       .orderBy("doc_id")
   }
 
   val textQualitySql: String =
     s"""SELECT doc_id, n_chars_text, n_tokens, n_stop, n_digit, sum_tok_len,
-       | CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS mean_word_len,
-       | CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
-       | CAST(n_digit AS DOUBLE)/CAST(n_chars_text AS DOUBLE) AS digit_ratio,
-       | 0.5 * least(1.0, CAST(n_tokens AS DOUBLE)/50.0)
-       |   + 0.5 * (CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)) AS quality_score
+       | CASE WHEN n_tokens = 0 THEN 0.0e0
+       |      ELSE CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) END AS mean_word_len,
+       | CASE WHEN n_tokens = 0 THEN 0.0e0
+       |      ELSE CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+       | CASE WHEN n_chars_text = 0 THEN 0.0e0
+       |      ELSE CAST(n_digit AS DOUBLE)/CAST(n_chars_text AS DOUBLE) END AS digit_ratio,
+       | CASE WHEN n_tokens = 0 THEN 0.0e0
+       |      ELSE 0.5 * least(1.0, CAST(n_tokens AS DOUBLE)/50.0)
+       |        + 0.5 * (CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)) END AS quality_score
        |FROM (SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
        |  CAST(len(toks) AS INT) AS n_tokens,
        |  ${sqlMarkCount(MarkEn)} AS n_stop,
