@@ -46,4 +46,51 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(df.collect().map(_.getSeq[Float](0)).toSeq ==
       single.collect().map(_.getSeq[Float](0)).toSeq)
   }
+
+  test("shingle hashes are whitespace-normalized: multi-space == single-space") {
+    import graft.functions.ShingleHashArr
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(t: String) = ShingleHashArr.hashes(UTF8String.fromString(t)).toSeq
+    assert(h("a  b \u0020  c d") == h("a b c d"))
+    assert(h(" a b c ") == h("a b c"))
+    // <3 tokens: one whole-normalized-text shingle
+    assert(h("a  b").length == 1 && h("a  b") == h("a b"))
+    assert(h("").length == 1)
+  }
+
+  test("dedup_ngram_jaccard drops <3-token docs on the engine side (oracle parity)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("n_chars", IntegerType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "s", "one two", "en", 7),       // <3 tokens: excluded
+      Row(2L, "s", "one two", "en", 7),       // identical short doc
+      Row(3L, "s", "alpha beta gamma delta", "en", 22),
+      Row(4L, "s", "alpha beta gamma delta", "en", 22))
+    val docs = spark.createDataFrame(rows, schema)
+    // mirror the operator body: same filter, same shingles, same threshold
+    val d = docs.filter(expr("size(filter(split(text, ' '), x -> x != '')) >= 3"))
+      .select(col("doc_id"), Dedup.shingleHashes3(col("text")).as("sh"))
+    val pairs = d.alias("a").join(d.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", graft.functions.JaccardOps.sortedJaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L)), s"got $pairs")
+  }
+
+  test("winnow fingerprint count matches the distinct-window-minima formula") {
+    import graft.functions.{TextHash, WinnowHashArr}
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val got = WinnowHashArr.fingerprints(UTF8String.fromString(t), 5, 4).length
+    // independent recomputation: distinct minima (unsigned) of each
+    // 4-gram-hash window over character 5-grams
+    val grams = (0 to t.length - 5)
+      .map(i => TextHash.md5Lower64(t.substring(i, i + 5).getBytes("UTF-8")))
+    val minima = grams.sliding(4).map(_.minBy(x => x ^ Long.MinValue)).toSet
+    assert(got == minima.size)
+  }
 }
