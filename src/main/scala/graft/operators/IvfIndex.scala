@@ -290,9 +290,95 @@ object IvfIndex {
       .orderBy("qid", "rank")
   }
 
+  /** Adaptive nprobe: probe buckets in (distance, id) order until the
+    * cumulative candidate count reaches `minCand` — fixed-nprobe recall
+    * collapses when a query's nearest buckets happen to be small
+    * (skewed k-means cells); extending by CANDIDATE BUDGET instead of
+    * bucket count stabilizes it. Include-while rule: a bucket is probed
+    * iff the cumulative size BEFORE it is < minCand (so the budget is
+    * always reached, and at least one bucket is always probed). */
+  val MinCand = 64
+  def ivfAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
+      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = trainCentroids(sample, 16, 10)
+    lastAdaptiveCentroids = centroids
+    val assigned = assign(emb, centroids)
+
+    // bucket sizes: nlist rows — driver-side is the right scale
+    val sizes: Map[Int, Long] = assigned.groupBy("centroid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+    val probes = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val ordered = nearestN(centroids, r.getSeq[Double](1).toArray, centroids.length)
+      var cum = 0L
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+      ordered.foreach { c =>
+        if (cum < MinCand) { sel += c; cum += sizes.getOrElse(c, 0L) }
+      }
+      sel.map(c => (qid, c))
+    }
+    val probeDf = s.createDataFrame(
+      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+    val cand = assigned.join(probeDf, "centroid")
+    val scored = cand.join(
+      queries.select(col("vec_id").as("qid"),
+        col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= VectorSearch.K)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  @volatile private var lastAdaptiveCentroids: Array[Array[Double]] = _
+
+  /** Adaptive-probe twin: bucket sizes from a groupBy, probe order by
+    * (dist, c) per query, include while the EXCLUSIVE running size is
+    * under the budget, then the standard cosine re-rank. */
+  private def ivfAdaptiveSql(centroids: Array[Array[Double]], minCand: Int): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val nlist = centroids.length
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
+       |bs AS (SELECT centroid, count(*) AS sz FROM a GROUP BY 1),
+       |pe AS (SELECT vec_id AS qid, unnest(dl) AS dist, unnest(range(0, $nlist)) AS c
+       |       FROM d WHERE vec_id < $nq),
+       |pc AS (SELECT qid, c,
+       |        coalesce(sum(coalesce(bs.sz, 0)) OVER (
+       |          PARTITION BY qid ORDER BY dist ASC, c ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |       FROM pe LEFT JOIN bs ON bs.centroid = pe.c),
+       |pr AS (SELECT qid, c FROM pc WHERE cum_before < $minCand),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id WHERE e.vec_id < $nq),
+       |s AS (SELECT p.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM pr p JOIN a e ON e.centroid = p.c
+       |      JOIN q ON q.qid = p.qid
+       |      JOIN nrm n ON n.vec_id = e.vec_id)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ivf_search" -> (ivfSearch _),
       "ivf_search_mllib" -> (ivfSearchMLlib _),
+      "ivf_adaptive" -> (ivfAdaptive _),
       "index_save_load" -> (indexSaveLoad _))
 
   // ------------------------------------------------------------ oracles
@@ -343,6 +429,8 @@ object IvfIndex {
     if (lastMllibCentroids != null) m += "ivf_search_mllib" -> ivfSql(lastMllibCentroids, 4)
     if (lastSaveLoadCentroids != null)
       m += "index_save_load" -> ivfSql(lastSaveLoadCentroids, 4)
+    if (lastAdaptiveCentroids != null)
+      m += "ivf_adaptive" -> ivfAdaptiveSql(lastAdaptiveCentroids, MinCand)
     m.result()
   }
 }
