@@ -432,7 +432,21 @@ object TextOps {
        |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Classifier evaluation surface: confusion counts of the rule-based
+    * language ID against the labeled `lang` column (integer-exact). */
+  def textLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    textLangid(s, dir)
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted_lang")
+
+  val textLangidConfusionSql: String =
+    s"""SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM (${textLangidSql.replace("ORDER BY doc_id", "")}) t
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_confusion" -> (textLangidConfusion _),
     "doc_chunking" -> (docChunking _),
     "text_tfidf" -> (textTfidf _),
     "data_split" -> (dataSplit _),
@@ -448,6 +462,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "text_langid_confusion" -> textLangidConfusionSql,
     "doc_chunking" -> docChunkingSql,
     "text_tfidf" -> textTfidfSql,
     "text_winnow" -> textWinnowSql,
