@@ -21,14 +21,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val corpus = spark.range(n).select(col("id").as("vec_id"))
-      .as[Long].mapPartitions { it =>
-        it.map { id =>
-          val v = Array.tabulate(64)(i =>
-            ((graft.functions.TextHash.mix64(id * 64L + i) >>> 11) / 9007199254740992.0 * 2.0 - 1.0).toFloat)
-          (id, v)
-        }
-      }.toDF("vec_id", "embedding")
+    // the DSv2 source (graft.sources.VectorGen) generates the corpus —
+    // same splitmix64 formula, read through the connector stack
+    val corpus = spark.read.format("graft.sources.VectorGen")
+      .option("n", n).option("dim", 64).option("partitions", 64).load()
+      .select(col("vec_id"), col("embedding"))
       .localCheckpoint(true) // materialize so timings measure the operator, not generation
 
     val queries = corpus.filter(col("vec_id") < 16)
