@@ -445,7 +445,36 @@ object TextOps {
        |FROM (${textLangidSql.replace("ORDER BY doc_id", "")}) t
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Deterministic hash-Bernoulli corpus sampling (reproducible
+    * downsampling, the sibling of data_split): keep a doc iff the low
+    * 32 bits of md5("sample:"+doc_id) fall under rate·2³² — content-
+    * independent, engine-independent, stable under repartitioning and
+    * incremental reruns. Emits the kept rows + the per-lang keep
+    * counts that a pipeline audit records. */
+  val SampleRate = 0.2
+  def dataSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val threshold = (SampleRate * 4294967296.0).toLong
+    Tables.load(s, dir, "documents")
+      .withColumn("h",
+        graft.functions.TextHashOps.md5Lower64(concat(lit("sample:"), col("doc_id")))
+          .bitwiseAND(lit(4294967295L)))
+      .filter(col("h") < threshold)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_kept"))
+      .orderBy("lang")
+  }
+
+  val dataSampleStratifiedSql: String = {
+    val threshold = (SampleRate * 4294967296.0).toLong
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       | CAST(min(doc_id) AS BIGINT) AS first_kept
+       |FROM documents
+       |WHERE (md5_number_lower('sample:' || doc_id) & 4294967295) < $threshold
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_sample_stratified" -> (dataSampleStratified _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "doc_chunking" -> (docChunking _),
     "text_tfidf" -> (textTfidf _),
@@ -462,6 +491,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "data_sample_stratified" -> dataSampleStratifiedSql,
     "text_langid_confusion" -> textLangidConfusionSql,
     "doc_chunking" -> docChunkingSql,
     "text_tfidf" -> textTfidfSql,
