@@ -18,6 +18,13 @@ import graft.functions.TextHash
   * payload bytes. Everything AROUND the stub — schema, typed metadata,
   * partition-level batching, embedding-column shape, downstream k-NN
   * compatibility — is the real Spark plumbing and is tested.
+  *
+  * Batch shape note: in a PySpark deployment this exact surface is
+  * `mapInPandas` (binary column in, Arrow batch per partition, feature
+  * column out). This library is Scala-native, so the same per-partition
+  * batched contract is expressed with `mapPartitions` over a typed
+  * Dataset — one "model load" per partition, vectorized batch inside —
+  * which is the JVM-side equivalent (and skips the Python/Arrow hop).
   */
 object BinaryColumns {
   val FeatureDim = 64
