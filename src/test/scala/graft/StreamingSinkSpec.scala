@@ -50,4 +50,36 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters"), plan.take(800))
     assert(probed.count() == batch.count(_._2 == 3))
   }
+
+  test("checkpoint recovery: a restarted ingest query neither loses nor duplicates rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val sample = emb.select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = operators.IvfIndex.trainCentroids(sample, 8, 10)
+    val rows = emb.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+
+    val out = Files.createTempDirectory("graft_recover_sink").toString
+    val ckpt = Files.createTempDirectory("graft_recover_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    def start() = operators.IvfIndex.assign(
+        input.toDF().toDF("vec_id", "embedding"), centroids)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .partitionBy("centroid").outputMode("append").start()
+
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val q1 = start()
+    input.addData(a.toSeq: _*); q1.processAllAvailable()
+    q1.stop() // simulated failure/restart boundary
+
+    val q2 = start() // SAME checkpoint: resumes committed offsets
+    input.addData(b.toSeq: _*); q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out).select($"vec_id").as[Long].collect().sorted
+    assert(got.length == rows.length, s"lost/duplicated: ${got.length} vs ${rows.length}")
+    assert(got.toSeq == rows.map(_._1).sorted.toSeq)
+  }
 }
