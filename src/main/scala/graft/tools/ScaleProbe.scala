@@ -13,6 +13,9 @@ import graft.operators.{IvfIndex, Knn}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    // optional probe filter: substrings of probe names to run
+    val only = args.drop(1)
+    def wanted(name: String): Boolean = only.isEmpty || only.exists(name.contains)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -30,12 +33,11 @@ object ScaleProbe {
 
     val queries = corpus.filter(col("vec_id") < 16)
 
-    def time[T](name: String)(f: => T): T = {
+    def time(name: String)(f: => Any): Unit = if (wanted(name)) {
       val t0 = System.nanoTime()
-      val r = f
+      f
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $name: $s%.2f s (${n / s / 1e6}%.1f M rows/s)")
-      r
     }
 
     time("brute-force kNN k=10, 16 queries")(
