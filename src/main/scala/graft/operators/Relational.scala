@@ -584,7 +584,37 @@ object Relational {
       | CAST(sum(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN vc END) AS DOUBLE)/100.0 AS p99
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sliding (hopping) 1-hour windows on a 15-minute hop: each event
+    * lands in the 4 windows covering it — window starts derived with
+    * exact integer ns arithmetic (floor to hop, back off 3 hops, keep
+    * starts ≤ ts < start+window). The hopping-aggregation staple that
+    * tumbling windows don't cover. */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame = {
+    val hopNs = 900000000000L       // 15 min
+    val winNs = 3600000000000L      // 1 h
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("ts"),
+        expr(s"(ts - pmod(ts, $hopNs)) div $hopNs").as("hop_idx"))
+      .select(col("event_type"), col("ts"),
+        explode(expr("sequence(hop_idx - 3, hop_idx)")).as("win_hop"))
+      .filter(col("win_hop") >= 0 &&
+        expr(s"win_hop * $hopNs + $winNs") > col("ts"))
+      .groupBy(expr(s"win_hop * 900").as("win_start_s"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("win_start_s", "event_type")
+  }
+
+  val eventsSlidingSql: String =
+    """SELECT win_hop * 900 AS win_start_s, event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT event_type, ts, unnest(range(h - 3, h + 1)) AS win_hop
+      |  FROM (SELECT event_type, epoch_ns(ts) AS ts,
+      |          epoch_ns(ts) // 900000000000 AS h FROM events))
+      |WHERE win_hop >= 0 AND win_hop * 900000000000 + 3600000000000 > ts
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sliding" -> (eventsSliding _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_props_json" -> (eventsPropsJson _),
     "q_supplier_top" -> (qSupplierTop _),
@@ -610,6 +640,7 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_sliding" -> eventsSlidingSql,
     "events_value_quantiles" -> eventsValueQuantilesSql,
     "events_props_json" -> eventsPropsJsonSql,
     "q_supplier_top" -> qSupplierTopSql,
