@@ -14,17 +14,16 @@ object Bench {
     // so the first measured query doesn't absorb ~4s of JVM startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
-    // min of two runs per query: machine noise on a shared host was
-    // measured at up to 2× on identical code; the minimum is the
-    // steady-state cost of the plan.
+    // min of three runs per query: machine noise on a shared host was
+    // measured at up to 2× on identical code (whole runs uniformly
+    // inflated); the minimum is the steady-state cost of the plan.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val t1 = once(); val t2 = once()
-      name -> math.min(t1, t2)
+      name -> Seq(once(), once(), once()).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
