@@ -17,18 +17,33 @@ object Bench {
     // min of three runs per query: machine noise on a shared host was
     // measured at up to 2× on identical code (whole runs uniformly
     // inflated); the minimum is the steady-state cost of the plan.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val runs = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> Seq(once(), once(), once()).min
+      name -> Seq(once(), once(), once())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = runs.map { case (k, v) => k -> v.min }
+    def r3(v: Double): String = f"$v%.3f" // ms precision keeps the line short
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Latency distribution over the steady-state per-query times
+    // (the analogue of the reference's benchmark_search percentiles,
+    // metrics.py:221-253) + aggregate QPS.
+    val sorted = results.values.toArray.sorted
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
+    val qps = if (total > 0) results.size / total else 0.0
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","p50":${r3(pct(0.5))},"p95":${r3(pct(0.95))},"qps":${r3(qps)},"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // The machine-readable line goes to its OWN file as well as stdout:
+    // a truncated stdout tail must not lose the round's bench artifact.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

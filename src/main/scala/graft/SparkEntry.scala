@@ -21,6 +21,7 @@ object SparkEntry {
     Relational.queries ++ VectorSearch.queries ++ TextOps.queries ++
       EvalMetrics.queries ++ Dedup.queries ++ IvfIndex.queries ++
       LshAnn.queries ++ ProductQuant.queries ++ Mmr.queries ++ Projection.queries ++ IvfPq.queries ++ NnDescent.queries ++ IndexComparison.queries ++
+      graft.streaming.StreamingQueries.queries ++
       Map("multimodal_embed" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.BinaryColumns.mediaFeatures(s, dir)
           .select(col("vec_id"), col("modality"), size(col("embedding")).as("dim"))
@@ -35,6 +36,7 @@ object SparkEntry {
     Relational.oracles ++ VectorSearch.oracles ++ TextOps.oracles ++
       EvalMetrics.oracles ++ Dedup.oracles ++ IvfIndex.oracles ++
       LshAnn.oracles ++ ProductQuant.oracles ++ Mmr.oracles ++ Projection.oracles ++ IvfPq.oracles ++ NnDescent.oracles ++ IndexComparison.oracles ++
+      graft.streaming.StreamingQueries.oracles ++
       Map("multimodal_embed" ->
         """SELECT doc_id AS vec_id,
           |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

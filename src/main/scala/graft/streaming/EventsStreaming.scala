@@ -82,7 +82,10 @@ object StreamingTopK {
   import org.apache.spark.sql.{Dataset, SparkSession}
 
   case class Scored(qid: Long, vec_id: Long, score: Double)
-  case class TopKOut(qid: Long, vec_id: Long, score: Double, rank: Int)
+  /** `seen` = corpus rows folded into this key's state so far: the
+    * convergence marker (seen == corpus size ⇔ the emission is the
+    * final, batch-equal top-k — how stream_topk grades itself). */
+  case class TopKOut(qid: Long, vec_id: Long, score: Double, rank: Int, seen: Long)
 
   def run(vectors: Dataset[(Long, Seq[Double])],
           queries: Array[(Long, Array[Double])],
@@ -107,17 +110,20 @@ object StreamingTopK {
       }
     }
     scored.groupByKey(_.qid)
-      .flatMapGroupsWithState[List[(Double, Long)], TopKOut](
+      .flatMapGroupsWithState[(List[(Double, Long)], Long), TopKOut](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (qid: Long, it: Iterator[Scored], state: GroupState[List[(Double, Long)]]) =>
-          var top = state.getOption.getOrElse(Nil)
+        (qid: Long, it: Iterator[Scored],
+         state: GroupState[(List[(Double, Long)], Long)]) =>
+          var (top, seen) = state.getOption.getOrElse((Nil, 0L))
           it.foreach { s =>
+            seen += 1
             top = ((s.score, s.vec_id) :: top)
               .sortBy { case (sc, id) => (-sc, id) }
               .take(k)
           }
-          state.update(top)
-          top.zipWithIndex.map { case ((sc, id), i) => TopKOut(qid, id, sc, i + 1) }.iterator
+          state.update((top, seen))
+          val n = seen
+          top.zipWithIndex.map { case ((sc, id), i) => TopKOut(qid, id, sc, i + 1, n) }.iterator
       }
   }
 }

@@ -18,7 +18,10 @@ import graft.operators.Mmr
   * executors like any keyed stream. */
 object StreamingMmr {
   case class Cand(qid: Long, vecId: Long, rel: Double, vec: Seq[Double])
-  case class Sel(qid: Long, vec_id: Long, mmr_rank: Int, mmr_score: Double)
+  /** `pool_n` = accumulated candidate-pool size at emission time: once
+    * it reaches the ANN stage's candidate count the emission is the
+    * final, batch-equal selection (how stream_mmr grades itself). */
+  case class Sel(qid: Long, vec_id: Long, mmr_rank: Int, mmr_score: Double, pool_n: Int)
 
   def select(ds: Dataset[Cand], k: Int = Mmr.SelectK,
              lambda: Double = Mmr.Lambda): Dataset[Sel] = {
@@ -34,7 +37,7 @@ object StreamingMmr {
           state.update(pool)
           val arr = pool.map(c => (c.vecId, c.rel, c.vec.toArray)).toArray
           Mmr.select(arr, k, lambda).zipWithIndex.iterator.map {
-            case ((id, s), i) => Sel(qid, id, i + 1, s)
+            case ((id, s), i) => Sel(qid, id, i + 1, s, arr.length)
           }
       }
   }

@@ -1,0 +1,248 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+import graft.operators.{Dedup, IvfIndex, Knn, Mmr, Relational, VectorSearch}
+
+/** GRADED streaming queries: each runs the corpus through a
+  * MemoryStream in adversarial chunks, drains it with
+  * processAllAvailable, and returns the converged result as a plain
+  * DataFrame — which the driver then checks against the BATCH DuckDB
+  * oracle. This is the hard form of the "streaming == batch" claim the
+  * ScalaTest specs make: the streaming path must reproduce the batch
+  * answer bit-exactly (rows + schema + hash), not just approximately.
+  *
+  * Scale note: collecting the input to the driver is an artifact of
+  * MemoryStream (the only deterministic-chunking source); the
+  * *operators* under test never rely on it — they are the same
+  * watermark/window, flatMapGroupsWithState and stream-static-join
+  * pipelines that would read from Kafka/files on a cluster, and their
+  * state is bounded (per-key top-k/pool/bucket-membership only).
+  */
+object StreamingQueries {
+  private val ctr = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def sinkName(p: String) = s"${p}_${ctr.incrementAndGet()}"
+
+  /** Start `build`'s streaming query over a MemoryStream, feed the
+    * chunks (one micro-batch each), drain, stop, and hand back the
+    * memory sink's table. */
+  private def drain[A: Encoder](spark: SparkSession, chunks: Seq[Seq[A]],
+                                mode: String, name: String)
+                               (build: Dataset[A] => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[A]
+    val q = build(input.toDS()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private def split3[A](rows: Array[A]): Seq[Seq[A]] =
+    rows.grouped(math.max(1, rows.length / 3 + 1)).map(_.toSeq).toSeq
+
+  /** Tumbling 1-hour windowed counts over a streamed events table —
+    * watermark + window agg, complete mode; equals the batch
+    * events_tumbling GROUP BY (oracle: eventsTumblingSql). Arrival is
+    * time-ordered (a stream's natural shape), chunked into 3 triggers. */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    val out = drain(s, split3(rows), "complete", sinkName("stream_tumbling")) { ds =>
+      // ts arrives as nanos-since-epoch; the streaming window operator
+      // needs TimestampType (µs) — the dropped ns tail cannot move an
+      // event across an hour boundary.
+      EventsStreaming.tumblingCounts(
+        ds.toDF("tsn", "event_type", "value")
+          .withColumn("ts", timestamp_micros(expr("tsn div 1000"))))
+    }
+    out.select(col("hour_start"), col("event_type"), col("n"), col("sum_value_cents"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Keyed-state sessionization over a streamed events table; a
+    * far-future poison event per user closes the final open sessions
+    * (poison sessions stay open in state and are never emitted), so
+    * the emitted set equals batch events_sessionize exactly. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(e => (e._2, e._1))
+      .map { case (u, t, v) => EventsStreaming.Ev(u, t, v) }
+    val maxTs = ev.map(_.tsNs).max
+    val poison = ev.map(_.user_id).distinct.sorted
+      .map(u => EventsStreaming.Ev(u, maxTs + 10000L * 1000000000L, 0L)).toSeq
+    val out = drain(s, split3(ev) :+ poison, "append", sinkName("stream_sessionize")) {
+      ds => EventsStreaming.sessionize(ds).toDF()
+    }
+    out.select(col("user_id"), col("sess_id"), col("session_start"),
+        col("n_events"), col("sum_value_cents"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** Online serving: QUERY vectors stream in against the static corpus
+    * (stream-static cross join scored by the codegen cosine), keyed
+    * state keeps the per-query exact top-k. Each query's candidates
+    * all arrive in its own trigger, so each emission is final; the
+    * union equals batch knn_cosine. */
+  def streamKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val qs = emb.filter(col("vec_id") < VectorSearch.NQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val k = VectorSearch.K
+    val chunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
+    val out = drain(s, chunks, "update", sinkName("stream_knn")) { ds =>
+      val scored = ds.toDF("qid", "qv").crossJoin(corpus)
+        .withColumn("score",
+          graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+        .select(col("qid"), col("vec_id"), col("score"))
+        .as[(Long, Long, Double)]
+      scored.groupByKey(_._1)
+        .flatMapGroupsWithState[List[(Double, Long)], (Long, Long, Double, Int)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (qid: Long, it: Iterator[(Long, Long, Double)],
+           state: GroupState[List[(Double, Long)]]) =>
+            var top = state.getOption.getOrElse(Nil)
+            it.foreach { case (_, id, sc) =>
+              top = ((sc, id) :: top)
+                .sortBy { case (s0, i0) => (-s0, i0) }.take(k)
+            }
+            state.update(top)
+            top.zipWithIndex.iterator.map { case ((sc, id), i) => (qid, id, sc, i + 1) }
+        }.toDF("qid", "vec_id", "score", "rank")
+    }
+    out.orderBy("qid", "rank")
+  }
+
+  /** Incremental index ingest: streamed vectors are centroid-routed by
+    * the same codegen NearestCentroidExpr as the batch build — the
+    * writeStream.partitionBy landing path of stream_sink. Output is
+    * the full assignment table; the oracle recomputes every argmin
+    * from this run's trained centroids. */
+  def streamIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val sample = emb.select(col("embedding").cast("array<double>"))
+      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = IvfIndex.trainCentroids(sample, 16, 10)
+    lastIngestCentroids = centroids
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val out = drain(s, split3(vecs), "append", sinkName("stream_ingest")) { ds =>
+      IvfIndex.assign(ds.toDF("vec_id", "embedding"), centroids)
+        .select(col("vec_id"), col("centroid"))
+    }
+    out.orderBy("vec_id")
+  }
+
+  /** Continuous top-k: the CORPUS streams in (index ingests forever),
+    * per-query keyed state maintains the running exact top-k; the
+    * emissions whose state has seen the whole corpus are the converged
+    * result and equal batch knn_cosine. */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.toArray) }
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val chunks = corpus.grouped(math.max(1, corpus.length / 2)).map(_.toSeq).toSeq
+    val out = drain(s, chunks, "update", sinkName("stream_topk")) { ds =>
+      StreamingTopK.run(ds, queries, VectorSearch.K).toDF()
+    }
+    out.filter(col("seen") === corpus.length)
+      .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Incremental LSH near-dup detection: band hits replay in
+    * adversarial chunks through the stateful bucket membership; the
+    * streamed candidate set, exact-Jaccard-verified, equals batch
+    * dedup_minhash_lsh. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val hits = StreamingDedup.bandHits(docs, "doc_id", "text")
+      .as[StreamingDedup.BandHit].collect()
+      .sortBy(h => (h.doc_id % 3, h.bucket))
+    val cand = drain(s, split3(hits), "append", sinkName("stream_dedup")) { ds =>
+      StreamingDedup.candidatePairs(ds).toDF()
+    }.distinct()
+    val base = docs.select(col("doc_id"), Dedup.shingleHashes3(col("text")).as("sh"))
+    broadcast(cand)
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        graft.functions.JaccardOps.sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Streaming MMR: candidate pools accumulate per query across
+    * triggers; the emission whose pool is complete is the final
+    * diversity selection and equals batch mmr_rerank. */
+  def streamMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val cands = Knn.topK(emb, queries, Mmr.CandidateK, Knn.Cosine)
+      .join(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb")), "vec_id")
+      .select(col("qid"), col("vec_id"), col("score"), col("emb"))
+      .as[(Long, Long, Double, Seq[Double])].collect()
+      .map { case (q, id, rel, v) => StreamingMmr.Cand(q, id, rel, v) }
+      .sortBy(c => (c.vecId % 3, c.qid)) // adversarial: split mid-pool
+    val chunks = Seq(cands.take(cands.length / 2).toSeq, cands.drop(cands.length / 2).toSeq)
+    val out = drain(s, chunks, "update", sinkName("stream_mmr")) { ds =>
+      StreamingMmr.select(ds).toDF()
+    }
+    out.filter(col("pool_n") === Mmr.CandidateK)
+      .select(col("qid"), col("vec_id"), col("mmr_rank"), col("mmr_score"))
+      .orderBy("qid", "mmr_rank")
+  }
+
+  // ---------------------------------------------------------------- grading
+  @volatile private var lastIngestCentroids: Array[Array[Double]] = _
+
+  private def ingestSql(centroids: Array[Array[Double]]): String =
+    s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
+       |           FROM embeddings)
+       |SELECT vec_id, CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid
+       |FROM d ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (streamTumbling _),
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_knn" -> (streamKnn _),
+    "stream_ingest" -> (streamIngest _),
+    "stream_topk" -> (streamTopk _),
+    "stream_dedup" -> (streamDedup _),
+    "stream_mmr" -> (streamMmr _))
+
+  /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    m += "stream_tumbling" -> Relational.eventsTumblingSql
+    m += "stream_sessionize" -> Relational.eventsSessionizeSql
+    m += "stream_knn" -> VectorSearch.knnCosineSql
+    m += "stream_topk" -> VectorSearch.knnCosineSql
+    m += "stream_dedup" -> Dedup.dedupMinhashLshSql
+    m += "stream_mmr" -> Mmr.mmrRerankSql
+    if (lastIngestCentroids != null) m += "stream_ingest" -> ingestSql(lastIngestCentroids)
+    m.result()
+  }
+}
