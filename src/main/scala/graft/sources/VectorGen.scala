@@ -40,6 +40,14 @@ object VectorGen {
 
   def component(id: Long, dim: Int, i: Int): Float =
     ((TextHash.mix64(id * dim + i) >>> 11) / 9007199254740992.0 * 2.0 - 1.0).toFloat
+
+  /** md5-basis component (`option("basis","md5")`): same [−1,1) mapping
+    * but seeded by md5_number_lower("id:i") — the convention DuckDB
+    * shares, so a generated corpus is reproducible in PURE SQL and the
+    * source can be value-level oracle-graded (vectorgen_source). */
+  def componentMd5(id: Long, i: Int): Float =
+    ((TextHash.md5Lower64(s"$id:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      >>> 11) / 9007199254740992.0 * 2.0 - 1.0).toFloat
 }
 
 class VectorGen extends TableProvider {
@@ -49,19 +57,21 @@ class VectorGen extends TableProvider {
     new VectorGenTable(
       properties.getOrDefault("n", "1000").toLong,
       properties.getOrDefault("dim", "64").toInt,
-      properties.getOrDefault("partitions", "8").toInt)
+      properties.getOrDefault("partitions", "8").toInt,
+      properties.getOrDefault("basis", "mix"))
 }
 
-class VectorGenTable(n: Long, dim: Int, partitions: Int) extends Table with SupportsRead {
-  override def name(): String = s"vectorgen(n=$n, dim=$dim)"
+class VectorGenTable(n: Long, dim: Int, partitions: Int, basis: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"vectorgen(n=$n, dim=$dim, basis=$basis)"
   override def schema(): StructType = VectorGen.FullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VectorGenScanBuilder(n, dim, partitions)
+    new VectorGenScanBuilder(n, dim, partitions, basis)
 }
 
-class VectorGenScanBuilder(n: Long, dim: Int, partitions: Int)
+class VectorGenScanBuilder(n: Long, dim: Int, partitions: Int, basis: String = "mix")
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = n
@@ -81,12 +91,13 @@ class VectorGenScanBuilder(n: Long, dim: Int, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new VectorGenScan(lo, hi, dim, partitions, required)
+  override def build(): Scan = new VectorGenScan(lo, hi, dim, partitions, required, basis)
 }
 
 case class VectorGenInputPartition(start: Long, end: Long) extends InputPartition
 
-class VectorGenScan(lo: Long, hi: Long, dim: Int, partitions: Int, required: StructType)
+class VectorGenScan(lo: Long, hi: Long, dim: Int, partitions: Int, required: StructType,
+                    basis: String = "mix")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -98,12 +109,14 @@ class VectorGenScan(lo: Long, hi: Long, dim: Int, partitions: Int, required: Str
     (lo until hi by per).map(s => VectorGenInputPartition(s, math.min(hi, s + per))).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new VectorGenReaderFactory(dim, required.fieldNames)
+    new VectorGenReaderFactory(dim, required.fieldNames, basis)
 }
 
-class VectorGenReaderFactory(dim: Int, cols: Array[String]) extends PartitionReaderFactory {
+class VectorGenReaderFactory(dim: Int, cols: Array[String], basis: String = "mix")
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[VectorGenInputPartition]
+    val md5 = basis == "md5"
     new PartitionReader[InternalRow] {
       private var cur = part.start - 1
       override def next(): Boolean = { cur += 1; cur < part.end }
@@ -112,7 +125,9 @@ class VectorGenReaderFactory(dim: Int, cols: Array[String]) extends PartitionRea
           case "vec_id" => cur: java.lang.Long
           case "label" => (cur % 10).toInt: java.lang.Integer
           case "embedding" =>
-            new GenericArrayData(Array.tabulate(dim)(i => VectorGen.component(cur, dim, i)))
+            new GenericArrayData(Array.tabulate(dim)(i =>
+              if (md5) VectorGen.componentMd5(cur, i)
+              else VectorGen.component(cur, dim, i)))
         }
         new GenericInternalRow(vals.asInstanceOf[Array[Any]])
       }
