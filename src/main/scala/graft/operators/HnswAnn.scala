@@ -118,18 +118,34 @@ object HnswAnn {
 
     def search(q: Array[Double], k: Int): Array[(Long, Double)] =
       beam(q, EfSearch, n).take(k).map { case (d, node) => (ids(node), d) }
+
+    /** Adjacency of node i as vec_ids in STORED order — the list the
+      * oracle replays (neighbor processing order matters to the beam). */
+    def adjIds(i: Int): Array[Long] = adj(i).map(ids(_)).toArray
+  }
+
+  /** Unit-normalize (L2 on unit vectors is monotone in cosine —
+    * hnswlib's cosine space does the same). */
+  def unitArr(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val nm = math.sqrt(s)
+    if (nm == 0.0) v else v.map(_ / nm)
   }
 
   /** Full operator: IVF-route buckets, build per-bucket NSW graphs,
     * beam-search the broadcast queries, merge to global top-k by
     * cosine score (same output shape as the knn operators). */
   def hnswSearch(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
+                 nlist: Int = NList, nprobe: Int = NProbe,
+                 centroidsOpt: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = corpus.select(col("embedding").cast(ArrayType(DoubleType)))
-      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
-    val centroids = IvfIndex.trainCentroids(sample, nlist, 10)
+    val centroids = centroidsOpt.getOrElse {
+      val sample = corpus.select(col("embedding").cast(ArrayType(DoubleType)))
+        .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+      IvfIndex.trainCentroids(sample, nlist, 10)
+    }
     val assigned = IvfIndex.assign(corpus, centroids)
 
     val qRows = queries.select(col("vec_id").cast("long"),
@@ -146,20 +162,12 @@ object HnswAnn {
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (bucket, it) =>
-        // unit-normalize for the graph metric: L2 on unit vectors is
-        // monotone in cosine (hnswlib's cosine space does the same)
-        def unit(v: Array[Double]): Array[Double] = {
-          var s = 0.0; var i = 0
-          while (i < v.length) { s += v(i) * v(i); i += 1 }
-          val nm = math.sqrt(s)
-          if (nm == 0.0) v else v.map(_ / nm)
-        }
         val rows = it.toArray.sortBy(_._2) // vec_id order: deterministic build
-        val g = new NswGraph(rows.map(_._2), rows.map(t => unit(t._3.toArray))).build()
+        val g = new NswGraph(rows.map(_._2), rows.map(t => unitArr(t._3.toArray))).build()
         bq.value.iterator
           .filter { case (qid, _) => bp.value(qid).contains(bucket) }
           .flatMap { case (qid, qv) =>
-            g.search(unit(qv), EfSearch).map { case (id, _) => (qid, id) }
+            g.search(unitArr(qv), EfSearch).map { case (id, _) => (qid, id) }
           }
       }
       .toDF("qid", "vec_id")
@@ -180,5 +188,140 @@ object HnswAnn {
   def hnswPartitioned(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     hnswSearch(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), VectorSearch.K)
+  }
+
+  // ------------------------------------------------------------ graded query
+  //
+  // The graph BUILD is the trained structure (like k-means centroids /
+  // PQ codebooks): deterministic but not SQL-expressible, so it is
+  // stashed as literals. The SEARCH is replayed INDEPENDENTLY by the
+  // oracle: probe selection recomputed from centroid literals, the
+  // beam walk re-executed step by step over the stashed adjacency by a
+  // recursive CTE (same heap orders, same insert/termination rules,
+  // same sequential neighbor processing), and the exact cosine re-rank
+  // recomputed from the raw table. The stash is rebuilt on the driver
+  // with the same NswGraph code the executors run — identical by the
+  // determinism HnswSpec pins (vec_id insertion order, (dist,id) tie
+  // breaks, core-count independence).
+  @volatile private var lastCentroids: Array[Array[Double]] = _
+  @volatile private var lastAdj: Array[(Int, Long, Array[Long])] = _
+
+  def hnswGraded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
+      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val centroids = IvfIndex.trainCentroids(sample, NList, 10)
+    lastCentroids = centroids
+    // driver-side rebuild of the per-bucket graphs for the oracle stash
+    val rows = IvfIndex.assign(emb, centroids)
+      .select(col("centroid"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Double])].collect()
+    lastAdj = rows.groupBy(_._1).toArray.sortBy(_._1).flatMap { case (b, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val g = new NswGraph(sorted.map(_._2), sorted.map(t => unitArr(t._3.toArray))).build()
+      g.ids.indices.map(i => (b, g.ids(i), g.adjIds(i)))
+    }
+    hnswSearch(emb, queries, VectorSearch.K, centroidsOpt = Some(centroids))
+  }
+
+  /** The beam-walk oracle. State per (qid, probed bucket):
+    * vis (visited vec_ids), cand (min-ordered (d, id) structs),
+    * res (≤ ef best, asc; worst = last), nbrs (current node's remaining
+    * adjacency, stored order). One recursion step = one neighbor
+    * examined (sequential res evolution, as in NswGraph.beam) or one
+    * candidate popped. */
+  private def hnswSql(centroids: Array[Array[Double]],
+                      adj: Array[(Int, Long, Array[Long])]): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val nlist = centroids.length; val ef = EfSearch
+    val adjRows = adj.map { case (b, v, ns) =>
+      s"($b, $v, [${ns.mkString(", ")}]::BIGINT[])"
+    }.mkString(", ")
+    def d2(a: String, b: String): String =
+      (1 to OracleSql.Dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
+        .mkString("(", " + ", ")")
+    val dn = d2("qu.uv", "nu.uv")
+    val worstD = "b.res[len(b.res)].d"; val worstN = "b.res[len(b.res)].n"
+    val ins = s"""NOT list_contains(b.vis, b.nbrs[1])
+                 |                AND (len(b.res) < $ef OR $dn < $worstD
+                 |                     OR ($dn = $worstD AND b.nbrs[1] < $worstN))""".stripMargin
+    s"""WITH RECURSIVE
+       |adj(bucket, node, nbrs) AS (SELECT * FROM (VALUES $adjRows) t(bucket, node, nbrs)),
+       |u AS MATERIALIZED (
+       |  SELECT vec_id, CASE WHEN nm = 0 THEN dv
+       |                      ELSE list_transform(dv, x -> x / nm) END AS uv
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+       |          sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings)),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, uv FROM u WHERE vec_id < $nq),
+       |dq AS (SELECT vec_id, ${OracleSql.distList("embedding", centroids)} AS dl
+       |       FROM embeddings WHERE vec_id < $nq),
+       |pe AS (SELECT vec_id AS qid, unnest(dl) AS dist, unnest(range(0, $nlist)) AS c
+       |       FROM dq),
+       |pr AS (SELECT qid, c AS bucket FROM (
+       |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
+       |   FROM pe) WHERE rn <= $NProbe),
+       |ent AS (SELECT bucket, min(node) AS v0 FROM adj GROUP BY bucket),
+       |beam(qid, bucket, vis, cand, res, nbrs, done) AS (
+       |  SELECT p.qid, p.bucket,
+       |    [e.v0], [{'d': ${d2("qu.uv", "eu.uv")}, 'n': e.v0}],
+       |    [{'d': ${d2("qu.uv", "eu.uv")}, 'n': e.v0}],
+       |    CAST([] AS BIGINT[]), false
+       |  FROM pr p JOIN ent e ON e.bucket = p.bucket
+       |  JOIN q qu ON qu.qid = p.qid JOIN u eu ON eu.vec_id = e.v0
+       |  UNION ALL
+       |  SELECT b.qid, b.bucket,
+       |    CASE WHEN len(b.nbrs) > 0 AND NOT list_contains(b.vis, b.nbrs[1])
+       |         THEN list_append(b.vis, b.nbrs[1]) ELSE b.vis END,
+       |    CASE WHEN len(b.nbrs) > 0 THEN
+       |      CASE WHEN $ins
+       |           THEN list_sort(list_append(b.cand, {'d': $dn, 'n': b.nbrs[1]}))
+       |           ELSE b.cand END
+       |      ELSE b.cand[2:] END,
+       |    CASE WHEN len(b.nbrs) > 0 AND $ins
+       |         THEN list_sort(list_append(b.res, {'d': $dn, 'n': b.nbrs[1]}))[1:$ef]
+       |         ELSE b.res END,
+       |    CASE WHEN len(b.nbrs) > 0 THEN b.nbrs[2:]
+       |         WHEN len(b.cand) > 0 AND NOT (len(b.res) >= $ef AND b.cand[1].d > $worstD)
+       |         THEN a.nbrs
+       |         ELSE CAST([] AS BIGINT[]) END,
+       |    CASE WHEN len(b.nbrs) > 0 THEN false
+       |         WHEN len(b.cand) = 0 THEN true
+       |         WHEN len(b.res) >= $ef AND b.cand[1].d > $worstD THEN true
+       |         ELSE false END
+       |  FROM beam b
+       |  JOIN q qu ON qu.qid = b.qid
+       |  LEFT JOIN u nu ON len(b.nbrs) > 0 AND nu.vec_id = b.nbrs[1]
+       |  LEFT JOIN adj a ON len(b.nbrs) = 0 AND len(b.cand) > 0
+       |                 AND a.bucket = b.bucket AND a.node = b.cand[1].n
+       |  WHERE NOT b.done
+       |),
+       |cand AS (SELECT DISTINCT qid, unnest(res).n AS vec_id FROM beam WHERE done),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |qq AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |       FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id WHERE e.vec_id < $nq),
+       |s AS (SELECT c.qid, e.vec_id,
+       |        ${OracleSql.dot("qq.qv", "e.embedding")} / (n.nm * qq.qn) AS score
+       |      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |      JOIN nrm n ON n.vec_id = e.vec_id JOIN qq ON qq.qid = c.qid)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("hnsw_search" -> (hnswGraded _))
+
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    if (lastCentroids != null && lastAdj != null)
+      m += "hnsw_search" -> hnswSql(lastCentroids, lastAdj)
+    m.result()
   }
 }
