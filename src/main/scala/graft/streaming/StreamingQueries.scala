@@ -133,9 +133,7 @@ object StreamingQueries {
   def streamIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    val sample = emb.select(col("embedding").cast("array<double>"))
-      .limit(100000).collect().map(_.getSeq[Double](0).toArray)
-    val centroids = IvfIndex.trainCentroids(sample, 16, 10)
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), 16, 10)
     lastIngestCentroids = centroids
     val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+
+/** Skew hardening for the index layout: a corpus where one k-means
+  * cell holds most rows (near-duplicate-heavy data) must not produce
+  * a single oversized partition file / straggler write task. Salted
+  * writes bound per-file (= per-task) input; probes on `centroid`
+  * still prune and return identical rows. Complements the cost-based
+  * probing of ivf_adaptive (budget from the bucket-size histogram)
+  * and AQE skew-split for joins (AqeSkewSpec). */
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted index write bounds per-file rows on a skewed corpus; probes unchanged") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // Skew the corpus deterministically: 60% of rows collapse to a
+    // tiny neighborhood (one k-means cell), the rest keep their vector.
+    val base = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val hot = expr("transform(embedding, (x, i) -> CASE WHEN i = 0 " +
+      "THEN 0.5 + vec_id * 1e-9 ELSE 0.001 * i END)")
+    val skewed = base.withColumn("embedding",
+      when($"vec_id" % 10 < 6, hot).otherwise($"embedding"))
+
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(skewed), 8, 10)
+    val assigned = IvfIndex.assign(skewed, centroids)
+    val sizes = assigned.groupBy("centroid").count().as[(Int, Long)].collect().toMap
+    val hotBucket = sizes.maxBy(_._2)._1
+    assert(sizes(hotBucket) >= sizes.values.sum * 5 / 10,
+      s"corpus not skewed enough: $sizes")
+
+    def fileRows(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(root)).map { f =>
+        f.getPath -> spark.read.parquet(f.getPath).count()
+      }.toMap
+    }
+
+    // unsalted: the hot bucket is one oversized file
+    val plain = Files.createTempDirectory("graft_skew_plain").toString
+    assigned.repartition($"centroid")
+      .write.partitionBy("centroid").mode("overwrite").parquet(plain)
+    val plainMax = fileRows(plain).values.max
+    assert(plainMax == sizes(hotBucket), "expected the hot bucket as one file")
+
+    // salted: every file (= write task input) bounded by ~targetRows
+    val target = 100L
+    val salted = Files.createTempDirectory("graft_skew_salted").toString
+    IvfIndex.writeSalted(assigned, salted, target)
+    val saltedRows = fileRows(salted)
+    val saltedMax = saltedRows.values.max
+    assert(saltedMax < plainMax && saltedMax <= target + target / 2,
+      s"per-file bound not held: max=$saltedMax target=$target")
+
+    // identical content, and centroid probes still prune directories
+    val a = spark.read.parquet(plain).select($"vec_id", $"centroid")
+      .as[(Long, Int)].collect().sorted.toSeq
+    val b = spark.read.parquet(salted).select($"vec_id", $"centroid")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(a == b)
+    val probed = spark.read.parquet(salted).filter($"centroid" === hotBucket)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+    assert(probed.count() == sizes(hotBucket))
+  }
+
+  test("budget-based probing keeps per-query candidate cost bounded under skew") {
+    // The ivf_adaptive rule (probe while cumulative size < MinCand) on
+    // a skewed layout: a query near the hot cell stops after it; a
+    // query near tiny cells keeps extending — per-query scan cost
+    // stays near the budget instead of nprobe × (hot-cell size).
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val base = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val hot = expr("transform(embedding, (x, i) -> CASE WHEN i = 0 " +
+      "THEN 0.5 + vec_id * 1e-9 ELSE 0.001 * i END)")
+    val skewed = base.withColumn("embedding",
+      when($"vec_id" % 10 < 6, hot).otherwise($"embedding"))
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(skewed), 8, 10)
+    val assigned = IvfIndex.assign(skewed, centroids)
+    val sizes = assigned.groupBy("centroid").count().as[(Int, Long)].collect().toMap
+
+    val qs = skewed.filter($"vec_id" < 20)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Double])].collect()
+    qs.foreach { case (_, v) =>
+      val ordered = IvfIndex.nearestN(centroids, v.toArray, centroids.length)
+      var cum = 0L; var probed = 0
+      ordered.foreach { c =>
+        if (cum < IvfIndex.MinCand) { probed += 1; cum += sizes.getOrElse(c, 0L) }
+      }
+      // budget respected: everything before the last probed bucket was
+      // under budget, so cost ≤ budget + one bucket
+      assert(cum >= IvfIndex.MinCand || probed == centroids.length)
+      assert(cum - sizes.getOrElse(ordered(probed - 1), 0L) < IvfIndex.MinCand)
+    }
+  }
+}
