@@ -213,8 +213,37 @@ object StreamingQueries {
       .orderBy("qid", "mmr_rank")
   }
 
+  /** Streaming WRITE path, graded end-to-end: streamed vectors are
+    * centroid-routed and land via writeStream.partitionBy in the SAME
+    * at-rest partitioned layout the batch index writes (file sink +
+    * checkpoint — the exactly-once landing zone). The graded result is
+    * the reloaded layout's full assignment table; oracle recomputes
+    * every argmin from this run's centroids. */
+  def streamSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), 16, 10)
+    lastSinkCentroids = centroids
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink_q").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sink_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IvfIndex.assign(input.toDF().toDF("vec_id", "embedding"), centroids)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .partitionBy("centroid").outputMode("append").start()
+    try split3(vecs).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    s.read.parquet(out)
+      .select(col("vec_id"), col("centroid").cast("int").as("centroid"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- grading
   @volatile private var lastIngestCentroids: Array[Array[Double]] = _
+  @volatile private var lastSinkCentroids: Array[Array[Double]] = _
 
   private def ingestSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
@@ -229,7 +258,8 @@ object StreamingQueries {
     "stream_ingest" -> (streamIngest _),
     "stream_topk" -> (streamTopk _),
     "stream_dedup" -> (streamDedup _),
-    "stream_mmr" -> (streamMmr _))
+    "stream_mmr" -> (streamMmr _),
+    "stream_sink" -> (streamSink _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -241,6 +271,7 @@ object StreamingQueries {
     m += "stream_dedup" -> Dedup.dedupMinhashLshSql
     m += "stream_mmr" -> Mmr.mmrRerankSql
     if (lastIngestCentroids != null) m += "stream_ingest" -> ingestSql(lastIngestCentroids)
+    if (lastSinkCentroids != null) m += "stream_sink" -> ingestSql(lastSinkCentroids)
     m.result()
   }
 }
