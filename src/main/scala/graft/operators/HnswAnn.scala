@@ -55,9 +55,10 @@ object HnswAnn {
       s
     }
 
-    /** Greedy beam search over the CURRENT graph from entry 0.
-      * Returns up to ef (dist, node) pairs, (dist, id)-ordered. */
-    def beam(q: Array[Double], ef: Int, upTo: Int): Array[(Double, Int)] = {
+    /** Greedy beam search over the CURRENT graph from `entry`
+      * (default 0). Returns up to ef (dist, node) pairs,
+      * (dist, id)-ordered. */
+    def beam(q: Array[Double], ef: Int, upTo: Int, entry: Int = 0): Array[(Double, Int)] = {
       if (upTo == 0) return Array.empty
       val visited = new java.util.BitSet(upTo)
       // candidates: min-heap by (dist, id); results: max-heap by (dist, id)
@@ -65,8 +66,8 @@ object HnswAnn {
         Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
       val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
       val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
-      val d0 = d2(q, vecs(0))
-      cand.enqueue((d0, 0)); res.enqueue((d0, 0)); visited.set(0)
+      val d0 = d2(q, vecs(entry))
+      cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visited.set(entry)
       while (cand.nonEmpty) {
         val (dc, c) = cand.dequeue()
         if (res.size >= ef && dc > res.head._1) { cand.clear() }
@@ -118,6 +119,18 @@ object HnswAnn {
 
     def search(q: Array[Double], k: Int): Array[(Long, Double)] =
       beam(q, EfSearch, n).take(k).map { case (d, node) => (ids(node), d) }
+
+    /** Multi-probe search: independent beams from `nEntries`
+      * vec_id-rank-spread entry points (indices i·n/E — deterministic,
+      * graph-intrinsic), candidate union. Entry diversity recovers
+      * neighbors a single greedy descent walks past (a local minimum
+      * near entry 0), at nEntries× beam cost — still touching only
+      * this bucket. */
+    def searchMulti(q: Array[Double], nEntries: Int): Array[Long] = {
+      val es = Array.tabulate(nEntries)(e => (e.toLong * n / nEntries).toInt)
+        .filter(_ < n).distinct
+      es.flatMap(e => beam(q, EfSearch, n, e)).map { case (_, node) => ids(node) }.distinct
+    }
 
     /** Adjacency of node i as vec_ids in STORED order — the list the
       * oracle replays (neighbor processing order matters to the beam). */
@@ -203,10 +216,8 @@ object HnswAnn {
   @volatile private var lastCentroids: Array[Array[Double]] = _
   @volatile private var lastAdj: Array[(Int, Long, Array[Long])] = _
 
-  def hnswGraded(s: SparkSession, dir: String): DataFrame = {
+  private def trainAndStash(s: SparkSession, emb: DataFrame): Array[Array[Double]] = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
     val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), NList, 10)
     lastCentroids = centroids
     // driver-side rebuild of the per-bucket graphs for the oracle stash
@@ -218,7 +229,60 @@ object HnswAnn {
       val g = new NswGraph(sorted.map(_._2), sorted.map(t => unitArr(t._3.toArray))).build()
       g.ids.indices.map(i => (b, g.ids(i), g.adjIds(i)))
     }
+    centroids
+  }
+
+  def hnswGraded(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = trainAndStash(s, emb)
     hnswSearch(emb, queries, VectorSearch.K, centroidsOpt = Some(centroids))
+  }
+
+  /** Multi-probe variant: beams from MultiProbeEntries vec_id-rank-
+    * spread entry points per bucket (candidate union), same exact
+    * re-rank. Same trained structure as hnsw_search (identical
+    * deterministic build), so the stash is shared. */
+  val MultiProbeEntries = 3
+  def hnswMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = trainAndStash(s, emb)
+    val assigned = IvfIndex.assign(emb, centroids)
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bq = s.sparkContext.broadcast(qRows)
+    val probes: Map[Long, Array[Int]] = qRows.map { case (qid, v) =>
+      qid -> IvfIndex.nearestN(centroids, v, NProbe)
+    }.toMap
+    val bp = s.sparkContext.broadcast(probes)
+    val nEnt = MultiProbeEntries
+    val partials = assigned
+      .select(col("centroid"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val g = new NswGraph(rows.map(_._2), rows.map(t => unitArr(t._3.toArray))).build()
+        bq.value.iterator
+          .filter { case (qid, _) => bp.value(qid).contains(bucket) }
+          .flatMap { case (qid, qv) =>
+            g.searchMulti(unitArr(qv), nEnt).map(id => (qid, id))
+          }
+      }
+      .toDF("qid", "vec_id")
+    val scored = partials.distinct()
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"))), "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= VectorSearch.K)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
   }
 
   /** The beam-walk oracle. State per (qid, probed bucket):
@@ -228,7 +292,8 @@ object HnswAnn {
     * examined (sequential res evolution, as in NswGraph.beam) or one
     * candidate popped. */
   private def hnswSql(centroids: Array[Array[Double]],
-                      adj: Array[(Int, Long, Array[Long])]): String = {
+                      adj: Array[(Int, Long, Array[Long])],
+                      entSql: String): String = {
     import graft.OracleSql
     val nq = VectorSearch.NQueries; val k = VectorSearch.K
     val nlist = centroids.length; val ef = EfSearch
@@ -260,16 +325,16 @@ object HnswAnn {
        |pr AS (SELECT qid, c AS bucket FROM (
        |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
        |   FROM pe) WHERE rn <= $NProbe),
-       |ent AS (SELECT bucket, min(node) AS v0 FROM adj GROUP BY bucket),
-       |beam(qid, bucket, vis, cand, res, nbrs, done) AS (
-       |  SELECT p.qid, p.bucket,
+       |ent AS ($entSql),
+       |beam(qid, bucket, v0, vis, cand, res, nbrs, done) AS (
+       |  SELECT p.qid, p.bucket, e.v0,
        |    [e.v0], [{'d': ${d2("qu.uv", "eu.uv")}, 'n': e.v0}],
        |    [{'d': ${d2("qu.uv", "eu.uv")}, 'n': e.v0}],
        |    CAST([] AS BIGINT[]), false
        |  FROM pr p JOIN ent e ON e.bucket = p.bucket
        |  JOIN q qu ON qu.qid = p.qid JOIN u eu ON eu.vec_id = e.v0
        |  UNION ALL
-       |  SELECT b.qid, b.bucket,
+       |  SELECT b.qid, b.bucket, b.v0,
        |    CASE WHEN len(b.nbrs) > 0 AND NOT list_contains(b.vis, b.nbrs[1])
        |         THEN list_append(b.vis, b.nbrs[1]) ELSE b.vis END,
        |    CASE WHEN len(b.nbrs) > 0 THEN
@@ -310,13 +375,28 @@ object HnswAnn {
        |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  private val SingleEntSql = "SELECT bucket, min(node) AS v0 FROM adj GROUP BY bucket"
+  /** vec_id-rank-spread entries: index e·n/E per bucket (integer
+    * division, 0-based rank over node order) — same rule as
+    * NswGraph.searchMulti. */
+  private def multiEntSql(e: Int): String =
+    s"""SELECT DISTINCT nr.bucket, nr.node AS v0 FROM (
+       |    SELECT bucket, node,
+       |      row_number() OVER (PARTITION BY bucket ORDER BY node) - 1 AS idx,
+       |      count(*) OVER (PARTITION BY bucket) AS nn
+       |    FROM adj) nr
+       |  JOIN range($e) r(e) ON nr.idx = (r.e * nr.nn) // $e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("hnsw_search" -> (hnswGraded _))
+    Map("hnsw_search" -> (hnswGraded _),
+      "hnsw_multiprobe" -> (hnswMultiprobe _))
 
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
-    if (lastCentroids != null && lastAdj != null)
-      m += "hnsw_search" -> hnswSql(lastCentroids, lastAdj)
+    if (lastCentroids != null && lastAdj != null) {
+      m += "hnsw_search" -> hnswSql(lastCentroids, lastAdj, SingleEntSql)
+      m += "hnsw_multiprobe" -> hnswSql(lastCentroids, lastAdj, multiEntSql(MultiProbeEntries))
+    }
     m.result()
   }
 }

@@ -81,8 +81,11 @@ object ProductQuant {
     * traffic per candidate, the standard billion-scale trick (IVF-ADC).
     * Exact re-ranking of the ADC top-(k·refine) restores precision.
     */
-  def adcSearch(corpus: DataFrame, queries: DataFrame, cb: Codebooks,
-                k: Int, refine: Int = 4): DataFrame = {
+  /** Per-partition ADC scan: encode the corpus, build each query's
+    * [m × k] LUT once, keep a bounded (dist, id) heap of the nCand best
+    * per query per partition — the only shuffled rows. */
+  private def adcPartials(corpus: DataFrame, queries: DataFrame, cb: Codebooks,
+                          nCand: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cb)
@@ -99,8 +102,7 @@ object ProductQuant {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val bq = spark.sparkContext.broadcast(qRows)
 
-    val nCand = k * refine
-    val partials = coded.as[(Long, Seq[Int])].mapPartitions { it =>
+    coded.as[(Long, Seq[Int])].mapPartitions { it =>
       val c = bc.value
       val qs = bq.value
       // per-query LUT: lut(q)(s)(code) = ‖q_sub − centroid‖²
@@ -136,7 +138,12 @@ object ProductQuant {
         h.iterator.map { case (d, id) => (bq.value(qi)._1, id, d) }
       }
     }.toDF("qid", "vec_id", "adc_dist")
+  }
 
+  def adcSearch(corpus: DataFrame, queries: DataFrame, cb: Codebooks,
+                k: Int, refine: Int = 4): DataFrame = {
+    val partials = adcPartials(corpus, queries, cb, k * refine)
+    val nCand = k * refine
     // global ADC top-(k·refine), then exact cosine re-rank of survivors.
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adc_dist").asc, col("vec_id").asc)
@@ -162,9 +169,58 @@ object ProductQuant {
     adcSearch(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), cb, VectorSearch.K)
   }
 
+  /** Per-query ADAPTIVE refinement (the fixed k·refine cut wastes
+    * exact-distance work on easy queries and under-refines ambiguous
+    * ones): refine every candidate whose ADC distance is within
+    * (1+α)·(k-th ADC distance) — a query whose ADC scores separate
+    * cleanly refines ≈k candidates, one with a near-tie plateau
+    * refines deeper, bounded by the k·MaxRefineFactor overfetch. The
+    * re-rank cost then tracks per-query AMBIGUITY instead of a global
+    * worst case — at 100 TB the exact re-rank is the expensive stage
+    * (full-width vector reads), so easy queries stop paying for hard
+    * ones. n_refined is emitted per row to make the adaptivity
+    * observable (and graded). */
+  val RefineAlpha = 0.25
+  val MaxRefineFactor = 8
+  def adcSearchAdaptive(corpus: DataFrame, queries: DataFrame, cb: Codebooks,
+                        k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val nCand = k * MaxRefineFactor
+    val partials = adcPartials(corpus, queries, cb, nCand)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val wQ = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+    val ranked = partials.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= nCand)
+    val sel = ranked
+      .withColumn("kth", max(when(col("r") <= k, col("adc_dist"))).over(wQ))
+      .filter(col("r") <= k || col("adc_dist") <= col("kth") * (1 + RefineAlpha))
+      .withColumn("n_refined", count(lit(1)).over(wQ).cast("int"))
+    val scored = sel.select("qid", "vec_id", "n_refined")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "score", "rank", "n_refined")
+      .orderBy("qid", "rank")
+  }
+
+  def pqAdcRefine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val sample = IvfIndex.trainSample(emb)
+    val cb = train(sample, m = 8, k = 16)
+    lastRefineCodebooks = cb
+    adcSearchAdaptive(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), cb,
+      VectorSearch.K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pq_codes" -> (pqCodes _),
-      "pq_adc_search" -> (pqAdcSearch _))
+      "pq_adc_search" -> (pqAdcSearch _),
+      "pq_adc_refine" -> (pqAdcRefine _))
 
   // ------------------------------------------------------------ oracles
   // Codebook TRAINING is deterministic but not SQL-expressible; the
@@ -247,11 +303,65 @@ object ProductQuant {
        |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  @volatile private var lastRefineCodebooks: Codebooks = _
+
+  /** Adaptive-refine twin: same ADC table, candidate cut rn ≤
+    * k·MaxRefineFactor (the heap bound), then the per-query rule —
+    * keep rn ≤ k OR adc ≤ (1+α)·kth — with the refine depth emitted,
+    * then exact re-rank. 1+α = 1.25 is exactly representable, so the
+    * threshold multiply is bit-identical on both engines. */
+  private def pqAdcRefineSql(cb: Codebooks, k: Int): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries
+    val nCand = k * MaxRefineFactor
+    val dls = (0 until cb.m).map(s =>
+      s"${OracleSql.distList("embedding", cb.books(s), s * cb.subDim)} AS dl$s").mkString(",\n  ")
+    val ks = (0 until cb.m).map(s =>
+      s"CAST(list_position(dl$s, list_min(dl$s)) - 1 AS INT) AS k$s").mkString(",\n  ")
+    val lls = (0 until cb.m).map(s =>
+      s"${OracleSql.distList("embedding", cb.books(s), s * cb.subDim)} AS ll$s").mkString(",\n  ")
+    val adcSum = (0 until cb.m).map(s => s"q.ll$s[kc.k$s + 1]").mkString("(", " + ", ")")
+    s"""WITH dce AS (SELECT vec_id, embedding,
+       |  $dls
+       |  FROM embeddings),
+       |kc AS MATERIALIZED (SELECT vec_id,
+       |  $ks
+       |  FROM dce),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv,
+       |  $lls
+       |  FROM embeddings WHERE vec_id < $nq),
+       |ad AS (SELECT q.qid, kc.vec_id, $adcSum AS adc FROM q CROSS JOIN kc),
+       |ranked AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+       |  FROM ad) WHERE rn <= $nCand),
+       |kth AS (SELECT qid, max(CASE WHEN rn <= $k THEN adc END) AS kth
+       |        FROM ranked GROUP BY qid),
+       |sel AS (SELECT r.qid, r.vec_id FROM ranked r JOIN kth t ON t.qid = r.qid
+       |        WHERE r.rn <= $k OR r.adc <= t.kth * 1.25e0),
+       |seln AS (SELECT *, CAST(count(*) OVER (PARTITION BY qid) AS INT) AS n_refined
+       |         FROM sel),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |s AS (SELECT c.qid, c.vec_id, c.n_refined,
+       |        ${OracleSql.dot("e.embedding", "q.qv")} / (n.nm * nq2.nm) AS score
+       |      FROM seln c
+       |      JOIN embeddings e ON e.vec_id = c.vec_id
+       |      JOIN nrm n ON n.vec_id = c.vec_id
+       |      JOIN q ON q.qid = c.qid
+       |      JOIN nrm nq2 ON nq2.vec_id = c.qid)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank", n_refined FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
     if (lastCodebooks != null) m += "pq_codes" -> pqCodesSql(lastCodebooks)
     if (lastAdcCodebooks != null)
       m += "pq_adc_search" -> pqAdcSql(lastAdcCodebooks, VectorSearch.K, 4)
+    if (lastRefineCodebooks != null)
+      m += "pq_adc_refine" -> pqAdcRefineSql(lastRefineCodebooks, VectorSearch.K)
     m.result()
   }
 }

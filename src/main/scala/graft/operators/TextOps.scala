@@ -153,8 +153,12 @@ object TextOps {
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** N-gram Jaccard near-dup pairs, blocked by source: distinct 3-word
-    * shingles, |A∩B|/|A∪B| ≥ 0.5. The in-block quadratic verify is the
-    * exactness twin of MinHash-LSH. */
+    * shingles, |A∩B|/|A∪B| ≥ 0.5. EXACT-REFERENCE PATH: pair-event
+    * volume is quadratic in a block's hottest shingle by construction
+    * (the price of exactness). Do NOT route a 100 TB corpus through
+    * this operator — dedup_minhash_lsh is the scale path (bucketed
+    * candidates, capped buckets) and reproduces this output exactly at
+    * LSH recall 1. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // Inverted-index set-similarity join (the 100 TB idiom): explode
     // (doc, shingle-hash), count co-occurrences per doc pair — |A∩B|

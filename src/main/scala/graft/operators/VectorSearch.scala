@@ -48,7 +48,11 @@ object VectorSearch {
     * Queries = the whole corpus: the operator broadcasts queries in
     * bounded chunks (Knn.MaxBroadcastQueries), one corpus scan per
     * chunk, heaps never exceed chunk·k entries — O(n²) work spread
-    * embarrassingly parallel, zero pairwise shuffle. */
+    * embarrassingly parallel, zero pairwise shuffle.
+    * EXACT-REFERENCE PATH: total compute is quadratic no matter how
+    * well it parallelizes. Do NOT build a 100 TB graph here —
+    * nn_descent_graph bounds work at n·k·degree per round and is the
+    * scale path; this operator is its exactness twin. */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     Knn.topK(emb, emb, K + 1, Knn.Cosine)

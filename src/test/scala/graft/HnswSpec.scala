@@ -32,6 +32,24 @@ class HnswSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("multi-probe entry diversity never loses recall vs the single entry") {
+    // entry set includes node 0 (e=0 -> idx 0), so multi-probe
+    // candidates are a superset and recall is monotone
+    val single = HnswAnn.hnswGraded(spark, sfDir)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val multi = HnswAnn.hnswMultiprobe(spark, sfDir)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, ex) =>
+        m.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      per.sum / per.size
+    }
+    assert(recall(multi) >= recall(single),
+      s"multi ${recall(multi)} < single ${recall(single)}")
+  }
+
   test("NSW search is deterministic across runs") {
     val a = HnswAnn.hnswSearch(emb, queries, 10).collect().map(_.toSeq)
     val b = HnswAnn.hnswSearch(emb, queries, 10).collect().map(_.toSeq)
