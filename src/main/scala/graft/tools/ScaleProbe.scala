@@ -60,6 +60,12 @@ object ScaleProbe {
     })
     time("per-bucket NSW graphs + IVF routing (nlist=64, probe 4)")(
       graft.operators.HnswAnn.hnswSearch(corpus, queries, 10, nlist = 64).count())
+    time("PQ-ADC adaptive refine (m=8, k=16, alpha 0.25, cap k*8)")({
+      val sample = corpus.selectExpr("cast(embedding as array<double>)")
+        .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+      val cb = graft.operators.ProductQuant.train(sample, m = 8, k = 16)
+      graft.operators.ProductQuant.adcSearchAdaptive(corpus, queries, cb, 10).count()
+    })
     spark.stop()
   }
 }
