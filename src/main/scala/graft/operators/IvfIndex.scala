@@ -425,10 +425,40 @@ object IvfIndex {
        |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Per-bucket index bookkeeping (reference storage.py get_size /
+    * vector_index.py get_stats shape): vectors per centroid bucket and
+    * the logical at-rest footprint (id8 + float4·dim per row — the
+    * uncompressed layout; IVF-PQ stores m bytes/vector instead). The
+    * numbers a compaction/rebalancing policy consumes. */
+  def indexSize(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    lastSizeCentroids = centroids
+    assign(emb, centroids)
+      .groupBy("centroid")
+      .agg(count(lit(1)).as("n_vectors"),
+        max(size(col("embedding"))).as("dim"))
+      .select(col("centroid"),  col("n_vectors"),
+        (col("n_vectors") * (lit(8) + lit(4) * col("dim"))).as("logical_bytes"))
+      .orderBy("centroid")
+  }
+
+  @volatile private var lastSizeCentroids: Array[Array[Double]] = _
+
+  private def indexSizeSql(centroids: Array[Array[Double]]): String =
+    s"""WITH d AS (SELECT vec_id, len(embedding) AS dim,
+       |  ${graft.OracleSql.distList("embedding", centroids)} AS dl FROM embeddings),
+       |a AS (SELECT vec_id, dim,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d)
+       |SELECT centroid, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(count(*) * (8 + 4 * max(dim)) AS BIGINT) AS logical_bytes
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ivf_search" -> (ivfSearch _),
       "ivf_search_mllib" -> (ivfSearchMLlib _),
       "ivf_adaptive" -> (ivfAdaptive _),
+      "index_size" -> (indexSize _),
       "index_save_load" -> (indexSaveLoad _))
 
   // ------------------------------------------------------------ oracles
@@ -481,6 +511,8 @@ object IvfIndex {
       m += "index_save_load" -> ivfSql(lastSaveLoadCentroids, 4)
     if (lastAdaptiveCentroids != null)
       m += "ivf_adaptive" -> ivfAdaptiveSql(lastAdaptiveCentroids, MinCand)
+    if (lastSizeCentroids != null)
+      m += "index_size" -> indexSizeSql(lastSizeCentroids)
     m.result()
   }
 }
