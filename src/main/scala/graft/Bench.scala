@@ -26,9 +26,10 @@ object Bench {
       name -> Seq(once(), once(), once())
     }
     val results = runs.map { case (k, v) => k -> v.min }
-    def r3(v: Double): String = f"$v%.3f" // ms precision keeps the line short
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: f"" interpolators use the JVM default locale, which on a
+    // comma-decimal host would emit invalid JSON.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Latency distribution over the steady-state per-query times
     // (the analogue of the reference's benchmark_search percentiles,
@@ -38,12 +39,30 @@ object Bench {
       if (sorted.isEmpty) 0.0
       else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
     val qps = if (total > 0) results.size / total else 0.0
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","p50":${r3(pct(0.5))},"p95":${r3(pct(0.95))},"qps":${r3(qps)},"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
-    // The machine-readable line goes to its OWN file as well as stdout:
-    // a truncated stdout tail must not lose the round's bench artifact.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
-    println(json)
+    def header(nOmitted: Int): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","p50":${r3(pct(0.5))},"p95":${r3(pct(0.95))},"qps":${r3(qps)},"n_queries":${results.size},"queries_omitted":$nOmitted,"sf":"$sfDir","queries":"""
+    // Full-fidelity artifact: every per-query time at ms precision.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullJson = header(0) + fullQs + "}"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson + "\n")
+    // The stdout copy must survive the driver's bounded stdout-tail window
+    // (~2000 chars, shared with sbt's trailing "[success]" line): emit the
+    // totals plus as many per-query entries as fit a hard character budget,
+    // slowest first (the entries a reader cares about). BENCH.json carries
+    // the complete map.
+    val budget = 1750
+    val descending = results.toSeq.sortBy(-_._2)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = header(results.size).length + 2 // "{" + "}" of the queries map
+    var omitted = 0
+    descending.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + r2(v)
+      if (used + entry.length + 1 <= budget) { picked += entry; used += entry.length + 1 }
+      else omitted += 1
+    }
+    val stdoutJson = header(omitted) + picked.mkString("{", ",", "}") + "}"
+    println(stdoutJson)
     spark.stop()
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization + temp-dir hygiene for the graded at-rest-layout
+  * queries. Those queries write a table to a scratch directory, read
+  * it back, and return a result that would otherwise keep the scratch
+  * files live for the caller's lazy evaluation — so the directories
+  * could never be deleted and accumulated across bench/grade runs
+  * (each query runs 3× per bench). `detach` collects the SMALL graded
+  * result (top-k per query / few-group aggregate / corpus-at-graded-SF
+  * assignment — never 100 TB-shaped; the scale path keeps data
+  * distributed) and rebuilds it as a local relation with the identical
+  * schema, after which the scratch dir is deleted in a finally block.
+  */
+object Mat {
+  /** Collect a small result and rebuild it as a session-local
+    * DataFrame with the same schema, detached from any backing files. */
+  def detach(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
+  def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Fresh scratch dirs for the duration of `body`; the body must
+    * return a DETACHED (already-materialized) result. Dirs are removed
+    * even on failure. */
+  def withScratchDirs[T](prefixes: String*)(body: Seq[String] => T): T = {
+    val dirs = prefixes.map(p =>
+      java.nio.file.Files.createTempDirectory(s"graft_$p").toString)
+    try body(dirs) finally dirs.foreach(deleteRecursively)
+  }
+}

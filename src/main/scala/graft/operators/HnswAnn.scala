@@ -127,9 +127,18 @@ object HnswAnn {
       * near entry 0), at nEntries× beam cost — still touching only
       * this bucket. */
     def searchMulti(q: Array[Double], nEntries: Int): Array[Long] = {
-      val es = Array.tabulate(nEntries)(e => (e.toLong * n / nEntries).toInt)
-        .filter(_ < n).distinct
+      val es = Array.tabulate(nEntries)(e => (e.toLong * n / nEntries).toInt).distinct
       es.flatMap(e => beam(q, EfSearch, n, e)).map { case (_, node) => ids(node) }.distinct
+    }
+
+    /** Install a previously-built adjacency (vec_id → neighbor vec_ids
+      * in stored order) instead of running build() — lets the graded
+      * search replay an executor-built graph without rebuilding it. */
+    def withAdj(adjByid: scala.collection.Map[Long, Array[Long]]): this.type = {
+      val idx = ids.zipWithIndex.toMap
+      var i = 0
+      while (i < n) { adj(i).clear(); adj(i) ++= adjByid(ids(i)).map(idx); i += 1 }
+      this
     }
 
     /** Adjacency of node i as vec_ids in STORED order — the list the
@@ -209,67 +218,68 @@ object HnswAnn {
   // beam walk re-executed step by step over the stashed adjacency by a
   // recursive CTE (same heap orders, same insert/termination rules,
   // same sequential neighbor processing), and the exact cosine re-rank
-  // recomputed from the raw table. The stash is rebuilt on the driver
-  // with the same NswGraph code the executors run — identical by the
-  // determinism HnswSpec pins (vec_id insertion order, (dist,id) tie
-  // breaks, core-count independence).
+  // recomputed from the raw table. The graphs are built ONCE, on the
+  // executors (the same flatMapGroups pass the scale path runs); only
+  // the resulting adjacency — M neighbor ids per node, the literal set
+  // the oracle needs anyway — is collected, then broadcast back for
+  // the beam pass. No driver-side rebuild, no full-table collect;
+  // driver footprint is n·M ids at the graded SF.
   @volatile private var lastCentroids: Array[Array[Double]] = _
   @volatile private var lastAdj: Array[(Int, Long, Array[Long])] = _
 
-  private def trainAndStash(s: SparkSession, emb: DataFrame): Array[Array[Double]] = {
-    import s.implicits._
-    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), NList, 10)
-    lastCentroids = centroids
-    // driver-side rebuild of the per-bucket graphs for the oracle stash
-    val rows = IvfIndex.assign(emb, centroids)
-      .select(col("centroid"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Seq[Double])].collect()
-    lastAdj = rows.groupBy(_._1).toArray.sortBy(_._1).flatMap { case (b, rs) =>
-      val sorted = rs.sortBy(_._2)
-      val g = new NswGraph(sorted.map(_._2), sorted.map(t => unitArr(t._3.toArray))).build()
-      g.ids.indices.map(i => (b, g.ids(i), g.adjIds(i)))
-    }
-    centroids
+  /** Distributed NSW build: each bucket's graph is constructed
+    * executor-side, emitting (bucket, vec_id, neighbor vec_ids in
+    * stored order). */
+  def buildAdjacency(assigned: DataFrame): Array[(Int, Long, Array[Long])] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select(col("centroid"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val rows = it.toArray.sortBy(_._2) // vec_id order: deterministic build
+        val g = new NswGraph(rows.map(_._2), rows.map(t => unitArr(t._3.toArray))).build()
+        g.ids.indices.iterator.map(i => (bucket, g.ids(i), g.adjIds(i)))
+      }
+      .collect().sortBy(t => (t._1, t._2))
   }
 
-  def hnswGraded(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
-    val centroids = trainAndStash(s, emb)
-    hnswSearch(emb, queries, VectorSearch.K, centroidsOpt = Some(centroids))
-  }
-
-  /** Multi-probe variant: beams from MultiProbeEntries vec_id-rank-
-    * spread entry points per bucket (candidate union), same exact
-    * re-rank. Same trained structure as hnsw_search (identical
-    * deterministic build), so the stash is shared. */
-  val MultiProbeEntries = 3
-  def hnswMultiprobe(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
-    val centroids = trainAndStash(s, emb)
+  /** Beam-search the stashed (executor-built) graphs: graphs are
+    * reconstituted per bucket from the broadcast adjacency (no
+    * rebuild), queries fan out to their nprobe buckets, exact cosine
+    * re-rank merges the partials to the global top-k. */
+  private def searchStashed(emb: DataFrame, queries: DataFrame,
+                            centroids: Array[Array[Double]],
+                            adj: Array[(Int, Long, Array[Long])],
+                            nEntries: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val assigned = IvfIndex.assign(emb, centroids)
     val qRows = queries.select(col("vec_id").cast("long"),
       col("embedding").cast(ArrayType(DoubleType))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val bq = s.sparkContext.broadcast(qRows)
+    val bq = spark.sparkContext.broadcast(qRows)
     val probes: Map[Long, Array[Int]] = qRows.map { case (qid, v) =>
       qid -> IvfIndex.nearestN(centroids, v, NProbe)
     }.toMap
-    val bp = s.sparkContext.broadcast(probes)
-    val nEnt = MultiProbeEntries
+    val bp = spark.sparkContext.broadcast(probes)
+    val adjByBucket: Map[Int, Map[Long, Array[Long]]] =
+      adj.groupBy(_._1).map { case (b, rs) => b -> rs.map(r => r._2 -> r._3).toMap }
+    val ba = spark.sparkContext.broadcast(adjByBucket)
     val partials = assigned
       .select(col("centroid"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (bucket, it) =>
         val rows = it.toArray.sortBy(_._2)
-        val g = new NswGraph(rows.map(_._2), rows.map(t => unitArr(t._3.toArray))).build()
+        val g = new NswGraph(rows.map(_._2), rows.map(t => unitArr(t._3.toArray)))
+          .withAdj(ba.value(bucket))
         bq.value.iterator
           .filter { case (qid, _) => bp.value(qid).contains(bucket) }
           .flatMap { case (qid, qv) =>
-            g.searchMulti(unitArr(qv), nEnt).map(id => (qid, id))
+            val qu = unitArr(qv)
+            if (nEntries == 1) g.search(qu, EfSearch).map { case (id, _) => (qid, id) }
+            else g.searchMulti(qu, nEntries).map(id => (qid, id))
           }
       }
       .toDF("qid", "vec_id")
@@ -284,6 +294,26 @@ object HnswAnn {
       .select("qid", "vec_id", "score", "rank")
       .orderBy("qid", "rank")
   }
+
+  private def gradedRun(s: SparkSession, dir: String, nEntries: Int): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), NList, 10)
+    lastCentroids = centroids
+    val adj = buildAdjacency(IvfIndex.assign(emb, centroids))
+    lastAdj = adj
+    searchStashed(emb, queries, centroids, adj, nEntries)
+  }
+
+  def hnswGraded(s: SparkSession, dir: String): DataFrame = gradedRun(s, dir, 1)
+
+  /** Multi-probe variant: beams from MultiProbeEntries vec_id-rank-
+    * spread entry points per bucket (candidate union), same exact
+    * re-rank. Same trained structure as hnsw_search (identical
+    * deterministic build), so the stash is shared. */
+  val MultiProbeEntries = 3
+  def hnswMultiprobe(s: SparkSession, dir: String): DataFrame =
+    gradedRun(s, dir, MultiProbeEntries)
 
   /** The beam-walk oracle. State per (qid, probed bucket):
     * vis (visited vec_ids), cand (min-ordered (d, id) structs),

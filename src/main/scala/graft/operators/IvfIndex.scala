@@ -316,29 +316,31 @@ object IvfIndex {
     val centroids = trainCentroids(sample, 16, 10)
     lastSaveLoadCentroids = centroids
 
-    val out = java.nio.file.Files.createTempDirectory("graft_index_saveload").toString
-    assign(emb, centroids).write.partitionBy("centroid").mode("overwrite").parquet(out)
-    val compacted = out + "_compacted"
-    compactIndex(s, out, compacted)
-    val loaded = s.read.parquet(compacted)
+    graft.Mat.withScratchDirs("index_saveload", "index_saveload_compacted") {
+      case Seq(out, compacted) =>
+        assign(emb, centroids).write.partitionBy("centroid").mode("overwrite").parquet(out)
+        compactIndex(s, out, compacted)
+        val loaded = s.read.parquet(compacted)
 
-    val qRows = queries.select(col("vec_id").cast("long"),
-      col("embedding").cast(ArrayType(DoubleType))).collect()
-    val probes = qRows.flatMap { r =>
-      nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
+        val qRows = queries.select(col("vec_id").cast("long"),
+          col("embedding").cast(ArrayType(DoubleType))).collect()
+        val probes = qRows.flatMap { r =>
+          nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
+        }
+        val probeDf = s.createDataFrame(
+          s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+        val cand = loaded.join(probeDf, "centroid")
+        val scored = cand.join(
+          queries.select(col("vec_id").as("qid"),
+            col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+          .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+        graft.Mat.detach(
+          scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= VectorSearch.K)
+            .select("qid", "vec_id", "score", "rank")
+            .orderBy("qid", "rank"))
     }
-    val probeDf = s.createDataFrame(
-      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
-    val cand = loaded.join(probeDf, "centroid")
-    val scored = cand.join(
-      queries.select(col("vec_id").as("qid"),
-        col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
-      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= VectorSearch.K)
-      .select("qid", "vec_id", "score", "rank")
-      .orderBy("qid", "rank")
   }
 
   /** Adaptive nprobe: probe buckets in (distance, id) order until the

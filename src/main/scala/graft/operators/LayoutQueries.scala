@@ -22,20 +22,21 @@ object LayoutQueries {
   /** Day-partitioned write → pruned read → aggregate; equals the
     * unpartitioned scan. Day = exact integer ns→day division (positive
     * clocks: truncation == floor on both engines). */
-  def eventsLayout(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-      .withColumn("day", expr("ts div 86400000000000"))
-    val out = java.nio.file.Files.createTempDirectory("graft_events_layout").toString
-    ev.write.partitionBy("day").mode("overwrite").parquet(out)
-    // partition columns are inference-typed on read — pin to long
-    val loaded = s.read.parquet(out).withColumn("day", col("day").cast("long"))
-    val d0 = ev.agg(min(col("day"))).first().getLong(0)
-    loaded.filter(col("day").between(d0, d0 + 2))
-      .groupBy("day", "event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
-      .orderBy("day", "event_type")
-  }
+  def eventsLayout(s: SparkSession, dir: String): DataFrame =
+    graft.Mat.withScratchDirs("events_layout") { case Seq(out) =>
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("day", expr("ts div 86400000000000"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(out)
+      // partition columns are inference-typed on read — pin to long
+      val loaded = s.read.parquet(out).withColumn("day", col("day").cast("long"))
+      val d0 = ev.agg(min(col("day"))).first().getLong(0)
+      graft.Mat.detach(
+        loaded.filter(col("day").between(d0, d0 + 2))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+          .orderBy("day", "event_type"))
+    }
 
   val eventsLayoutSql: String =
     """WITH e AS (SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

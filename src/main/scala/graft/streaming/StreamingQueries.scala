@@ -227,18 +227,19 @@ object StreamingQueries {
     lastSinkCentroids = centroids
     val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink_q").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_sink_ckpt").toString
-    val input = MemoryStream[(Long, Seq[Double])]
-    val q = IvfIndex.assign(input.toDF().toDF("vec_id", "embedding"), centroids)
-      .writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .partitionBy("centroid").outputMode("append").start()
-    try split3(vecs).foreach { c => input.addData(c: _*); q.processAllAvailable() }
-    finally q.stop()
-    s.read.parquet(out)
-      .select(col("vec_id"), col("centroid").cast("int").as("centroid"))
-      .orderBy("vec_id")
+    graft.Mat.withScratchDirs("stream_sink_q", "stream_sink_ckpt") { case Seq(out, ckpt) =>
+      val input = MemoryStream[(Long, Seq[Double])]
+      val q = IvfIndex.assign(input.toDF().toDF("vec_id", "embedding"), centroids)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .partitionBy("centroid").outputMode("append").start()
+      try split3(vecs).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      graft.Mat.detach(
+        s.read.parquet(out)
+          .select(col("vec_id"), col("centroid").cast("int").as("centroid"))
+          .orderBy("vec_id"))
+    }
   }
 
   // ---------------------------------------------------------------- grading
