@@ -24,9 +24,14 @@ object Mat {
   def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      // Files.walk holds open directory handles until closed; this runs
+      // per scratch-dir query (3x each per bench), so an unclosed stream
+      // would leak FDs for the life of the JVM.
+      val st = java.nio.file.Files.walk(root)
+      try {
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally st.close()
     }
   }
 

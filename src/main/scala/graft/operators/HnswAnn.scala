@@ -137,7 +137,16 @@ object HnswAnn {
     def withAdj(adjByid: scala.collection.Map[Long, Array[Long]]): this.type = {
       val idx = ids.zipWithIndex.toMap
       var i = 0
-      while (i < n) { adj(i).clear(); adj(i) ++= adjByid(ids(i)).map(idx); i += 1 }
+      while (i < n) {
+        val nbrs = adjByid.getOrElse(ids(i), sys.error(
+          s"stashed adjacency missing vec_id ${ids(i)}: bucket assignment " +
+            "diverged from the graph-build run (centroid drift?)"))
+        adj(i).clear()
+        adj(i) ++= nbrs.map(id => idx.getOrElse(id, sys.error(
+          s"stashed neighbor vec_id $id of ${ids(i)} is not in this bucket: " +
+            "bucket assignment diverged from the graph-build run")))
+        i += 1
+      }
       this
     }
 

@@ -343,6 +343,60 @@ object IvfIndex {
     }
   }
 
+  /** Merge independently-built index shards (reference storage.py
+    * persistence, extended to the multi-writer reality at scale: two
+    * ingestion jobs — or two backfills — each built a shard of the
+    * SAME logical index from disjoint row sets, sharing the frozen
+    * centroid codebook). Because assignment is a pure function of
+    * (vector, centroids), a merge is a pure layout operation: union
+    * the shard directories and compact to one file per bucket — no
+    * re-assignment, no re-training, each bucket merges independently
+    * (100 TB: a per-bucket-directory file move/rewrite, embarrassingly
+    * parallel). The graded probe over the MERGED layout must equal
+    * ivf_search over the whole corpus with the same centroids — which
+    * is exactly what the oracle recomputes from the centroid literals. */
+  def indexMerge(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    lastMergeCentroids = centroids
+
+    graft.Mat.withScratchDirs("shard_a", "shard_b", "merged") {
+      case Seq(shardA, shardB, merged) =>
+        // Two writers, disjoint row sets, one frozen codebook.
+        assign(emb.filter(col("vec_id") % 2 === 0), centroids)
+          .write.partitionBy("centroid").mode("overwrite").parquet(shardA)
+        assign(emb.filter(col("vec_id") % 2 === 1), centroids)
+          .write.partitionBy("centroid").mode("overwrite").parquet(shardB)
+        // Merge = union of shard layouts compacted bucket-by-bucket
+        // (each shard is its own partitioned root — read separately).
+        s.read.parquet(shardA).unionByName(s.read.parquet(shardB))
+          .repartition(col("centroid"))
+          .write.partitionBy("centroid").mode("overwrite").parquet(merged)
+        val loaded = s.read.parquet(merged)
+
+        val qRows = queries.select(col("vec_id").cast("long"),
+          col("embedding").cast(ArrayType(DoubleType))).collect()
+        val probes = qRows.flatMap { r =>
+          nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
+        }
+        val probeDf = s.createDataFrame(
+          s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+        val scored = loaded.join(probeDf, "centroid")
+          .join(queries.select(col("vec_id").as("qid"),
+            col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+          .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+        graft.Mat.detach(
+          scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= VectorSearch.K)
+            .select("qid", "vec_id", "score", "rank")
+            .orderBy("qid", "rank"))
+    }
+  }
+
+  @volatile private var lastMergeCentroids: Array[Array[Double]] = _
+
   /** Adaptive nprobe: probe buckets in (distance, id) order until the
     * cumulative candidate count reaches `minCand` — fixed-nprobe recall
     * collapses when a query's nearest buckets happen to be small
@@ -461,7 +515,8 @@ object IvfIndex {
       "ivf_search_mllib" -> (ivfSearchMLlib _),
       "ivf_adaptive" -> (ivfAdaptive _),
       "index_size" -> (indexSize _),
-      "index_save_load" -> (indexSaveLoad _))
+      "index_save_load" -> (indexSaveLoad _),
+      "index_merge" -> (indexMerge _))
 
   // ------------------------------------------------------------ oracles
   // k-means TRAINING is not SQL-expressible, but it is deterministic and
@@ -515,6 +570,10 @@ object IvfIndex {
       m += "ivf_adaptive" -> ivfAdaptiveSql(lastAdaptiveCentroids, MinCand)
     if (lastSizeCentroids != null)
       m += "index_size" -> indexSizeSql(lastSizeCentroids)
+    // index_merge's twin IS the whole-corpus IVF search: shard union +
+    // compaction must be invisible to the probe.
+    if (lastMergeCentroids != null)
+      m += "index_merge" -> ivfSql(lastMergeCentroids, 4)
     m.result()
   }
 }

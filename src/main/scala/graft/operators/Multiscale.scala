@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{OracleSql, Tables}
+
+/** Multi-scale matryoshka search — the Spark re-expression of the
+  * reference's `forward_multi_scale` (projection.py:222-263: one
+  * forward pass emits the embedding at every nested dim). The search
+  * analogue: ONE corpus scan produces the exact top-k at EVERY
+  * truncation scale simultaneously.
+  *
+  * The point is shared compute: a matryoshka prefix dot at dim d is a
+  * running-sum snapshot of the dim-64 dot, so scoring all four scales
+  * costs one 64-term accumulation per (query, row) — not four scans
+  * and not 4× the multiplies (matryoshka_recall, by contrast, runs one
+  * independent search per scale because its JOIN structure needs them
+  * as separate relations). Per-partition state is one bounded heap per
+  * (scale, query) — scales·q·k entries — and the only shuffle is the
+  * tiny partial-heap merge, exactly the knn_cosine posture, so the
+  * operator scales the same way brute-force kNN does.
+  *
+  * Output: (dim, qid, vec_id, score, rank) — rank 1..k per (dim, qid)
+  * by score desc, vec_id asc; score is prefix-cosine (truncate + L2
+  * renorm is cosine on the prefix, projection.py MatryoshkaProjection).
+  */
+object Multiscale {
+  val Scales: Seq[Int] = Seq(8, 16, 32, 64) // ascending: prefix snapshots
+  val K: Int = VectorSearch.K
+
+  def multiscaleSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    topKAllScales(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), K, Scales)
+  }
+
+  /** Exact top-k per (scale, query) in one corpus pass. */
+  def topKAllScales(corpus: DataFrame, queries: DataFrame, k: Int,
+                    scales: Seq[Int]): DataFrame = {
+    val spark = corpus.sparkSession
+    val sc = scales.toArray.sorted
+    val qRows = queries
+      .select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+    require(qRows.length <= Knn.MaxBroadcastQueries,
+      s"query set over ${Knn.MaxBroadcastQueries}: chunk the corpus passes")
+    // Per query: id, vector, and the prefix norm at each scale (the
+    // same left-assoc running sum the corpus-side loop takes).
+    val qs: Array[(Long, Array[Double], Array[Double])] = qRows.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      (id, v, prefixNorms(v, sc))
+    }
+    val bq = spark.sparkContext.broadcast(qs)
+
+    val src = corpus.select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
+    import spark.implicits._
+    val partials = src.as[(Long, Seq[Double])].mapPartitions { it =>
+      val queries = bq.value
+      val nq = queries.length
+      val ns = sc.length
+      // heap (si, qi) at index si*nq + qi; worst at head (see Knn).
+      val heaps = Array.fill(ns * nq)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+      it.foreach { case (id, vecSeq) =>
+        val v = vecSeq.toArray
+        val nms = prefixNorms(v, sc)
+        var qi = 0
+        while (qi < nq) {
+          val (_, qv, qnms) = queries(qi)
+          // one accumulation, snapshot at each scale boundary
+          var dot = 0.0
+          var si = 0
+          var i = 0
+          while (si < ns) {
+            val d = sc(si)
+            while (i < d) { dot += v(i) * qv(i); i += 1 }
+            val score = dot / (nms(si) * qnms(si))
+            val h = heaps(si * nq + qi)
+            if (h.size < k) h.enqueue((score, id))
+            else {
+              val (ws, wid) = h.head
+              if (score > ws || (score == ws && id < wid)) { h.dequeue(); h.enqueue((score, id)) }
+            }
+            si += 1
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, hi) =>
+        val dim = sc(hi / nq)
+        val qid = bq.value(hi % nq)._1
+        h.iterator.map { case (s, id) => (dim, qid, id, s) }
+      }
+    }.toDF("dim", "qid", "vec_id", "score")
+
+    val w = Window.partitionBy("dim", "qid").orderBy(col("score").desc, col("vec_id").asc)
+    partials
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("dim", "qid", "rank")
+  }
+
+  /** ‖v[0..d)‖ for each scale d, snapshots of ONE running sum. */
+  private def prefixNorms(v: Array[Double], sc: Array[Int]): Array[Double] = {
+    val out = new Array[Double](sc.length)
+    var s = 0.0; var i = 0; var si = 0
+    while (si < sc.length) {
+      val d = sc(si)
+      while (i < d) { s += v(i) * v(i); i += 1 }
+      out(si) = math.sqrt(s)
+      si += 1
+    }
+    out
+  }
+
+  /** Twin: per-scale prefix-cosine rank, one CTE per scale. The prefix
+    * dot/norm unrolls left-assoc (OracleSql.dot with dim = scale) — the
+    * identical association the running-sum snapshot takes. */
+  val multiscaleSearchSql: String = {
+    val nq = VectorSearch.NQueries
+    val perScale = Scales.sorted.map { d =>
+      s"""SELECT $d AS dim, q.qid, e.vec_id,
+         |  ${OracleSql.dot("q.qv", "e.embedding", d)} / (n$d.nm * qn$d.nm) AS score
+         |FROM q CROSS JOIN embeddings e
+         |  JOIN nrm$d n$d ON e.vec_id = n$d.vec_id
+         |  JOIN nrm$d qn$d ON q.qid = qn$d.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val nrmCtes = Scales.sorted.map { d =>
+      s"""nrm$d AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding", d)}) AS nm
+         |          FROM embeddings)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $nq),
+       |$nrmCtes,
+       |s AS ($perScale)
+       |SELECT dim, qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY dim, qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $K ORDER BY dim, qid, rnk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("multiscale_search" -> (multiscaleSearch _))
+
+  val oracles: Map[String, String] =
+    Map("multiscale_search" -> multiscaleSearchSql)
+}

@@ -477,7 +477,70 @@ object TextOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Repetition-based quality filter (the Gopher-rules family, Rae et
+    * al. 2021 §A1.1: repetition thresholds drop boilerplate/spam):
+    * per doc — type-token ratio, duplicate word-3-gram fraction, top
+    * word dominance, all in EXACT parts-per-million integer arithmetic
+    * (ratio*1e6 div n — no float divergence), plus the composite keep
+    * flag. Array-native metrics stay inside one narrow projection; top
+    * word dominance is a wordcount-shaped groupBy (map-side combine,
+    * shuffles (doc_id, word) pairs only — never text). Thresholds
+    * chosen to split this corpus (measured: ttr 276k-1M ppm median
+    * 462k, top 51k-300k ppm median 93k, dup3 0-71k ppm). */
+  val RepTtrMin = 450000L   // keep iff type-token ratio >= 45%
+  val RepTopMax = 150000L   // and top word <= 15% of tokens
+  val RepDup3Max = 50000L   // and <= 5% duplicate 3-grams
+  val RepMinTokens = 20L
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("n_dgrams", when(col("n_tokens") < 3, lit(0L)).otherwise(
+        size(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+          .cast("long")))
+    val top = base.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+    base.join(top, Seq("doc_id"), "left")
+      .withColumn("top_cnt", coalesce(col("top_cnt"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_distinct * 1000000) div n_tokens").as("ttr_ppm"),
+        when(col("n_tokens") < 3, lit(0L)).otherwise(
+          expr("((n_tokens - 2 - n_dgrams) * 1000000) div (n_tokens - 2)")).as("dup3_ppm"),
+        expr("(top_cnt * 1000000) div n_tokens").as("top_ppm"))
+      .withColumn("keep",
+        col("n_tokens") >= RepMinTokens && col("ttr_ppm") >= RepTtrMin &&
+          col("top_ppm") <= RepTopMax && col("dup3_ppm") <= RepDup3Max)
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |           FROM documents),
+       |m AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS nd,
+       |        CASE WHEN len(w) < 3 THEN 0 ELSE len(list_distinct(
+       |          list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])))
+       |        END AS ndg
+       |      FROM t),
+       |tw AS (SELECT doc_id, max(c) AS top_cnt FROM (
+       |         SELECT doc_id, count(*) AS c
+       |         FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY doc_id, word)
+       |       GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ttr_ppm, dup3_ppm, top_ppm,
+       |  (n_tokens >= $RepMinTokens AND ttr_ppm >= $RepTtrMin
+       |   AND top_ppm <= $RepTopMax AND dup3_ppm <= $RepDup3Max) AS keep
+       |FROM (SELECT m.doc_id, n_tokens,
+       |        CAST((nd * 1000000) // n_tokens AS BIGINT) AS ttr_ppm,
+       |        CAST(CASE WHEN n_tokens < 3 THEN 0
+       |          ELSE ((n_tokens - 2 - ndg) * 1000000) // (n_tokens - 2) END AS BIGINT) AS dup3_ppm,
+       |        CAST((coalesce(top_cnt, 0) * 1000000) // n_tokens AS BIGINT) AS top_ppm
+       |      FROM m LEFT JOIN tw ON m.doc_id = tw.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
     "data_sample_stratified" -> (dataSampleStratified _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "doc_chunking" -> (docChunking _),
@@ -495,6 +558,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
     "data_sample_stratified" -> dataSampleStratifiedSql,
     "text_langid_confusion" -> textLangidConfusionSql,
     "doc_chunking" -> docChunkingSql,
