@@ -491,8 +491,13 @@ object TextOps {
   val RepTopMax = 150000L   // and top word <= 15% of tokens
   val RepDup3Max = 50000L   // and <= 5% duplicate 3-grams
   val RepMinTokens = 20L
-  def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(s, dir, "documents")
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    textRepetitionOn(Tables.load(s, dir, "documents"))
+
+  /** Operator body over an arbitrary documents frame (doc_id, text) so
+    * tests can drive the real expressions on planted corpora. */
+  def textRepetitionOn(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("w"))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
@@ -506,10 +511,12 @@ object TextOps {
     base.join(top, Seq("doc_id"), "left")
       .withColumn("top_cnt", coalesce(col("top_cnt"), lit(0L)))
       .select(col("doc_id"), col("n_tokens"),
-        expr("(n_distinct * 1000000) div n_tokens").as("ttr_ppm"),
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          expr("(n_distinct * 1000000) div n_tokens")).as("ttr_ppm"),
         when(col("n_tokens") < 3, lit(0L)).otherwise(
           expr("((n_tokens - 2 - n_dgrams) * 1000000) div (n_tokens - 2)")).as("dup3_ppm"),
-        expr("(top_cnt * 1000000) div n_tokens").as("top_ppm"))
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          expr("(top_cnt * 1000000) div n_tokens")).as("top_ppm"))
       .withColumn("keep",
         col("n_tokens") >= RepMinTokens && col("ttr_ppm") >= RepTtrMin &&
           col("top_ppm") <= RepTopMax && col("dup3_ppm") <= RepDup3Max)
@@ -532,10 +539,12 @@ object TextOps {
        |  (n_tokens >= $RepMinTokens AND ttr_ppm >= $RepTtrMin
        |   AND top_ppm <= $RepTopMax AND dup3_ppm <= $RepDup3Max) AS keep
        |FROM (SELECT m.doc_id, n_tokens,
-       |        CAST((nd * 1000000) // n_tokens AS BIGINT) AS ttr_ppm,
+       |        CAST(CASE WHEN n_tokens = 0 THEN 0
+       |          ELSE (nd * 1000000) // n_tokens END AS BIGINT) AS ttr_ppm,
        |        CAST(CASE WHEN n_tokens < 3 THEN 0
        |          ELSE ((n_tokens - 2 - ndg) * 1000000) // (n_tokens - 2) END AS BIGINT) AS dup3_ppm,
-       |        CAST((coalesce(top_cnt, 0) * 1000000) // n_tokens AS BIGINT) AS top_ppm
+       |        CAST(CASE WHEN n_tokens = 0 THEN 0
+       |          ELSE (coalesce(top_cnt, 0) * 1000000) // n_tokens END AS BIGINT) AS top_ppm
        |      FROM m LEFT JOIN tw ON m.doc_id = tw.doc_id)
        |ORDER BY doc_id""".stripMargin
 

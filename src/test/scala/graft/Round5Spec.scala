@@ -64,18 +64,22 @@ class Round5Spec extends SparkTestBase {
 
   test("text_repetition flags a planted repetitive doc and keeps a diverse one") {
     val docs = Seq(
-      (1L, ("spam ham " * 40).trim, "en", "web", 0L),
-      (2L, (1 to 80).map(i => s"w$i").mkString(" "), "en", "web", 0L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.createOrReplaceTempView("round5_docs")
-    // reuse the operator body against a temp dir-less frame via the same exprs
-    val base = docs.select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("w"))
-      .withColumn("n_tokens", size($"w").cast("long"))
-      .withColumn("n_distinct", size(array_distinct($"w")).cast("long"))
-    val out = base.select($"doc_id",
-      expr("(n_distinct * 1000000) div n_tokens").as("ttr_ppm")).as[(Long, Long)].collect().toMap
-    assert(out(1L) < TextOps.RepTtrMin)  // 2 distinct words over 80 tokens
-    assert(out(2L) == 1000000L)          // all distinct
+      (1L, ("spam ham " * 40).trim),                 // 2 distinct words over 80 tokens
+      (2L, (1 to 80).map(i => s"w$i").mkString(" ")), // all distinct
+      (3L, ""),                                       // zero tokens (guard path)
+      (4L, "   "))                                    // whitespace-only (guard path)
+      .toDF("doc_id", "text")
+    val out = TextOps.textRepetitionOn(docs)
+      .select($"doc_id", $"n_tokens", $"ttr_ppm", $"dup3_ppm", $"top_ppm", $"keep")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._3 < TextOps.RepTtrMin && !out(1L)._6)
+    assert(out(1L)._4 > TextOps.RepDup3Max)   // "spam ham" 3-grams all duplicated
+    assert(out(2L)._3 == 1000000L && out(2L)._6)
+    // zero-token docs: every ppm is 0, keep=false, no divide-by-zero
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id) == ((id, 0L, 0L, 0L, 0L, false)), s"doc $id")
+    }
   }
 
   test("index_merge probe equals the unsharded probe with the same centroids") {
