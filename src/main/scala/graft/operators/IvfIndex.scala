@@ -42,6 +42,30 @@ case class NearestCentroidExpr(child: org.apache.spark.sql.catalyst.expressions.
       : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }
 
+/** vec (array<double>) → the nprobe nearest centroid indices, ordered
+  * by (squared L2, index) — the per-query probe-routing expression for
+  * stream-static IVF serving (explode to (qid, centroid) pairs, then
+  * an equi-join against the partitioned layout). Codegen'd like the
+  * top-1 variant. */
+case class NearestCentroidsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                                centroids: Array[Array[Double]], nprobe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    IvfIndex.nearestNData(centroids, v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val ivf = IvfIndex.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ivf.nearestNData($ref, $a, $nprobe);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
 object IvfIndex {
   /** Deterministic Lloyd k-means (kmeans++-free: seeds are the first k
     * distinct sample points in id order — reproducible across runs).
@@ -151,6 +175,18 @@ object IvfIndex {
       c += 1
     }
     best
+  }
+
+  /** ArrayData-direct nprobe-nearest centroids, (dist, index)-ordered —
+    * same tie rule as nearestN (driver twin used by the batch probes). */
+  def nearestNData(centroids: Array[Array[Double]],
+                   a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = math.min(a.numElements(), centroids(0).length)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = a.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(nearestN(centroids, v, n))
   }
 
   /** Deterministic, content-independent training sample: global order
@@ -397,6 +433,110 @@ object IvfIndex {
 
   @volatile private var lastMergeCentroids: Array[Array[Double]] = _
 
+  /** Graded salted-write layout: the writeSalted index (hot buckets
+    * split into vec_id-derived salt sub-partitions so no single write
+    * task/file owns a straggler bucket) must be INVISIBLE to probes —
+    * the salt is a physical sub-directory under `centroid=`, results
+    * identical to the unsalted index. The oracle is the same
+    * whole-corpus IVF twin as index_save_load: if salting leaked into
+    * results (lost rows, changed pruning semantics), the hash breaks.
+    * SkewSpec separately pins the per-file row bound. */
+  def ivfSalted(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    lastSaltedCentroids = centroids
+
+    graft.Mat.withScratchDirs("index_salted") { case Seq(out) =>
+      writeSalted(assign(emb, centroids), out, targetRows = 500L)
+      // probes prune on `centroid` alone; salt dirs are transparent
+      val loaded = s.read.parquet(out)
+      val qRows = queries.select(col("vec_id").cast("long"),
+        col("embedding").cast(ArrayType(DoubleType))).collect()
+      val probes = qRows.flatMap { r =>
+        nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
+      }
+      val probeDf = s.createDataFrame(
+        s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+      val scored = loaded.join(probeDf, "centroid")
+        .join(queries.select(col("vec_id").as("qid"),
+          col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+        .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+      graft.Mat.detach(
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= VectorSearch.K)
+          .select("qid", "vec_id", "score", "rank")
+          .orderBy("qid", "rank"))
+    }
+  }
+
+  @volatile private var lastSaltedCentroids: Array[Array[Double]] = _
+
+  /** Tombstone-aware shard merge (reference remove_vectors,
+    * vector_index.py:212-222, composed with the storage persistence
+    * path): shards carry DELETE markers alongside vectors — the merge
+    * drops every tombstoned id while compacting, so the merged layout
+    * never resurrects a deleted vector. Tombstones are content-
+    * independent (vec_id % $TombstoneMod == $TombstoneRes), so the
+    * DuckDB twin reproduces the same delete set with a WHERE clause:
+    * the probe over the merged+pruned layout must equal the IVF oracle
+    * over `vec_id NOT deleted`. Duplicate-id resolution (same id in
+    * two shards) is last-writer-wins by shard sequence — Round6Spec. */
+  val TombstoneMod = 11L
+  val TombstoneRes = 5L
+  def indexMergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    lastMergeDeleteCentroids = centroids
+
+    graft.Mat.withScratchDirs("del_shard_a", "del_shard_b", "del_merged") {
+      case Seq(shardA, shardB, merged) =>
+        // Two writers, disjoint row sets, one frozen codebook; each
+        // shard carries its own tombstone column (op = upsert|delete).
+        def shardDf(rows: DataFrame) =
+          assign(rows, centroids).withColumn("op",
+            when(pmod(col("vec_id"), lit(TombstoneMod)) === TombstoneRes, lit("delete"))
+              .otherwise(lit("upsert")))
+        shardDf(emb.filter(col("vec_id") % 2 === 0))
+          .write.partitionBy("centroid").mode("overwrite").parquet(shardA)
+        shardDf(emb.filter(col("vec_id") % 2 === 1))
+          .write.partitionBy("centroid").mode("overwrite").parquet(shardB)
+        // Merge: union shards, drop tombstoned ids, compact per bucket.
+        // A tombstone kills the id across ALL shards (global delete),
+        // exactly remove_vectors' semantics under multi-writer ingest.
+        val both = s.read.parquet(shardA).unionByName(s.read.parquet(shardB))
+        val dead = both.filter(col("op") === "delete").select(col("vec_id")).distinct()
+        both.filter(col("op") =!= "delete")
+          .join(broadcast(dead), Seq("vec_id"), "left_anti")
+          .drop("op")
+          .repartition(col("centroid"))
+          .write.partitionBy("centroid").mode("overwrite").parquet(merged)
+        val loaded = s.read.parquet(merged)
+
+        val qRows = queries.select(col("vec_id").cast("long"),
+          col("embedding").cast(ArrayType(DoubleType))).collect()
+        val probes = qRows.flatMap { r =>
+          nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
+        }
+        val probeDf = s.createDataFrame(
+          s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+        val scored = loaded.join(probeDf, "centroid")
+          .join(queries.select(col("vec_id").as("qid"),
+            col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+          .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+        graft.Mat.detach(
+          scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= VectorSearch.K)
+            .select("qid", "vec_id", "score", "rank")
+            .orderBy("qid", "rank"))
+    }
+  }
+
+  @volatile private var lastMergeDeleteCentroids: Array[Array[Double]] = _
+
   /** Adaptive nprobe: probe buckets in (distance, id) order until the
     * cumulative candidate count reaches `minCand` — fixed-nprobe recall
     * collapses when a query's nearest buckets happen to be small
@@ -516,7 +656,9 @@ object IvfIndex {
       "ivf_adaptive" -> (ivfAdaptive _),
       "index_size" -> (indexSize _),
       "index_save_load" -> (indexSaveLoad _),
-      "index_merge" -> (indexMerge _))
+      "index_merge" -> (indexMerge _),
+      "ivf_salted" -> (ivfSalted _),
+      "index_merge_delete" -> (indexMergeDelete _))
 
   // ------------------------------------------------------------ oracles
   // k-means TRAINING is not SQL-expressible, but it is deterministic and
@@ -531,7 +673,10 @@ object IvfIndex {
   @volatile private[operators] var lastMllibCentroids: Array[Array[Double]] = _
   @volatile private var lastSaveLoadCentroids: Array[Array[Double]] = _
 
-  private def ivfSql(centroids: Array[Array[Double]], nprobe: Int): String = {
+  /** corpusWhere filters the INDEXED rows only (tombstones, shard
+    * subsets) — probe selection and the query set stay whole-corpus. */
+  private def ivfSql(centroids: Array[Array[Double]], nprobe: Int,
+                     corpusWhere: String = "TRUE"): String = {
     import graft.OracleSql
     val nq = VectorSearch.NQueries; val k = VectorSearch.K
     val nlist = centroids.length
@@ -539,7 +684,8 @@ object IvfIndex {
        |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
        |  FROM embeddings),
        |a AS (SELECT vec_id, embedding,
-       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d
+       |      WHERE $corpusWhere),
        |pe AS (SELECT vec_id AS qid, unnest(dl) AS dist, unnest(range(0, $nlist)) AS c
        |       FROM d WHERE vec_id < $nq),
        |pr AS (SELECT qid, c FROM (
@@ -574,6 +720,15 @@ object IvfIndex {
     // compaction must be invisible to the probe.
     if (lastMergeCentroids != null)
       m += "index_merge" -> ivfSql(lastMergeCentroids, 4)
+    // salted layout's twin IS the plain IVF search: the salt must be
+    // invisible to results.
+    if (lastSaltedCentroids != null)
+      m += "ivf_salted" -> ivfSql(lastSaltedCentroids, 4)
+    // tombstone merge: the indexed corpus excludes deleted ids, the
+    // query set does not.
+    if (lastMergeDeleteCentroids != null)
+      m += "index_merge_delete" -> ivfSql(lastMergeDeleteCentroids, 4,
+        s"vec_id % $TombstoneMod <> $TombstoneRes")
     m.result()
   }
 }

@@ -36,84 +36,36 @@ object Multiscale {
     topKAllScales(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), K, Scales)
   }
 
-  /** Exact top-k per (scale, query) in one corpus pass. */
+  /** Exact top-k per (scale, query) in one corpus pass. Served by the
+    * InternalRow-direct custom physical operator (plans.
+    * MultiscaleTopKExec via the same planner strategy as knn_cosine):
+    * the corpus scan feeds the per-(scale,query) heaps without Dataset
+    * encoder boxing, and the only shuffle is the tiny partial-heap
+    * merge under the final window. */
   def topKAllScales(corpus: DataFrame, queries: DataFrame, k: Int,
                     scales: Seq[Int]): DataFrame = {
     val spark = corpus.sparkSession
-    val sc = scales.toArray.sorted
-    val qRows = queries
+    graft.plans.VectorTopK.install(spark)
+    val sc = scales.sorted
+    val qs = queries
       .select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
       .collect()
-    require(qRows.length <= Knn.MaxBroadcastQueries,
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    require(qs.length <= Knn.MaxBroadcastQueries,
       s"query set over ${Knn.MaxBroadcastQueries}: chunk the corpus passes")
-    // Per query: id, vector, and the prefix norm at each scale (the
-    // same left-assoc running sum the corpus-side loop takes).
-    val qs: Array[(Long, Array[Double], Array[Double])] = qRows.map { r =>
-      val id = r.getLong(0)
-      val v = r.getSeq[Double](1).toArray
-      (id, v, prefixNorms(v, sc))
-    }
-    val bq = spark.sparkContext.broadcast(qs)
-
-    val src = corpus.select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
-    import spark.implicits._
-    val partials = src.as[(Long, Seq[Double])].mapPartitions { it =>
-      val queries = bq.value
-      val nq = queries.length
-      val ns = sc.length
-      // heap (si, qi) at index si*nq + qi; worst at head (see Knn).
-      val heaps = Array.fill(ns * nq)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-        Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
-      it.foreach { case (id, vecSeq) =>
-        val v = vecSeq.toArray
-        val nms = prefixNorms(v, sc)
-        var qi = 0
-        while (qi < nq) {
-          val (_, qv, qnms) = queries(qi)
-          // one accumulation, snapshot at each scale boundary
-          var dot = 0.0
-          var si = 0
-          var i = 0
-          while (si < ns) {
-            val d = sc(si)
-            while (i < d) { dot += v(i) * qv(i); i += 1 }
-            val score = dot / (nms(si) * qnms(si))
-            val h = heaps(si * nq + qi)
-            if (h.size < k) h.enqueue((score, id))
-            else {
-              val (ws, wid) = h.head
-              if (score > ws || (score == ws && id < wid)) { h.dequeue(); h.enqueue((score, id)) }
-            }
-            si += 1
-          }
-          qi += 1
-        }
-      }
-      heaps.iterator.zipWithIndex.flatMap { case (h, hi) =>
-        val dim = sc(hi / nq)
-        val qid = bq.value(hi % nq)._1
-        h.iterator.map { case (s, id) => (dim, qid, id, s) }
-      }
-    }.toDF("dim", "qid", "vec_id", "score")
+    val prepared = corpus.select(
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val partials = org.apache.spark.sql.graftshim.Shims.ofRows(spark,
+      graft.plans.MultiscaleTopKNode(
+        org.apache.spark.sql.graftshim.Shims.logicalPlan(prepared), qs, k, sc))
 
     val w = Window.partitionBy("dim", "qid").orderBy(col("score").desc, col("vec_id").asc)
     partials
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("dim", "qid", "rank")
-  }
-
-  /** ‖v[0..d)‖ for each scale d, snapshots of ONE running sum. */
-  private def prefixNorms(v: Array[Double], sc: Array[Int]): Array[Double] = {
-    val out = new Array[Double](sc.length)
-    var s = 0.0; var i = 0; var si = 0
-    while (si < sc.length) {
-      val d = sc(si)
-      while (i < d) { s += v(i) * v(i); i += 1 }
-      out(si) = math.sqrt(s)
-      si += 1
-    }
-    out
   }
 
   /** Twin: per-scale prefix-cosine rank, one CTE per scale. The prefix

@@ -127,10 +127,131 @@ case class VectorTopKExec(
   }
 }
 
+/** Multi-scale variant: ONE corpus pass keeps a bounded heap per
+  * (scale, query), scoring every matryoshka truncation scale off
+  * running-sum snapshots of the same dot/norm accumulation (reference
+  * projection.py:222-263 `forward_multi_scale`). InternalRow-direct:
+  * no Dataset encoder boxing on the corpus scan — the formulation
+  * ScaleProbe measured 5-6× faster than the `Dataset.mapPartitions`
+  * equivalent for the single-scale operator. */
+case class MultiscaleTopKNode(
+    child: LogicalPlan,
+    queries: Seq[(Long, Seq[Double])],
+    k: Int,
+    scales: Seq[Int],
+    output: Seq[Attribute] = MultiscaleTopKNode.freshOutput()) extends UnaryNode {
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override def simpleString(maxFields: Int): String =
+    s"MultiscaleTopKNode [${queries.length} queries, k=$k, scales=${scales.mkString("/")}]"
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+object MultiscaleTopKNode {
+  def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("dim", IntegerType, nullable = false)(),
+    AttributeReference("qid", LongType, nullable = false)(),
+    AttributeReference("vec_id", LongType, nullable = false)(),
+    AttributeReference("score", DoubleType, nullable = false)())
+}
+
+case class MultiscaleTopKExec(
+    child: SparkPlan,
+    out: Seq[Attribute],
+    queries: Seq[(Long, Seq[Double])],
+    k: Int,
+    scales: Seq[Int]) extends UnaryExecNode {
+  override def output: Seq[Attribute] = out
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(out)
+  override def simpleString(maxFields: Int): String =
+    s"MultiscaleTopK [${queries.length} queries, k=$k, scales=${scales.mkString("/")}]"
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val sc = scales.toArray // caller sorts ascending: prefix snapshots
+    val qs = queries.map { case (id, v) =>
+      val a = v.toArray
+      (id, a, MultiscaleTopKExec.prefixNorms(a, sc))
+    }.toArray
+    val kk = k
+    val schema = StructType(Seq(
+      StructField("dim", IntegerType, nullable = false),
+      StructField("qid", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    child.execute().mapPartitions { rows =>
+      val nq = qs.length
+      val ns = sc.length
+      // heap for (scale si, query qi) at index si*nq + qi; worst at head
+      val heaps = Array.fill(ns * nq)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+      rows.foreach { row =>
+        val id = row.getLong(0)
+        val arr = row.getArray(1)
+        val n = arr.numElements()
+        val v = new Array[Double](n)
+        var i = 0
+        while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+        val nms = MultiscaleTopKExec.prefixNorms(v, sc)
+        var qi = 0
+        while (qi < nq) {
+          val q = qs(qi)
+          val qv = q._2
+          val qnms = q._3
+          // one accumulation, snapshot at each scale boundary
+          var dot = 0.0
+          var si = 0
+          i = 0
+          while (si < ns) {
+            val d = sc(si)
+            while (i < d) { dot += v(i) * qv(i); i += 1 }
+            val score = dot / (nms(si) * qnms(si))
+            val h = heaps(si * nq + qi)
+            if (h.size < kk) h.enqueue((score, id))
+            else {
+              val (ws, wid) = h.head
+              if (score > ws || (score == ws && id < wid)) { h.dequeue(); h.enqueue((score, id)) }
+            }
+            si += 1
+          }
+          qi += 1
+        }
+      }
+      val proj = UnsafeProjection.create(schema)
+      heaps.iterator.zipWithIndex.flatMap { case (h, hi) =>
+        val dim = sc(hi / nq)
+        val qid = qs(hi % nq)._1
+        h.iterator.map { case (s, id) =>
+          proj(new GenericInternalRow(Array[Any](dim, qid, id, s))).copy(): InternalRow
+        }
+      }
+    }
+  }
+}
+
+object MultiscaleTopKExec {
+  /** ‖v[0..d)‖ for each scale d — snapshots of ONE running sum, the
+    * identical left-assoc association the SQL twin unrolls. */
+  def prefixNorms(v: Array[Double], sc: Array[Int]): Array[Double] = {
+    val out = new Array[Double](sc.length)
+    var s = 0.0; var i = 0; var si = 0
+    while (si < sc.length) {
+      val d = sc(si)
+      while (i < d) { s += v(i) * v(i); i += 1 }
+      out(si) = math.sqrt(s)
+      si += 1
+    }
+    out
+  }
+}
+
 object VectorTopKStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: VectorTopKNode =>
       VectorTopKExec(planLater(n.child), n.output, n.queries, n.k, n.metric) :: Nil
+    case n: MultiscaleTopKNode =>
+      MultiscaleTopKExec(planLater(n.child), n.output, n.queries, n.k, n.scales) :: Nil
     case _ => Nil
   }
 }
