@@ -473,16 +473,39 @@ object IvfIndex {
 
   @volatile private var lastSaltedCentroids: Array[Array[Double]] = _
 
+  /** Last-writer-wins resolution core for tombstone-aware shard
+    * merges: every shard row carries (vec_id, embedding, centroid,
+    * op = upsert|delete, shard_seq); for each vec_id only the row of
+    * the HIGHEST shard_seq survives (row_number over (vec_id,
+    * shard_seq desc)), and if that surviving row is a tombstone the id
+    * is dropped. So: same id upserted in two shards → the later
+    * shard's payload wins (no duplicate rows); delete-then-reinsert
+    * across shards → the reinsert survives; reinsert-then-delete →
+    * the id is gone. Round6Spec exercises all three with OVERLAPPING
+    * shards. Scale shape: one shuffle keyed by vec_id (the resolution
+    * key), then the bucket compaction — both scale-free of nlist. */
+  def mergeShardsLww(shards: Seq[DataFrame]): DataFrame = {
+    val all = shards.reduce(_ unionByName _)
+    val w = Window.partitionBy("vec_id").orderBy(col("shard_seq").desc)
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("op") =!= "delete")
+      .drop("op", "shard_seq", "rn")
+  }
+
   /** Tombstone-aware shard merge (reference remove_vectors,
     * vector_index.py:212-222, composed with the storage persistence
     * path): shards carry DELETE markers alongside vectors — the merge
-    * drops every tombstoned id while compacting, so the merged layout
-    * never resurrects a deleted vector. Tombstones are content-
-    * independent (vec_id % $TombstoneMod == $TombstoneRes), so the
-    * DuckDB twin reproduces the same delete set with a WHERE clause:
-    * the probe over the merged+pruned layout must equal the IVF oracle
-    * over `vec_id NOT deleted`. Duplicate-id resolution (same id in
-    * two shards) is last-writer-wins by shard sequence — Round6Spec. */
+    * resolves every id last-writer-wins by shard sequence
+    * (mergeShardsLww) while compacting, so the merged layout never
+    * resurrects a deleted vector and never duplicates a re-upserted
+    * one. The graded shards OVERLAP (shard B re-upserts every
+    * vec_id % 10 == 0 row already in shard A), so the dedup path is on
+    * the graded surface: without LWW the re-upserts would survive
+    * twice and break the hash. Tombstones are content-independent
+    * (vec_id % $TombstoneMod == $TombstoneRes, consistent across
+    * shards), so the DuckDB twin reproduces the same delete set with a
+    * WHERE clause: the probe over the merged+pruned layout must equal
+    * the IVF oracle over `vec_id NOT deleted`. */
   val TombstoneMod = 11L
   val TombstoneRes = 5L
   def indexMergeDelete(s: SparkSession, dir: String): DataFrame = {
@@ -493,24 +516,22 @@ object IvfIndex {
 
     graft.Mat.withScratchDirs("del_shard_a", "del_shard_b", "del_merged") {
       case Seq(shardA, shardB, merged) =>
-        // Two writers, disjoint row sets, one frozen codebook; each
-        // shard carries its own tombstone column (op = upsert|delete).
-        def shardDf(rows: DataFrame) =
+        // Two writers, one frozen codebook; each shard carries its own
+        // tombstone column (op = upsert|delete) and write sequence.
+        def shardDf(rows: DataFrame, seqNo: Int) =
           assign(rows, centroids).withColumn("op",
             when(pmod(col("vec_id"), lit(TombstoneMod)) === TombstoneRes, lit("delete"))
               .otherwise(lit("upsert")))
-        shardDf(emb.filter(col("vec_id") % 2 === 0))
+            .withColumn("shard_seq", lit(seqNo))
+        shardDf(emb.filter(col("vec_id") % 2 === 0), 0)
           .write.partitionBy("centroid").mode("overwrite").parquet(shardA)
-        shardDf(emb.filter(col("vec_id") % 2 === 1))
+        // shard B: the odd rows PLUS re-upserts of every 10th even row
+        // — overlapping ids whose LWW copy (identical payload, later
+        // seq) must survive exactly once in the merged layout.
+        shardDf(emb.filter(col("vec_id") % 2 === 1)
+            .unionByName(emb.filter(col("vec_id") % 10 === 0)), 1)
           .write.partitionBy("centroid").mode("overwrite").parquet(shardB)
-        // Merge: union shards, drop tombstoned ids, compact per bucket.
-        // A tombstone kills the id across ALL shards (global delete),
-        // exactly remove_vectors' semantics under multi-writer ingest.
-        val both = s.read.parquet(shardA).unionByName(s.read.parquet(shardB))
-        val dead = both.filter(col("op") === "delete").select(col("vec_id")).distinct()
-        both.filter(col("op") =!= "delete")
-          .join(broadcast(dead), Seq("vec_id"), "left_anti")
-          .drop("op")
+        mergeShardsLww(Seq(s.read.parquet(shardA), s.read.parquet(shardB)))
           .repartition(col("centroid"))
           .write.partitionBy("centroid").mode("overwrite").parquet(merged)
         val loaded = s.read.parquet(merged)
@@ -674,9 +695,11 @@ object IvfIndex {
   @volatile private var lastSaveLoadCentroids: Array[Array[Double]] = _
 
   /** corpusWhere filters the INDEXED rows only (tombstones, shard
-    * subsets) — probe selection and the query set stay whole-corpus. */
-  private def ivfSql(centroids: Array[Array[Double]], nprobe: Int,
-                     corpusWhere: String = "TRUE"): String = {
+    * subsets) — probe selection and the query set stay whole-corpus.
+    * private[graft]: the streaming serve (stream_ivf) grades against
+    * the same twin — streaming must equal the batch IVF search. */
+  private[graft] def ivfSql(centroids: Array[Array[Double]], nprobe: Int,
+                            corpusWhere: String = "TRUE"): String = {
     import graft.OracleSql
     val nq = VectorSearch.NQueries; val k = VectorSearch.K
     val nlist = centroids.length

@@ -108,10 +108,35 @@ object PlanQueries {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** The SQL registry surface, GRADED: the whole kNN pipeline driven
+    * purely through `spark.sql` over the registered graft functions
+    * (GraftFunctions.register — the same registrations
+    * GraftExtensions injects at session build). No DataFrame operator
+    * in the pipeline: query selection, cosine scoring (the codegen
+    * CosineSimD expression resolved BY NAME from SQL), windowed
+    * top-k and ordering are all SQL text. Must equal the knn_cosine
+    * twin bit-exactly — a registry that resolved to the wrong
+    * expression or lost codegen precision breaks the hash. */
+  def sqlPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < ${VectorSearch.NQueries}),
+         |s AS (SELECT q.qid, e.vec_id, cosine_sim(q.qv, e.embedding) AS score
+         |      FROM q CROSS JOIN embeddings e)
+         |SELECT qid, vec_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM s)
+         |WHERE rank <= ${VectorSearch.K} ORDER BY qid, rank""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_join" -> (qSkewJoin _),
-    "q_bucketed_join" -> (qBucketedJoin _))
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "sql_pipeline" -> (sqlPipeline _))
   val oracles: Map[String, String] = Map(
     "q_skew_join" -> qSkewJoinSql,
-    "q_bucketed_join" -> qBucketedJoinSql)
+    "q_bucketed_join" -> qBucketedJoinSql,
+    "sql_pipeline" -> VectorSearch.knnCosineSql)
 }

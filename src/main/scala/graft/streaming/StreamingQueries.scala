@@ -125,6 +125,63 @@ object StreamingQueries {
     out.orderBy("qid", "rank")
   }
 
+  /** IVF-routed online serving — the scale-safe replacement for
+    * stream_knn's full-scan-per-trigger (reference search,
+    * vector_index.py:107-210, in its online shape): each arriving
+    * query is routed to its nprobe nearest centroids by the codegen
+    * NearestCentroidsExpr, EXPLODED to (qid, centroid) pairs, and
+    * stream-static EQUI-joined on `centroid` against the at-rest
+    * centroid-partitioned index layout — so the per-trigger scoring
+    * work is nprobe/nlist of the corpus, not all of it. Keyed state
+    * keeps the per-query exact top-k over the probed candidates; each
+    * query's candidates arrive in its own trigger, so each emission is
+    * final and the union equals batch ivf_search (same centroids, same
+    * probe rule — the ivfSql twin recomputes routing independently). */
+  def streamIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), 16, 10)
+    lastStreamIvfCentroids = centroids
+    val qs = emb.filter(col("vec_id") < VectorSearch.NQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val k = VectorSearch.K
+    val chunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
+    graft.Mat.withScratchDirs("stream_ivf_index") { case Seq(idx) =>
+      // the serving index at rest: centroid-partitioned layout
+      IvfIndex.assign(emb, centroids)
+        .write.partitionBy("centroid").mode("overwrite").parquet(idx)
+      val loaded = s.read.parquet(idx)
+        .select(col("vec_id"), col("embedding"), col("centroid").cast("int").as("centroid"))
+      val out = drain(s, chunks, "update", sinkName("stream_ivf")) { ds =>
+        val routed = ds.toDF("qid", "qv").withColumn("centroid",
+          explode(org.apache.spark.sql.graftshim.Shims.column(
+            graft.operators.NearestCentroidsExpr(
+              org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
+              centroids, 4))))
+        val scored = routed.join(loaded, "centroid") // stream-static equi-join
+          .withColumn("score",
+            graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+          .select(col("qid"), col("vec_id"), col("score"))
+          .as[(Long, Long, Double)]
+        scored.groupByKey(_._1)
+          .flatMapGroupsWithState[List[(Double, Long)], (Long, Long, Double, Int)](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (qid: Long, it: Iterator[(Long, Long, Double)],
+             state: GroupState[List[(Double, Long)]]) =>
+              var top = state.getOption.getOrElse(Nil)
+              it.foreach { case (_, id, sc) =>
+                top = ((sc, id) :: top)
+                  .sortBy { case (s0, i0) => (-s0, i0) }.take(k)
+              }
+              state.update(top)
+              top.zipWithIndex.iterator.map { case ((sc, id), i) => (qid, id, sc, i + 1) }
+          }.toDF("qid", "vec_id", "score", "rank")
+      }
+      graft.Mat.detach(out.orderBy("qid", "rank"))
+    }
+  }
+
   /** Incremental index ingest: streamed vectors are centroid-routed by
     * the same codegen NearestCentroidExpr as the batch build — the
     * writeStream.partitionBy landing path of stream_sink. Output is
@@ -245,6 +302,7 @@ object StreamingQueries {
   // ---------------------------------------------------------------- grading
   @volatile private var lastIngestCentroids: Array[Array[Double]] = _
   @volatile private var lastSinkCentroids: Array[Array[Double]] = _
+  @volatile private var lastStreamIvfCentroids: Array[Array[Double]] = _
 
   private def ingestSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
@@ -256,6 +314,7 @@ object StreamingQueries {
     "stream_tumbling" -> (streamTumbling _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_knn" -> (streamKnn _),
+    "stream_ivf" -> (streamIvf _),
     "stream_ingest" -> (streamIngest _),
     "stream_topk" -> (streamTopk _),
     "stream_dedup" -> (streamDedup _),
@@ -271,6 +330,8 @@ object StreamingQueries {
     m += "stream_topk" -> VectorSearch.knnCosineSql
     m += "stream_dedup" -> Dedup.dedupMinhashLshSql
     m += "stream_mmr" -> Mmr.mmrRerankSql
+    if (lastStreamIvfCentroids != null)
+      m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
     if (lastIngestCentroids != null) m += "stream_ingest" -> ingestSql(lastIngestCentroids)
     if (lastSinkCentroids != null) m += "stream_sink" -> ingestSql(lastSinkCentroids)
     m.result()

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.operators.{IvfIndex, NearestCentroidsExpr}
+
+/** Round 7: stream_ivf (IVF-routed streaming serve) == batch, the
+  * probe-routing expression's eval and codegen paths agree with the
+  * driver twin, and SURVEY §2's inventory can no longer drift from the
+  * graded query registry (the set equality is asserted here, so a new
+  * graded key without an inventory line fails the build). */
+class Round7Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("SURVEY §2 inventory keys == graded query registry (no drift)") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = txt.split("\n## §2", 2)(1).split("\n## §3", 2)(0)
+    val keyRe = "`([a-z][a-z0-9_]*)`".r
+    // a checklist line's graded key(s) sit before the first " — "
+    val keys = s2.linesIterator
+      .filter(l => l.startsWith("- [x]") || l.startsWith("- [~]"))
+      .flatMap(l => keyRe.findAllMatchIn(l.split(" — ", 2).head).map(_.group(1)))
+      .toSet
+    // documented aliases: inventory names that grade through a sibling key
+    val aliases = Set("hnsw_partitioned", "aqe_skew_join")
+    val registry = SparkEntry.queries.keySet
+    assert((keys -- aliases) == registry,
+      s"SURVEY §2 drift — no inventory line for: ${(registry -- keys).toSeq.sorted.mkString(", ")}; " +
+        s"stale inventory keys: ${((keys -- aliases) -- registry).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("graded registry keys are unique across operator maps (no silent shadowing)") {
+    // queries is built by ++ over per-file maps; a duplicate key would
+    // silently shadow an operator. Sum of per-map sizes must equal the
+    // merged size.
+    val maps = Seq(
+      operators.Relational.queries, operators.VectorSearch.queries,
+      operators.TextOps.queries, operators.EvalMetrics.queries,
+      operators.Dedup.queries, operators.IvfIndex.queries,
+      operators.LshAnn.queries, operators.ProductQuant.queries,
+      operators.Mmr.queries, operators.Projection.queries,
+      operators.IvfPq.queries, operators.NnDescent.queries,
+      operators.IndexComparison.queries, streaming.StreamingQueries.queries,
+      operators.VectorAvg.queries, operators.LayoutQueries.queries,
+      operators.HnswAnn.queries, operators.PlanQueries.queries,
+      operators.Multiscale.queries)
+    assert(maps.map(_.size).sum + 1 == SparkEntry.queries.size) // +1: multimodal_embed
+  }
+
+  test("stream_ivf == batch ivf_search (same deterministic centroids, nprobe=4)") {
+    val st = streaming.StreamingQueries.streamIvf(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val bt = IvfIndex.ivfSearch(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(st.nonEmpty && st == bt)
+  }
+
+  test("NearestCentroidsExpr codegen path == driver nearestN on every corpus row; head == top-1 assign") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), 8, 5)
+    val rows = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        Shims.column(NearestCentroidsExpr(
+          Shims.expression(col("embedding").cast("array<double>")), centroids, 3)).as("cs"))
+      .as[(Long, Seq[Double], Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v, cs) =>
+      val want = IvfIndex.nearestN(centroids, v.toArray, 3).toSeq
+      assert(cs == want, s"vec_id=$id: got $cs want $want")
+      assert(cs.head == IvfIndex.nearest(centroids, v.toArray))
+    }
+  }
+
+  test("NearestCentroidsExpr interpreted eval agrees with codegen/driver twin") {
+    val cs = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0), Array(-1.0, 3.0))
+    val vs = Seq(Seq(0.9, 1.1), Seq(-0.4, 2.0), Seq(2.0, 2.0), Seq(0.5, 0.5))
+    vs.foreach { v =>
+      val e = NearestCentroidsExpr(
+        Literal.create(v, ArrayType(DoubleType)), cs, 2)
+      val got = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[ArrayData].toIntArray().toSeq
+      assert(got == IvfIndex.nearestN(cs, v.toArray, 2).toSeq)
+    }
+  }
+}
