@@ -336,6 +336,29 @@ object IvfIndex {
       .write.partitionBy("centroid", "salt").mode("overwrite").parquet(dir)
   }
 
+  /** Probe an at-rest centroid-partitioned layout. The probed bucket
+    * set is known at the driver (it came from the centroid routing),
+    * so the scan carries an EXPLICIT partition predicate — `centroid
+    * IN (probed set)` shows up as PartitionFilters and prunes files
+    * before any IO, rather than relying on runtime DPP firing for the
+    * probeDf join (unasserted, and a missed DPP at 100 TB is a
+    * full-layout scan). The per-query (qid, centroid) restriction and
+    * the exact cosine re-rank follow. Round7Spec pins PartitionFilters
+    * on this path over salted and merged layouts. */
+  def probeLayout(loaded: DataFrame, probeDf: DataFrame, probedCentroids: Seq[Int],
+                  queries: DataFrame, k: Int): DataFrame = {
+    val pruned = loaded.filter(col("centroid").isin(probedCentroids: _*))
+    val scored = pruned.join(probeDf, "centroid")
+      .join(queries.select(col("vec_id").as("qid"),
+        col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** Save/load the reference's index persistence (vector_index.py:
     * 224-277) as an at-rest layout: the assigned corpus is WRITTEN
     * partitioned by centroid (each bucket its own directory — the
@@ -365,17 +388,8 @@ object IvfIndex {
         }
         val probeDf = s.createDataFrame(
           s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
-        val cand = loaded.join(probeDf, "centroid")
-        val scored = cand.join(
-          queries.select(col("vec_id").as("qid"),
-            col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
-          .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
-        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
-        graft.Mat.detach(
-          scored.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= VectorSearch.K)
-            .select("qid", "vec_id", "score", "rank")
-            .orderBy("qid", "rank"))
+        graft.Mat.detach(probeLayout(loaded, probeDf,
+          probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
     }
   }
 
@@ -418,16 +432,8 @@ object IvfIndex {
         }
         val probeDf = s.createDataFrame(
           s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
-        val scored = loaded.join(probeDf, "centroid")
-          .join(queries.select(col("vec_id").as("qid"),
-            col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
-          .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
-        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
-        graft.Mat.detach(
-          scored.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= VectorSearch.K)
-            .select("qid", "vec_id", "score", "rank")
-            .orderBy("qid", "rank"))
+        graft.Mat.detach(probeLayout(loaded, probeDf,
+          probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
     }
   }
 
@@ -458,16 +464,8 @@ object IvfIndex {
       }
       val probeDf = s.createDataFrame(
         s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
-      val scored = loaded.join(probeDf, "centroid")
-        .join(queries.select(col("vec_id").as("qid"),
-          col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
-        .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
-      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
-      graft.Mat.detach(
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= VectorSearch.K)
-          .select("qid", "vec_id", "score", "rank")
-          .orderBy("qid", "rank"))
+      graft.Mat.detach(probeLayout(loaded, probeDf,
+        probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
     }
   }
 
@@ -543,16 +541,8 @@ object IvfIndex {
         }
         val probeDf = s.createDataFrame(
           s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
-        val scored = loaded.join(probeDf, "centroid")
-          .join(queries.select(col("vec_id").as("qid"),
-            col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
-          .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
-        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
-        graft.Mat.detach(
-          scored.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= VectorSearch.K)
-            .select("qid", "vec_id", "score", "rank")
-            .orderBy("qid", "rank"))
+        graft.Mat.detach(probeLayout(loaded, probeDf,
+          probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
     }
   }
 

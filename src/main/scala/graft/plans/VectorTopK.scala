@@ -46,6 +46,41 @@ object VectorTopKNode {
     AttributeReference("score", DoubleType, nullable = false)())
 }
 
+/** Bounded primitive top-k accumulator for the scan hot loop: parallel
+  * score/id arrays, worst slot tracked, so the reject test is two
+  * primitive compares and zero allocation (the boxed
+  * PriorityQueue[(Double, Long)] it replaces destructured a tuple per
+  * row×query×scale — measurable at 4M rows, see SURVEY §6). Tie rule
+  * matches row_number ORDER BY score DESC, id ASC: on equal score the
+  * higher id is worse. Emission order is arbitrary — every consumer
+  * re-ranks under a window. */
+final class TopKPrim(k: Int) {
+  private[this] val sc = new Array[Double](k)
+  private[this] val id = new Array[Long](k)
+  private[this] var n = 0
+  private[this] var wi = 0 // worst slot, valid once n == k
+  def offer(s: Double, i: Long): Unit = {
+    if (n < k) {
+      sc(n) = s; id(n) = i; n += 1
+      if (n == k) refreshWorst()
+    } else if (s > sc(wi) || (s == sc(wi) && i < id(wi))) {
+      sc(wi) = s; id(wi) = i; refreshWorst()
+    }
+  }
+  private def refreshWorst(): Unit = {
+    var w = 0; var j = 1
+    while (j < n) {
+      if (sc(j) < sc(w) || (sc(j) == sc(w) && id(j) > id(w))) w = j
+      j += 1
+    }
+    wi = w
+  }
+  def foreach(f: (Double, Long) => Unit): Unit = {
+    var j = 0
+    while (j < n) { f(sc(j), id(j)); j += 1 }
+  }
+}
+
 case class VectorTopKExec(
     child: SparkPlan,
     out: Seq[Attribute],
@@ -73,8 +108,7 @@ case class VectorTopKExec(
       StructField("vec_id", LongType, nullable = false),
       StructField("score", DoubleType, nullable = false)))
     child.execute().mapPartitions { rows =>
-      val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-        Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+      val heaps = Array.fill(qs.length)(new TopKPrim(kk))
       rows.foreach { row =>
         val id = row.getLong(0)
         val arr = row.getArray(1)
@@ -107,22 +141,20 @@ case class VectorTopKExec(
               while (i < d) { dot += v(i) * qv(i); i += 1 }
               score = dot
           }
-          val h = heaps(qi)
-          if (h.size < kk) h.enqueue((score, id))
-          else {
-            val (ws, wid) = h.head
-            if (score > ws || (score == ws && id < wid)) { h.dequeue(); h.enqueue((score, id)) }
-          }
+          heaps(qi).offer(score, id)
           qi += 1
         }
       }
       val proj = UnsafeProjection.create(schema)
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var qi = 0
+      while (qi < heaps.length) {
         val qid = qs(qi)._1
-        h.iterator.map { case (s, id) =>
-          proj(new GenericInternalRow(Array[Any](qid, id, s))).copy(): InternalRow
-        }
+        heaps(qi).foreach((s, id) =>
+          out += proj(new GenericInternalRow(Array[Any](qid, id, s))).copy())
+        qi += 1
       }
+      out.iterator
     }
   }
 }
@@ -140,6 +172,11 @@ case class MultiscaleTopKNode(
     k: Int,
     scales: Seq[Int],
     output: Seq[Attribute] = MultiscaleTopKNode.freshOutput()) extends UnaryNode {
+  // the exec's single-accumulation snapshot loop never rewinds between
+  // scales — an unsorted caller would silently skip dimensions
+  require(scales.nonEmpty && scales == scales.sorted &&
+    scales.distinct.length == scales.length,
+    s"scales must be strictly ascending, got ${scales.mkString(",")}")
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
   override def simpleString(maxFields: Int): String =
@@ -161,6 +198,9 @@ case class MultiscaleTopKExec(
     queries: Seq[(Long, Seq[Double])],
     k: Int,
     scales: Seq[Int]) extends UnaryExecNode {
+  require(scales.nonEmpty && scales == scales.sorted &&
+    scales.distinct.length == scales.length,
+    s"scales must be strictly ascending, got ${scales.mkString(",")}")
   override def output: Seq[Attribute] = out
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(out)
@@ -183,17 +223,20 @@ case class MultiscaleTopKExec(
     child.execute().mapPartitions { rows =>
       val nq = qs.length
       val ns = sc.length
-      // heap for (scale si, query qi) at index si*nq + qi; worst at head
-      val heaps = Array.fill(ns * nq)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-        Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+      // heap for (scale si, query qi) at index si*nq + qi
+      val heaps = Array.fill(ns * nq)(new TopKPrim(kk))
+      // per-row scratch buffers reused across the whole partition —
+      // 2 allocations per PARTITION instead of 2 per row
+      var v: Array[Double] = null
+      val nms = new Array[Double](ns)
       rows.foreach { row =>
         val id = row.getLong(0)
         val arr = row.getArray(1)
         val n = arr.numElements()
-        val v = new Array[Double](n)
+        if (v == null || v.length != n) v = new Array[Double](n)
         var i = 0
         while (i < n) { v(i) = arr.getDouble(i); i += 1 }
-        val nms = MultiscaleTopKExec.prefixNorms(v, sc)
+        MultiscaleTopKExec.prefixNormsInto(v, sc, nms)
         var qi = 0
         while (qi < nq) {
           val q = qs(qi)
@@ -206,26 +249,23 @@ case class MultiscaleTopKExec(
           while (si < ns) {
             val d = sc(si)
             while (i < d) { dot += v(i) * qv(i); i += 1 }
-            val score = dot / (nms(si) * qnms(si))
-            val h = heaps(si * nq + qi)
-            if (h.size < kk) h.enqueue((score, id))
-            else {
-              val (ws, wid) = h.head
-              if (score > ws || (score == ws && id < wid)) { h.dequeue(); h.enqueue((score, id)) }
-            }
+            heaps(si * nq + qi).offer(dot / (nms(si) * qnms(si)), id)
             si += 1
           }
           qi += 1
         }
       }
       val proj = UnsafeProjection.create(schema)
-      heaps.iterator.zipWithIndex.flatMap { case (h, hi) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      var hi = 0
+      while (hi < heaps.length) {
         val dim = sc(hi / nq)
         val qid = qs(hi % nq)._1
-        h.iterator.map { case (s, id) =>
-          proj(new GenericInternalRow(Array[Any](dim, qid, id, s))).copy(): InternalRow
-        }
+        heaps(hi).foreach((s, id) =>
+          out += proj(new GenericInternalRow(Array[Any](dim, qid, id, s))).copy())
+        hi += 1
       }
+      out.iterator
     }
   }
 }
@@ -235,6 +275,12 @@ object MultiscaleTopKExec {
     * identical left-assoc association the SQL twin unrolls. */
   def prefixNorms(v: Array[Double], sc: Array[Int]): Array[Double] = {
     val out = new Array[Double](sc.length)
+    prefixNormsInto(v, sc, out)
+    out
+  }
+
+  /** Allocation-free variant for the partition hot loop. */
+  def prefixNormsInto(v: Array[Double], sc: Array[Int], out: Array[Double]): Unit = {
     var s = 0.0; var i = 0; var si = 0
     while (si < sc.length) {
       val d = sc(si)
@@ -242,7 +288,6 @@ object MultiscaleTopKExec {
       out(si) = math.sqrt(s)
       si += 1
     }
-    out
   }
 }
 

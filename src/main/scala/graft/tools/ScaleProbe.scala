@@ -58,6 +58,13 @@ object ScaleProbe {
       val mdl = graft.operators.IvfPq.trainModel(sample, nlist = 64)
       graft.operators.IvfPq.search(corpus, queries, 10, mdl).count()
     })
+    time("multiscale custom plan (scales 8/16/32/64, k=10, 16 queries, ONE pass)")(
+      graft.operators.Multiscale.topKAllScales(corpus, queries, 10, Seq(8, 16, 32, 64)).count())
+    time("multiscale baseline: 4 per-scale Dataset-mapPartitions passes")(
+      Seq(8, 16, 32, 64).foreach { d =>
+        val sl = corpus.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+        Knn.topK(sl, sl.filter(col("vec_id") < 16), 10, Knn.Cosine).count()
+      })
     time("per-bucket NSW graphs + IVF routing (nlist=64, probe 4)")(
       graft.operators.HnswAnn.hnswSearch(corpus, queries, 10, nlist = 64).count())
     time("PQ-ADC adaptive refine (m=8, k=16, alpha 0.25, cap k*8)")({

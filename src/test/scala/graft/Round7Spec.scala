@@ -76,6 +76,30 @@ class Round7Spec extends SparkTestBase {
     }
   }
 
+  test("probeLayout probes carry an explicit partition predicate (PartitionFilters) on salted AND merged layouts") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), 8, 5)
+    val assigned = IvfIndex.assign(emb, centroids)
+    val queries = emb.filter(col("vec_id") < 2)
+    val probeDf = Seq((0L, 0), (0L, 1), (1L, 1), (1L, 2)).toDF("qid", "centroid")
+    Mat.withScratchDirs("r7_salted", "r7_plain") { case Seq(salted, plain) =>
+      IvfIndex.writeSalted(assigned, salted, targetRows = 200L)
+      assigned.repartition(col("centroid"))
+        .write.partitionBy("centroid").mode("overwrite").parquet(plain)
+      def probe(dir: String) =
+        IvfIndex.probeLayout(spark.read.parquet(dir), probeDf, Seq(0, 1, 2), queries, 5)
+      Seq(salted, plain).foreach { dir =>
+        val plan = probe(dir).queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters") && plan.contains("centroid"),
+          s"no partition pruning on layout $dir:\n$plan")
+      }
+      // salt must stay invisible to results
+      val a = probe(salted).collect().map(_.toSeq).toSeq
+      val b = probe(plain).collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty && a == b)
+    }
+  }
+
   test("NearestCentroidsExpr interpreted eval agrees with codegen/driver twin") {
     val cs = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0), Array(-1.0, 3.0))
     val vs = Seq(Seq(0.9, 1.1), Seq(-0.4, 2.0), Seq(2.0, 2.0), Seq(0.5, 0.5))
