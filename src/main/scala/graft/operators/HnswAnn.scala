@@ -253,14 +253,39 @@ object HnswAnn {
       .collect().sortBy(t => (t._1, t._2))
   }
 
+  /** Cross-bucket beam continuation budget, in beam-candidate units:
+    * a query keeps spilling to its next-nearest bucket (beyond the
+    * first NProbe) while the beams probed so far can have yielded
+    * fewer than this many candidates. A connected NSW beam returns
+    * exactly min(bucketSize, ef) nodes — the bucket IS exhausted below
+    * ef — so "beam exhausted early" is a pure function of bucket size
+    * and the continuation rule replays exactly in the SQL twin. */
+  val SpillBudget: Int = NProbe * EfSearch
+
+  /** Probe set under beam continuation: buckets in (dist, idx) order;
+    * bucket at rank r is probed iff r <= NProbe OR the cumulative
+    * min(size, ef) of the buckets BEFORE it is under SpillBudget. */
+  def spillProbes(centroids: Array[Array[Double]], sizes: Map[Int, Long],
+                  v: Array[Double]): Array[Int] = {
+    val ordered = IvfIndex.nearestN(centroids, v, centroids.length)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cum = 0L
+    ordered.zipWithIndex.foreach { case (c, i) =>
+      if (i < NProbe || cum < SpillBudget) sel += c
+      cum += math.min(sizes.getOrElse(c, 0L), EfSearch.toLong)
+    }
+    sel.toArray
+  }
+
   /** Beam-search the stashed (executor-built) graphs: graphs are
     * reconstituted per bucket from the broadcast adjacency (no
-    * rebuild), queries fan out to their nprobe buckets, exact cosine
+    * rebuild), queries fan out to their probed buckets, exact cosine
     * re-rank merges the partials to the global top-k. */
   private def searchStashed(emb: DataFrame, queries: DataFrame,
                             centroids: Array[Array[Double]],
                             adj: Array[(Int, Long, Array[Long])],
-                            nEntries: Int): DataFrame = {
+                            nEntries: Int,
+                            probesOverride: Map[Long, Array[Int]] = null): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val assigned = IvfIndex.assign(emb, centroids)
@@ -268,9 +293,11 @@ object HnswAnn {
       col("embedding").cast(ArrayType(DoubleType))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val bq = spark.sparkContext.broadcast(qRows)
-    val probes: Map[Long, Array[Int]] = qRows.map { case (qid, v) =>
-      qid -> IvfIndex.nearestN(centroids, v, NProbe)
-    }.toMap
+    val probes: Map[Long, Array[Int]] =
+      if (probesOverride != null) probesOverride
+      else qRows.map { case (qid, v) =>
+        qid -> IvfIndex.nearestN(centroids, v, NProbe)
+      }.toMap
     val bp = spark.sparkContext.broadcast(probes)
     val adjByBucket: Map[Int, Map[Long, Array[Long]]] =
       adj.groupBy(_._1).map { case (b, rs) => b -> rs.map(r => r._2 -> r._3).toMap }
@@ -316,6 +343,30 @@ object HnswAnn {
 
   def hnswGraded(s: SparkSession, dir: String): DataFrame = gradedRun(s, dir, 1)
 
+  /** Cross-bucket beam continuation, GRADED: same stashed graphs and
+    * single-entry beams as hnsw_search, but each query's probe set
+    * extends past NProbe while its beams-so-far were exhausted below
+    * the SpillBudget (small buckets yield min(size, ef) < ef
+    * candidates each — without continuation those queries simply see
+    * fewer candidates). The probe set is a superset of hnsw_search's,
+    * so recall is monotone non-decreasing (HnswSpec asserts it). */
+  def hnswSpill(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), NList, 10)
+    lastCentroids = centroids
+    val adj = buildAdjacency(IvfIndex.assign(emb, centroids))
+    lastAdj = adj
+    val sizes: Map[Int, Long] = IvfIndex.assign(emb, centroids)
+      .groupBy("centroid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probes = queries.select(col("vec_id").cast("long"),
+        col("embedding").cast(ArrayType(DoubleType))).collect()
+      .map(r => r.getLong(0) -> spillProbes(centroids, sizes, r.getSeq[Double](1).toArray))
+      .toMap
+    searchStashed(emb, queries, centroids, adj, nEntries = 1, probesOverride = probes)
+  }
+
   /** Multi-probe variant: beams from MultiProbeEntries vec_id-rank-
     * spread entry points per bucket (candidate union), same exact
     * re-rank. Same trained structure as hnsw_search (identical
@@ -332,10 +383,15 @@ object HnswAnn {
     * candidate popped. */
   private def hnswSql(centroids: Array[Array[Double]],
                       adj: Array[(Int, Long, Array[Long])],
-                      entSql: String): String = {
+                      entSql: String,
+                      prSqlOverride: String = null): String = {
     import graft.OracleSql
     val nq = VectorSearch.NQueries; val k = VectorSearch.K
     val nlist = centroids.length; val ef = EfSearch
+    val prSql = if (prSqlOverride != null) prSqlOverride else
+      s"""SELECT qid, c AS bucket FROM (
+         |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
+         |   FROM pe) WHERE rn <= $NProbe""".stripMargin
     val adjRows = adj.map { case (b, v, ns) =>
       s"($b, $v, [${ns.mkString(", ")}]::BIGINT[])"
     }.mkString(", ")
@@ -361,9 +417,7 @@ object HnswAnn {
        |       FROM embeddings WHERE vec_id < $nq),
        |pe AS (SELECT vec_id AS qid, unnest(dl) AS dist, unnest(range(0, $nlist)) AS c
        |       FROM dq),
-       |pr AS (SELECT qid, c AS bucket FROM (
-       |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
-       |   FROM pe) WHERE rn <= $NProbe),
+       |pr AS ($prSql),
        |ent AS ($entSql),
        |beam(qid, bucket, v0, vis, cand, res, nbrs, done) AS (
        |  SELECT p.qid, p.bucket, e.v0,
@@ -415,6 +469,25 @@ object HnswAnn {
   }
 
   private val SingleEntSql = "SELECT bucket, min(node) AS v0 FROM adj GROUP BY bucket"
+
+  /** Continuation probe rule: rank by (dist, c); probe iff rank <=
+    * NProbe or the cumulative min(bucket size, ef) BEFORE this rank is
+    * under SpillBudget. Bucket sizes recomputed from the assignment
+    * argmin, the same independently-proven route as ivf_adaptive. */
+  private def spillPrSql(centroids: Array[Array[Double]]): String =
+    s"""SELECT qid, c AS bucket FROM (
+       |   SELECT pe.qid, pe.c,
+       |     row_number() OVER (PARTITION BY pe.qid ORDER BY pe.dist ASC, pe.c ASC) AS rn,
+       |     coalesce(sum(least(coalesce(bs.sz, 0), $EfSearch)) OVER (
+       |       PARTITION BY pe.qid ORDER BY pe.dist ASC, pe.c ASC
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |   FROM pe LEFT JOIN (
+       |     SELECT centroid, count(*) AS sz FROM (
+       |       SELECT CAST(list_position(adl, list_min(adl)) - 1 AS INT) AS centroid FROM (
+       |         SELECT ${graft.OracleSql.distList("embedding", centroids)} AS adl
+       |         FROM embeddings)) GROUP BY 1) bs
+       |   ON bs.centroid = pe.c)
+       |WHERE rn <= $NProbe OR cum_before < $SpillBudget""".stripMargin
   /** vec_id-rank-spread entries: index e·n/E per bucket (integer
     * division, 0-based rank over node order) — same rule as
     * NswGraph.searchMulti. */
@@ -428,13 +501,16 @@ object HnswAnn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("hnsw_search" -> (hnswGraded _),
-      "hnsw_multiprobe" -> (hnswMultiprobe _))
+      "hnsw_multiprobe" -> (hnswMultiprobe _),
+      "hnsw_spill" -> (hnswSpill _))
 
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
     if (lastCentroids != null && lastAdj != null) {
       m += "hnsw_search" -> hnswSql(lastCentroids, lastAdj, SingleEntSql)
       m += "hnsw_multiprobe" -> hnswSql(lastCentroids, lastAdj, multiEntSql(MultiProbeEntries))
+      m += "hnsw_spill" -> hnswSql(lastCentroids, lastAdj, SingleEntSql,
+        spillPrSql(lastCentroids))
     }
     m.result()
   }

@@ -50,6 +50,36 @@ class HnswSpec extends SparkTestBase {
       s"multi ${recall(multi)} < single ${recall(single)}")
   }
 
+  test("cross-bucket beam continuation: probe superset, spill active, recall monotone") {
+    val centroids = operators.IvfIndex.trainCentroids(
+      operators.IvfIndex.trainSample(emb), HnswAnn.NList, 10)
+    val sizes = operators.IvfIndex.assign(emb, centroids)
+      .groupBy("centroid").count().as[(Int, Long)].collect().toMap
+    val qRows = queries.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    var spilled = 0
+    qRows.foreach { case (_, v) =>
+      val base = operators.IvfIndex.nearestN(centroids, v.toArray, HnswAnn.NProbe)
+      val cont = HnswAnn.spillProbes(centroids, sizes, v.toArray)
+      assert(base.toSet.subsetOf(cont.toSet), "continuation probe set must contain the base set")
+      if (cont.length > base.length) spilled += 1
+    }
+    // sf0.001 buckets hold ~n/nlist < ef rows, so beams exhaust early
+    // and the continuation must actually fire
+    assert(spilled > 0, "no query spilled — the continuation rule never engaged")
+
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val m = df.select($"qid", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = exact.map { case (q, ex) =>
+        m.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+      per.sum / per.size
+    }
+    val rSpill = recall(HnswAnn.hnswSpill(spark, sfDir))
+    val rPlain = recall(HnswAnn.hnswGraded(spark, sfDir))
+    assert(rSpill >= rPlain, s"spill recall $rSpill < plain $rPlain")
+  }
+
   test("NSW search is deterministic across runs") {
     val a = HnswAnn.hnswSearch(emb, queries, 10).collect().map(_.toSeq)
     val b = HnswAnn.hnswSearch(emb, queries, 10).collect().map(_.toSeq)
