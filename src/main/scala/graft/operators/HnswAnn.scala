@@ -44,6 +44,59 @@ object HnswAnn {
   val NList = 16
   val NProbe = 4
 
+  /** Primitive binary heap over (dist, node) pairs, lexicographic —
+    * the NSW beam's candidate/result structures without the boxed
+    * PriorityQueue[(Double, Int)] tuples (the graph BUILD runs one
+    * beam per insert; at 1M vectors the tuple churn dominated build
+    * time — same lesson as plans.TopKPrim). `max = false` pops the
+    * (dist, node)-least element (candidate frontier), `max = true`
+    * the greatest (worst of the result set). Ordering is identical to
+    * the Ordering.Tuple2 it replaces, so beam visit order, insert and
+    * termination decisions — the exact sequence the recursive-CTE
+    * oracle replays — are unchanged. */
+  final class BeamHeap(initCap: Int, max: Boolean) {
+    private[this] var ds = new Array[Double](math.max(4, initCap))
+    private[this] var ns = new Array[Int](math.max(4, initCap))
+    private[this] var n = 0
+    def size: Int = n
+    def nonEmpty: Boolean = n > 0
+    def clear(): Unit = n = 0
+    def headD: Double = ds(0)
+    def headN: Int = ns(0)
+    // strict (d, node) lexicographic "comes first" for this heap's sense
+    private def before(d1: Double, n1: Int, d2: Double, n2: Int): Boolean =
+      if (max) d1 > d2 || (d1 == d2 && n1 > n2)
+      else d1 < d2 || (d1 == d2 && n1 < n2)
+    def enqueue(d: Double, node: Int): Unit = {
+      if (n == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, n * 2)
+        ns = java.util.Arrays.copyOf(ns, n * 2)
+      }
+      var i = n; n += 1
+      while (i > 0 && before(d, node, ds((i - 1) / 2), ns((i - 1) / 2))) {
+        ds(i) = ds((i - 1) / 2); ns(i) = ns((i - 1) / 2); i = (i - 1) / 2
+      }
+      ds(i) = d; ns(i) = node
+    }
+    /** Pops the head; returns nothing — read headD/headN first. */
+    def dequeue(): Unit = {
+      n -= 1
+      val d = ds(n); val node = ns(n)
+      var i = 0
+      var c = 1
+      while (c < n) {
+        if (c + 1 < n && before(ds(c + 1), ns(c + 1), ds(c), ns(c))) c += 1
+        if (before(ds(c), ns(c), d, node)) {
+          ds(i) = ds(c); ns(i) = ns(c); i = c; c = 2 * i + 1
+        } else c = n
+      }
+      ds(i) = d; ns(i) = node
+    }
+    /** Drain into (dist, node) pairs, unordered. */
+    def toPairs: Array[(Double, Int)] =
+      Array.tabulate(n)(i => (ds(i), ns(i)))
+  }
+
   /** One NSW graph over the vectors of a single bucket. */
   final class NswGraph(val ids: Array[Long], val vecs: Array[Array[Double]]) {
     val n: Int = ids.length
@@ -61,16 +114,19 @@ object HnswAnn {
     def beam(q: Array[Double], ef: Int, upTo: Int, entry: Int = 0): Array[(Double, Int)] = {
       if (upTo == 0) return Array.empty
       val visited = new java.util.BitSet(upTo)
-      // candidates: min-heap by (dist, id); results: max-heap by (dist, id)
-      implicit val ord: Ordering[(Double, Int)] =
-        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
-      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
-      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+      // candidates: min-heap by (dist, id); results: max-heap by (dist, id).
+      // Primitive heaps (BeamHeap) with the identical lexicographic
+      // comparator: every decision below reads only the heap's unique
+      // (dist, node)-extreme element, so the walk is unchanged.
+      val cand = new BeamHeap(ef + 8, max = false)
+      val res = new BeamHeap(ef + 1, max = true)
       val d0 = d2(q, vecs(entry))
-      cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visited.set(entry)
-      while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (res.size >= ef && dc > res.head._1) { cand.clear() }
+      cand.enqueue(d0, entry); res.enqueue(d0, entry); visited.set(entry)
+      var run = true
+      while (run && cand.nonEmpty) {
+        val dc = cand.headD; val c = cand.headN
+        cand.dequeue()
+        if (res.size >= ef && dc > res.headD) { run = false }
         else {
           val nbrs = adj(c)
           var i = 0
@@ -79,10 +135,10 @@ object HnswAnn {
             if (nb < upTo && !visited.get(nb)) {
               visited.set(nb)
               val dn = d2(q, vecs(nb))
-              if (res.size < ef || dn < res.head._1 ||
-                  (dn == res.head._1 && nb < res.head._2)) {
-                cand.enqueue((dn, nb))
-                res.enqueue((dn, nb))
+              if (res.size < ef || dn < res.headD ||
+                  (dn == res.headD && nb < res.headN)) {
+                cand.enqueue(dn, nb)
+                res.enqueue(dn, nb)
                 if (res.size > ef) res.dequeue()
               }
             }
@@ -90,7 +146,7 @@ object HnswAnn {
           }
         }
       }
-      res.dequeueAll.toArray.sortBy(t => (t._1, ids(t._2)))
+      res.toPairs.sortBy(t => (t._1, ids(t._2)))
     }
 
     /** NSW build: insert nodes in index (= vec_id) order; node i links
