@@ -102,27 +102,63 @@ object StreamingQueries {
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val k = VectorSearch.K
     val chunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
-    val out = drain(s, chunks, "update", sinkName("stream_knn")) { ds =>
-      val scored = ds.toDF("qid", "qv").crossJoin(corpus)
+    val out = drain(s, chunks, "update", sinkName("stream_knn"))(knnServe(corpus, k))
+    out.orderBy("qid", "rank")
+  }
+
+  /** Keyed exact top-k state over scored (qid, vec_id, score) triples —
+    * the serve tail shared by stream_knn and stream_ivf. */
+  private[graft] def keyedTopK(scored: Dataset[(Long, Long, Double)], k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Double, Long)], (Long, Long, Double, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[(Long, Long, Double)],
+         state: GroupState[List[(Double, Long)]]) =>
+          var top = state.getOption.getOrElse(Nil)
+          it.foreach { case (_, id, sc) =>
+            top = ((sc, id) :: top)
+              .sortBy { case (s0, i0) => (-s0, i0) }.take(k)
+          }
+          state.update(top)
+          top.zipWithIndex.iterator.map { case ((sc, id), i) => (qid, id, sc, i + 1) }
+      }.toDF("qid", "vec_id", "score", "rank")
+  }
+
+  /** Full-scan stream-static serve (the exactness twin): every trigger
+    * cross-joins the whole corpus. Reused by ScaleProbe for the
+    * serve-cost comparison. */
+  private[graft] def knnServe(corpus: DataFrame, k: Int)(
+      ds: Dataset[(Long, Seq[Double])]): DataFrame = {
+    import corpus.sparkSession.implicits._
+    keyedTopK(
+      ds.toDF("qid", "qv").crossJoin(corpus)
         .withColumn("score",
           graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
         .select(col("qid"), col("vec_id"), col("score"))
-        .as[(Long, Long, Double)]
-      scored.groupByKey(_._1)
-        .flatMapGroupsWithState[List[(Double, Long)], (Long, Long, Double, Int)](
-          OutputMode.Update, GroupStateTimeout.NoTimeout) {
-          (qid: Long, it: Iterator[(Long, Long, Double)],
-           state: GroupState[List[(Double, Long)]]) =>
-            var top = state.getOption.getOrElse(Nil)
-            it.foreach { case (_, id, sc) =>
-              top = ((sc, id) :: top)
-                .sortBy { case (s0, i0) => (-s0, i0) }.take(k)
-            }
-            state.update(top)
-            top.zipWithIndex.iterator.map { case ((sc, id), i) => (qid, id, sc, i + 1) }
-        }.toDF("qid", "vec_id", "score", "rank")
-    }
-    out.orderBy("qid", "rank")
+        .as[(Long, Long, Double)], k)
+  }
+
+  /** IVF-routed stream-static serve: NearestCentroidsExpr routes each
+    * arriving query to nprobe buckets, the equi-join touches only
+    * those buckets' rows. Reused by ScaleProbe. */
+  private[graft] def ivfServe(indexed: DataFrame, centroids: Array[Array[Double]],
+                              nprobe: Int, k: Int)(
+      ds: Dataset[(Long, Seq[Double])]): DataFrame = {
+    import indexed.sparkSession.implicits._
+    val routed = ds.toDF("qid", "qv").withColumn("centroid",
+      explode(org.apache.spark.sql.graftshim.Shims.column(
+        graft.operators.NearestCentroidsExpr(
+          org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
+          centroids, nprobe))))
+    keyedTopK(
+      // stream-static equi-join; the routed side is q·nprobe rows —
+      // broadcast it so the corpus is probed in place, never shuffled
+      indexed.join(broadcast(routed), "centroid")
+        .withColumn("score",
+          graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+        .select(col("qid"), col("vec_id"), col("score"))
+        .as[(Long, Long, Double)], k)
   }
 
   /** IVF-routed online serving — the scale-safe replacement for
@@ -153,31 +189,8 @@ object StreamingQueries {
         .write.partitionBy("centroid").mode("overwrite").parquet(idx)
       val loaded = s.read.parquet(idx)
         .select(col("vec_id"), col("embedding"), col("centroid").cast("int").as("centroid"))
-      val out = drain(s, chunks, "update", sinkName("stream_ivf")) { ds =>
-        val routed = ds.toDF("qid", "qv").withColumn("centroid",
-          explode(org.apache.spark.sql.graftshim.Shims.column(
-            graft.operators.NearestCentroidsExpr(
-              org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
-              centroids, 4))))
-        val scored = routed.join(loaded, "centroid") // stream-static equi-join
-          .withColumn("score",
-            graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
-          .select(col("qid"), col("vec_id"), col("score"))
-          .as[(Long, Long, Double)]
-        scored.groupByKey(_._1)
-          .flatMapGroupsWithState[List[(Double, Long)], (Long, Long, Double, Int)](
-            OutputMode.Update, GroupStateTimeout.NoTimeout) {
-            (qid: Long, it: Iterator[(Long, Long, Double)],
-             state: GroupState[List[(Double, Long)]]) =>
-              var top = state.getOption.getOrElse(Nil)
-              it.foreach { case (_, id, sc) =>
-                top = ((sc, id) :: top)
-                  .sortBy { case (s0, i0) => (-s0, i0) }.take(k)
-              }
-              state.update(top)
-              top.zipWithIndex.iterator.map { case ((sc, id), i) => (qid, id, sc, i + 1) }
-          }.toDF("qid", "vec_id", "score", "rank")
-      }
+      val out = drain(s, chunks, "update", sinkName("stream_ivf"))(
+        ivfServe(loaded, centroids, 4, k))
       graft.Mat.detach(out.orderBy("qid", "rank"))
     }
   }

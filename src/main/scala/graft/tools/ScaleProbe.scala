@@ -67,6 +67,35 @@ object ScaleProbe {
       })
     time("per-bucket NSW graphs + IVF routing (nlist=64, probe 4)")(
       graft.operators.HnswAnn.hnswSearch(corpus, queries, 10, nlist = 64).count())
+    // Online serving cost per trigger: full-scan crossJoin (stream_knn
+    // shape) vs IVF-routed equi-join (stream_ivf shape). Index build
+    // (train + assign) happens OUTSIDE the timers — the serve path is
+    // what repeats every trigger forever.
+    if (wanted("stream serve")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val corpusD = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val qs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      def serveOnce(name: String)(
+          build: org.apache.spark.sql.Dataset[(Long, Seq[Double])] =>
+            org.apache.spark.sql.DataFrame): Unit = {
+        val input = MemoryStream[(Long, Seq[Double])]
+        val q = build(input.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("update").start()
+        try { input.addData(qs: _*); q.processAllAvailable() } finally q.stop()
+      }
+      time("stream serve FULL-SCAN (stream_knn shape): 16 queries, 1 trigger")(
+        serveOnce("sp_serve_knn")(
+          graft.streaming.StreamingQueries.knnServe(corpusD, 10)))
+      val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(corpusD), 64, 10)
+      val indexed = IvfIndex.assign(corpusD, centroids).localCheckpoint(true)
+      time("stream serve IVF-ROUTED (stream_ivf shape, nlist=64, probe 4): 16 queries, 1 trigger")(
+        serveOnce("sp_serve_ivf")(
+          graft.streaming.StreamingQueries.ivfServe(indexed, centroids, 4, 10)))
+    }
+
     time("PQ-ADC adaptive refine (m=8, k=16, alpha 0.25, cap k*8)")({
       val sample = corpus.selectExpr("cast(embedding as array<double>)")
         .limit(100000).collect().map(_.getSeq[Double](0).toArray)

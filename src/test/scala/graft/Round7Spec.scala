@@ -52,6 +52,14 @@ class Round7Spec extends SparkTestBase {
     assert(maps.map(_.size).sum + 1 == SparkEntry.queries.size) // +1: multimodal_embed
   }
 
+  test("no orphan oracles: every static oracleSql key is a registered query") {
+    // trained-operator oracles appear only after their query runs; the
+    // static set must never contain a key without a query behind it
+    // (the driver would grade a phantom)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
+  }
+
   test("stream_ivf == batch ivf_search (same deterministic centroids, nprobe=4)") {
     val st = streaming.StreamingQueries.streamIvf(spark, sfDir)
       .as[(Long, Long, Double, Int)].collect().toSeq
