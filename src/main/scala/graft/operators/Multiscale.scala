@@ -93,9 +93,68 @@ object Multiscale {
        |WHERE rnk <= $K ORDER BY dim, qid, rnk""".stripMargin
   }
 
+  /** Device-tier dimension selection (projection.py:265-301
+    * `get_optimal_dim_for_device`): for a device profile
+    * (memory budget, latency target, expected index size), pick the
+    * LARGEST matryoshka dim whose fp16 footprint
+    * (num_vectors · dim · 2 bytes) fits the memory budget and whose
+    * estimated scan latency (dim µs at the reference's 0.001 ms/dim
+    * rule) fits the latency target; fall back to the smallest dim when
+    * nothing fits. Reformulated integer-exact (bytes vs mb·2²⁰, µs vs
+    * ms·10³ — equivalent inequalities, no float divergence), evaluated
+    * as a relational query over a literal device-profile table: the
+    * dims table cross-joins the profiles, constraints filter, max(dim)
+    * picks, coalesce supplies the fallback — the same shape a catalog
+    * of real device fleets would run at scale. NULL = unconstrained,
+    * as in the reference. */
+  def deviceDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (device, memory_mb nullable, latency_ms nullable, num_vectors)
+    val profiles = Seq(
+      ("edge_tiny", Some(1L), Some(20L), 100000L),
+      ("mobile", Some(4L), Some(40L), 100000L),
+      ("laptop", Some(64L), None, 500000L),
+      ("server", None, None, 1000000L),
+      ("latency_bound", None, Some(24L), 1000000L),
+      ("impossible", Some(0L), Some(1L), 1000000L))
+      .toDF("device", "memory_mb", "latency_ms", "num_vectors")
+    val dims = Scales.toDF("dim")
+    val fits = profiles.join(dims)
+      .filter((col("memory_mb").isNull ||
+          col("num_vectors") * col("dim") * 2L <= col("memory_mb") * (1L << 20)) &&
+        (col("latency_ms").isNull || col("dim") <= col("latency_ms") * 1000L))
+      .groupBy("device").agg(max(col("dim")).as("fit_dim"))
+    profiles.join(fits, Seq("device"), "left")
+      .select(col("device"),
+        coalesce(col("fit_dim"), lit(Scales.min)).as("dim"),
+        (col("num_vectors") * coalesce(col("fit_dim"), lit(Scales.min)) * 2L).as("fp16_bytes"))
+      .orderBy("device")
+  }
+
+  private val deviceDimSql: String = {
+    val profiles =
+      """('edge_tiny', 1, 20, 100000), ('mobile', 4, 40, 100000),
+        |('laptop', 64, NULL, 500000), ('server', NULL, NULL, 1000000),
+        |('latency_bound', NULL, 24, 1000000), ('impossible', 0, 1, 1000000)""".stripMargin
+    s"""WITH p(device, memory_mb, latency_ms, num_vectors) AS (VALUES $profiles),
+       |d(dim) AS (VALUES ${Scales.map(d => s"($d)").mkString(", ")}),
+       |f AS (SELECT p.device, max(d.dim) AS fit_dim
+       |      FROM p CROSS JOIN d
+       |      WHERE (p.memory_mb IS NULL
+       |             OR p.num_vectors * d.dim * 2 <= p.memory_mb * 1048576)
+       |        AND (p.latency_ms IS NULL OR d.dim <= p.latency_ms * 1000)
+       |      GROUP BY 1)
+       |SELECT p.device, CAST(coalesce(f.fit_dim, ${Scales.min}) AS INT) AS dim,
+       |  CAST(p.num_vectors * coalesce(f.fit_dim, ${Scales.min}) * 2 AS BIGINT) AS fp16_bytes
+       |FROM p LEFT JOIN f ON f.device = p.device
+       |ORDER BY p.device""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("multiscale_search" -> (multiscaleSearch _))
+    Map("multiscale_search" -> (multiscaleSearch _),
+      "device_dim" -> (deviceDim _))
 
   val oracles: Map[String, String] =
-    Map("multiscale_search" -> multiscaleSearchSql)
+    Map("multiscale_search" -> multiscaleSearchSql,
+      "device_dim" -> deviceDimSql)
 }

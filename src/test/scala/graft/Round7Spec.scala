@@ -108,6 +108,23 @@ class Round7Spec extends SparkTestBase {
     }
   }
 
+  test("index config: round-trip preserves values; exists/clear semantics") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Mat.withScratchDirs("r7_cfg") { case Seq(dir) =>
+      val cfgDir = dir + "/config"
+      assert(!IvfIndex.configExists(cfgDir))
+      val cfg = Seq((64, "cosine", 500L, 16, 1))
+        .toDF("dim", "metric", "n_vectors", "nlist", "version")
+      IvfIndex.writeConfig(cfg, cfgDir)
+      assert(IvfIndex.configExists(cfgDir))
+      val back = IvfIndex.readConfig(spark, cfgDir)
+        .as[(Int, String, Long, Int, Int)].collect().toSeq
+      assert(back == Seq((64, "cosine", 500L, 16, 1)))
+      Mat.deleteRecursively(cfgDir) // clear()
+      assert(!IvfIndex.configExists(cfgDir))
+    }
+  }
+
   test("NearestCentroidsExpr interpreted eval agrees with codegen/driver twin") {
     val cs = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0), Array(-1.0, 3.0))
     val vs = Seq(Seq(0.9, 1.1), Seq(-0.4, 2.0), Seq(2.0, 2.0), Seq(0.5, 0.5))
