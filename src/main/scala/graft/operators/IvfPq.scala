@@ -102,9 +102,9 @@ object IvfPq {
               d
             }
           })
-        val heaps = Array.fill(qs.length)(
-          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)))
+        // bounded primitive bottom-k per query (see plans.BottomKPrim
+        // — same worst-slot rule as the boxed PQ it replaces)
+        val heaps = Array.fill(qs.length)(new graft.plans.BottomKPrim(nCand))
         it.foreach { case (id, b, codes) =>
           var qi = 0
           while (qi < qs.length) {
@@ -112,18 +112,16 @@ object IvfPq {
               val l = lut(qi, b)
               var d = 0.0; var s = 0
               while (s < mdl.cb.m) { d += l(s)(codes(s)); s += 1 }
-              val h = heaps(qi)
-              if (h.size < nCand) h.enqueue((d, id))
-              else {
-                val (wd, wid) = h.head
-                if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
-              }
+              heaps(qi).offer(d, id)
             }
             qi += 1
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator.map { case (d, id) => (bq.value(qi)._1, id, d) }
+          val qid = bq.value(qi)._1
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          h.foreach((d, id) => out += ((qid, id, d)))
+          out.iterator
         }
       }.toDF("qid", "vec_id", "adc")
 

@@ -93,13 +93,11 @@ object Knn {
     val partials = src.as[(Long, Seq[Double])].mapPartitions { it =>
       val queries = bq.value
       val nq = queries.length
-      // One bounded heap per query: worst element at head. Order:
-      // lower score is worse; on equal score, HIGHER id is worse
-      // (matches row_number ORDER BY score DESC, id ASC).
-      // PQ dequeues the max of its ordering; (−score, id) max == worst
-      // element (lowest score, then highest id).
-      val heaps = Array.fill(nq)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-        Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }))
+      // One bounded TopKPrim per query (worst slot = lowest score,
+      // then highest id — matches row_number ORDER BY score DESC,
+      // id ASC). Same accumulator as the custom plan; the independent
+      // cross-check of this path is KnnSpec's in-memory brute force.
+      val heaps = Array.fill(nq)(new graft.plans.TopKPrim(k))
       it.foreach { case (id, vecSeq) =>
         val v = vecSeq.toArray
         val n = v.length
@@ -128,18 +126,15 @@ object Knn {
               while (i < d) { dot += v(i) * qv(i); i += 1 }
               score = dot
           }
-          val h = heaps(qi)
-          if (h.size < k) h.enqueue((score, id))
-          else {
-            val (ws, wid) = h.head
-            if (score > ws || (score == ws && id < wid)) { h.dequeue(); h.enqueue((score, id)) }
-          }
+          heaps(qi).offer(score, id)
           qi += 1
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
         val qid = bq.value(qi)._1
-        h.iterator.map { case (s, id) => (qid, id, s) }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        h.foreach((s, id) => out += ((qid, id, s)))
+        out.iterator
       }
     }.toDF("qid", idCol, "score")
 

@@ -119,6 +119,11 @@ object PlanQueries {
     * expression or lost codegen precision breaks the hash. */
   def sqlPipeline(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
+    // CosineTopKRewrite turns the naive CROSS JOIN + window text below
+    // into the same partial-top-k physical plan the DataFrame kNN gets
+    // — the q×n pair set never materializes (PlanQueriesSpec pins the
+    // exec in the plan; results stay hash-identical to the naive plan).
+    graft.plans.GraftRules.install(s)
     Tables.registerAll(s, dir)
     s.sql(
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv

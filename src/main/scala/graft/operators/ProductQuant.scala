@@ -116,26 +116,25 @@ object ProductQuant {
           d
         }
       }
-      // max-heap on (distance, id): head is the worst kept candidate
-      val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)))
+      // bounded primitive bottom-k per query (worst slot = largest
+      // distance, ties keep lower id — same rule as the boxed PQ it
+      // replaces, zero allocation on the reject path)
+      val heaps = Array.fill(qs.length)(new graft.plans.BottomKPrim(nCand))
       it.foreach { case (id, codes) =>
         var qi = 0
         while (qi < qs.length) {
           val lut = luts(qi)
           var d = 0.0; var s = 0
           while (s < c.m) { d += lut(s)(codes(s)); s += 1 }
-          val h = heaps(qi)
-          if (h.size < nCand) h.enqueue((d, id))
-          else {
-            val (wd, wid) = h.head
-            if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
-          }
+          heaps(qi).offer(d, id)
           qi += 1
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (d, id) => (bq.value(qi)._1, id, d) }
+        val qid = bq.value(qi)._1
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        h.foreach((d, id) => out += ((qid, id, d)))
+        out.iterator
       }
     }.toDF("qid", "vec_id", "adc_dist")
   }

@@ -26,8 +26,13 @@ object Fp16Idempotence extends Rule[LogicalPlan] {
 
 object GraftRules {
   def install(spark: SparkSession): Unit = {
+    val add = Seq(Fp16Idempotence, CosineTopKRewrite)
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(Fp16Idempotence))
-      spark.experimental.extraOptimizations = cur :+ Fp16Idempotence
+    val missing = add.filterNot(cur.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ missing
+    // CosineTopKRewrite plants CosineTopKJoinNode — the planner
+    // strategy must be present for it to execute
+    VectorTopK.install(spark)
   }
 }

@@ -81,6 +81,104 @@ final class TopKPrim(k: Int) {
   }
 }
 
+/** TopKPrim's mirror for DISTANCE metrics: bounded bottom-k by
+  * (dist asc, id asc) — the worst slot is the largest distance, ties
+  * keep the lower id (matches row_number ORDER BY dist ASC, id ASC).
+  * Replaces the boxed PriorityQueue[(Double, Long)] in the PQ/ADC scan
+  * loops, where a tuple was destructured per row×query. */
+final class BottomKPrim(k: Int) {
+  private[this] val ds = new Array[Double](k)
+  private[this] val id = new Array[Long](k)
+  private[this] var n = 0
+  private[this] var wi = 0 // worst slot, valid once n == k
+  def offer(d: Double, i: Long): Unit = {
+    if (n < k) {
+      ds(n) = d; id(n) = i; n += 1
+      if (n == k) refreshWorst()
+    } else if (d < ds(wi) || (d == ds(wi) && i < id(wi))) {
+      ds(wi) = d; id(wi) = i; refreshWorst()
+    }
+  }
+  private def refreshWorst(): Unit = {
+    var w = 0; var j = 1
+    while (j < n) {
+      if (ds(j) > ds(w) || (ds(j) == ds(w) && id(j) > id(w))) w = j
+      j += 1
+    }
+    wi = w
+  }
+  def foreach(f: (Double, Long) => Unit): Unit = {
+    var j = 0
+    while (j < n) { f(ds(j), id(j)); j += 1 }
+  }
+}
+
+/** The shared per-partition scoring kernel: one bounded TopKPrim heap
+  * per broadcast query over a (vec_id long, vec array&lt;double&gt;)
+  * InternalRow scan. Used by VectorTopKExec (DataFrame path) and
+  * CosineTopKJoinExec (the SQL-rewrite path, TopKRewrite.scala) — one
+  * loop, one arithmetic, identical partials. */
+object TopKScore {
+  /** @param qs (qid, query vector, precomputed ‖q‖) triples */
+  def partials(rows: Iterator[InternalRow],
+               qs: Array[(Long, Array[Double], Double)],
+               k: Int, metric: String): Iterator[InternalRow] = {
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val heaps = Array.fill(qs.length)(new TopKPrim(k))
+    rows.foreach { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val id = row.getLong(0)
+        val arr = row.getArray(1)
+        val n = arr.numElements()
+        val v = new Array[Double](n)
+        var i = 0
+        while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+        var sqNa = 0.0
+        if (metric == "cosine") {
+          var na = 0.0; i = 0
+          while (i < n) { na += v(i) * v(i); i += 1 }
+          sqNa = math.sqrt(na)
+        }
+        var qi = 0
+        while (qi < qs.length) {
+          val (_, qv, qn) = qs(qi)
+          val d = math.min(n, qv.length)
+          var score = 0.0
+          metric match {
+            case "cosine" =>
+              var dot = 0.0; i = 0
+              while (i < d) { dot += v(i) * qv(i); i += 1 }
+              score = dot / (sqNa * qn)
+            case "l2" =>
+              var ss = 0.0; i = 0
+              while (i < d) { val df = v(i) - qv(i); ss += df * df; i += 1 }
+              score = 1.0 / (1.0 + ss)
+            case _ =>
+              var dot = 0.0; i = 0
+              while (i < d) { dot += v(i) * qv(i); i += 1 }
+              score = dot
+          }
+          heaps(qi).offer(score, id)
+          qi += 1
+        }
+      }
+    }
+    val proj = UnsafeProjection.create(schema)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var qi = 0
+    while (qi < heaps.length) {
+      val qid = qs(qi)._1
+      heaps(qi).foreach((s, id) =>
+        out += proj(new GenericInternalRow(Array[Any](qid, id, s))).copy())
+      qi += 1
+    }
+    out.iterator
+  }
+}
+
 case class VectorTopKExec(
     child: SparkPlan,
     out: Seq[Attribute],
@@ -103,59 +201,7 @@ case class VectorTopKExec(
     }.toArray
     val m = metric
     val kk = k
-    val schema = StructType(Seq(
-      StructField("qid", LongType, nullable = false),
-      StructField("vec_id", LongType, nullable = false),
-      StructField("score", DoubleType, nullable = false)))
-    child.execute().mapPartitions { rows =>
-      val heaps = Array.fill(qs.length)(new TopKPrim(kk))
-      rows.foreach { row =>
-        val id = row.getLong(0)
-        val arr = row.getArray(1)
-        val n = arr.numElements()
-        val v = new Array[Double](n)
-        var i = 0
-        while (i < n) { v(i) = arr.getDouble(i); i += 1 }
-        var sqNa = 0.0
-        if (m == "cosine") {
-          var na = 0.0; i = 0
-          while (i < n) { na += v(i) * v(i); i += 1 }
-          sqNa = math.sqrt(na)
-        }
-        var qi = 0
-        while (qi < qs.length) {
-          val (_, qv, qn) = qs(qi)
-          val d = math.min(n, qv.length)
-          var score = 0.0
-          m match {
-            case "cosine" =>
-              var dot = 0.0; i = 0
-              while (i < d) { dot += v(i) * qv(i); i += 1 }
-              score = dot / (sqNa * qn)
-            case "l2" =>
-              var ss = 0.0; i = 0
-              while (i < d) { val df = v(i) - qv(i); ss += df * df; i += 1 }
-              score = 1.0 / (1.0 + ss)
-            case _ =>
-              var dot = 0.0; i = 0
-              while (i < d) { dot += v(i) * qv(i); i += 1 }
-              score = dot
-          }
-          heaps(qi).offer(score, id)
-          qi += 1
-        }
-      }
-      val proj = UnsafeProjection.create(schema)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      var qi = 0
-      while (qi < heaps.length) {
-        val qid = qs(qi)._1
-        heaps(qi).foreach((s, id) =>
-          out += proj(new GenericInternalRow(Array[Any](qid, id, s))).copy())
-        qi += 1
-      }
-      out.iterator
-    }
+    child.execute().mapPartitions(TopKScore.partials(_, qs, kk, m))
   }
 }
 
@@ -297,6 +343,8 @@ object VectorTopKStrategy extends Strategy {
       VectorTopKExec(planLater(n.child), n.output, n.queries, n.k, n.metric) :: Nil
     case n: MultiscaleTopKNode =>
       MultiscaleTopKExec(planLater(n.child), n.output, n.queries, n.k, n.scales) :: Nil
+    case n: CosineTopKJoinNode =>
+      CosineTopKJoinExec(planLater(n.queries), planLater(n.corpus), n.k, n.output) :: Nil
     case _ => Nil
   }
 }

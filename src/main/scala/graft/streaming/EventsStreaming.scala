@@ -114,13 +114,15 @@ object StreamingTopK {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (qid: Long, it: Iterator[Scored],
          state: GroupState[(List[(Double, Long)], Long)]) =>
-          var (top, seen) = state.getOption.getOrElse((Nil, 0L))
-          it.foreach { s =>
-            seen += 1
-            top = ((s.score, s.vec_id) :: top)
-              .sortBy { case (sc, id) => (-sc, id) }
-              .take(k)
-          }
+          var (prev, seen) = state.getOption.getOrElse((Nil, 0L))
+          // bounded primitive fold (same as keyedTopK): O(k) reject
+          // per arriving row, one k-element sort per trigger
+          val h = new graft.plans.TopKPrim(k)
+          prev.foreach { case (sc, id) => h.offer(sc, id) }
+          it.foreach { s => seen += 1; h.offer(s.score, s.vec_id) }
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          h.foreach((sc, id) => buf += ((sc, id)))
+          val top = buf.sortBy { case (sc, id) => (-sc, id) }.toList
           state.update((top, seen))
           val n = seen
           top.zipWithIndex.map { case ((sc, id), i) => TopKOut(qid, id, sc, i + 1, n) }.iterator

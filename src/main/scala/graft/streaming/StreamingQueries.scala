@@ -115,11 +115,15 @@ object StreamingQueries {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (qid: Long, it: Iterator[(Long, Long, Double)],
          state: GroupState[List[(Double, Long)]]) =>
-          var top = state.getOption.getOrElse(Nil)
-          it.foreach { case (_, id, sc) =>
-            top = ((sc, id) :: top)
-              .sortBy { case (s0, i0) => (-s0, i0) }.take(k)
-          }
+          // bounded primitive fold: state + arrivals through one
+          // TopKPrim (O(k) per row reject path), ONE k-element sort
+          // per trigger — not one per arriving row
+          val h = new graft.plans.TopKPrim(k)
+          state.getOption.getOrElse(Nil).foreach { case (s0, i0) => h.offer(s0, i0) }
+          it.foreach { case (_, id, sc) => h.offer(sc, id) }
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          h.foreach((s0, i0) => buf += ((s0, i0)))
+          val top = buf.sortBy { case (s0, i0) => (-s0, i0) }.toList
           state.update(top)
           top.zipWithIndex.iterator.map { case ((sc, id), i) => (qid, id, sc, i + 1) }
       }.toDF("qid", "vec_id", "score", "rank")

