@@ -17,14 +17,31 @@ object Bench {
     // min of three runs per query: machine noise on a shared host was
     // measured at up to 2× on identical code (whole runs uniformly
     // inflated); the minimum is the steady-state cost of the plan.
-    val runs = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> Seq(once(), once(), once())
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    // Drift canary: the same fixed reference query (knn_cosine — pure
+    // corpus-scan compute, no scratch IO) timed at the start, middle
+    // and end of the sequential run. On a quiet host the three agree;
+    // a drifting ratio means the host got noisy INSIDE this run and
+    // the numbers around the slow canary are suspect — BENCH_r07's
+    // 5.7× doc_chunking regression on untouched code was exactly this,
+    // detectable only across rounds. canary_drift = max/min.
+    val canaryFn = SparkEntry.queries("knn_cosine")
+    val canary = scala.collection.mutable.ArrayBuffer.empty[Double]
+    time(canaryFn) // untimed warm pass: the first canary sample must
+                   // measure the host, not residual JIT compilation
+    canary += time(canaryFn)
+    val qseq = SparkEntry.queries.toSeq
+    val mid = qseq.length / 2
+    val runs = qseq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == mid) canary += time(canaryFn)
+      name -> Seq(time(fn), time(fn), time(fn))
+    }.toMap
+    canary += time(canaryFn)
+    val canaryDrift = canary.max / math.max(canary.min, 1e-9)
     val results = runs.map { case (k, v) => k -> v.min }
     // Locale.ROOT: f"" interpolators use the JVM default locale, which on a
     // comma-decimal host would emit invalid JSON.
@@ -39,8 +56,9 @@ object Bench {
       if (sorted.isEmpty) 0.0
       else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
     val qps = if (total > 0) results.size / total else 0.0
+    val canaryJson = canary.map(r3).mkString("[", ",", "]")
     def header(nOmitted: Int): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","p50":${r3(pct(0.5))},"p95":${r3(pct(0.95))},"qps":${r3(qps)},"n_queries":${results.size},"queries_omitted":$nOmitted,"sf":"$sfDir","queries":"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","p50":${r3(pct(0.5))},"p95":${r3(pct(0.95))},"qps":${r3(qps)},"n_queries":${results.size},"queries_omitted":$nOmitted,"canary_sec":$canaryJson,"canary_drift":${r3(canaryDrift)},"sf":"$sfDir","queries":"""
     // Full-fidelity artifact: every per-query time at ms precision.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

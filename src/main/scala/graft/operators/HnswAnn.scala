@@ -226,7 +226,9 @@ object HnswAnn {
     * cosine score (same output shape as the knn operators). */
   def hnswSearch(corpus: DataFrame, queries: DataFrame, k: Int,
                  nlist: Int = NList, nprobe: Int = NProbe,
-                 centroidsOpt: Option[Array[Array[Double]]] = None): DataFrame = {
+                 centroidsOpt: Option[Array[Array[Double]]] = None,
+                 nEntries: Int = 1,
+                 probesOverride: Map[Long, Array[Int]] = null): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = centroidsOpt.getOrElse(
@@ -237,9 +239,11 @@ object HnswAnn {
       col("embedding").cast(ArrayType(DoubleType))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val bq = spark.sparkContext.broadcast(qRows)
-    val probes: Map[Long, Array[Int]] = qRows.map { case (qid, v) =>
-      qid -> IvfIndex.nearestN(centroids, v, nprobe)
-    }.toMap
+    val probes: Map[Long, Array[Int]] =
+      if (probesOverride != null) probesOverride
+      else qRows.map { case (qid, v) =>
+        qid -> IvfIndex.nearestN(centroids, v, nprobe)
+      }.toMap
     val bp = spark.sparkContext.broadcast(probes)
 
     val partials = assigned
@@ -252,7 +256,9 @@ object HnswAnn {
         bq.value.iterator
           .filter { case (qid, _) => bp.value(qid).contains(bucket) }
           .flatMap { case (qid, qv) =>
-            g.search(unitArr(qv), EfSearch).map { case (id, _) => (qid, id) }
+            val qu = unitArr(qv)
+            if (nEntries == 1) g.search(qu, EfSearch).map { case (id, _) => (qid, id) }
+            else g.searchMulti(qu, nEntries).map(id => (qid, id))
           }
       }
       .toDF("qid", "vec_id")

@@ -210,8 +210,13 @@ case class CosineTopKJoinExec(
     val corpusRdd = corpus.execute()
     val kk = k
     if (qs.isEmpty) return corpusRdd.sparkContext.emptyRDD[InternalRow]
+    // same kernel choice as VectorTopKExec (blocked is the measured
+    // default; bit-exact either way)
+    val blocked = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.kernel", "blocked") == "blocked"
     qs.grouped(Knn.MaxBroadcastQueries).map { chunk =>
-      corpusRdd.mapPartitions(TopKScore.partials(_, chunk, kk, "cosine"))
+      if (blocked) corpusRdd.mapPartitions(TopKScore.partialsBlockedCosine(_, chunk, kk))
+      else corpusRdd.mapPartitions(TopKScore.partials(_, chunk, kk, "cosine"))
     }.reduce(_ union _)
   }
 }

@@ -128,6 +128,9 @@ object TopKScore {
       StructField("vec_id", LongType, nullable = false),
       StructField("score", DoubleType, nullable = false)))
     val heaps = Array.fill(qs.length)(new TopKPrim(k))
+    // metric resolved to an int ONCE — no per-row×query string match
+    // in the scan loop
+    val mc = metric match { case "cosine" => 0; case "l2" => 1; case _ => 2 }
     rows.foreach { row =>
       if (!row.isNullAt(0) && !row.isNullAt(1)) {
         val id = row.getLong(0)
@@ -137,7 +140,7 @@ object TopKScore {
         var i = 0
         while (i < n) { v(i) = arr.getDouble(i); i += 1 }
         var sqNa = 0.0
-        if (metric == "cosine") {
+        if (mc == 0) {
           var na = 0.0; i = 0
           while (i < n) { na += v(i) * v(i); i += 1 }
           sqNa = math.sqrt(na)
@@ -147,25 +150,118 @@ object TopKScore {
           val (_, qv, qn) = qs(qi)
           val d = math.min(n, qv.length)
           var score = 0.0
-          metric match {
-            case "cosine" =>
-              var dot = 0.0; i = 0
-              while (i < d) { dot += v(i) * qv(i); i += 1 }
-              score = dot / (sqNa * qn)
-            case "l2" =>
-              var ss = 0.0; i = 0
-              while (i < d) { val df = v(i) - qv(i); ss += df * df; i += 1 }
-              score = 1.0 / (1.0 + ss)
-            case _ =>
-              var dot = 0.0; i = 0
-              while (i < d) { dot += v(i) * qv(i); i += 1 }
-              score = dot
+          if (mc == 0) {
+            var dot = 0.0; i = 0
+            while (i < d) { dot += v(i) * qv(i); i += 1 }
+            score = dot / (sqNa * qn)
+          } else if (mc == 1) {
+            var ss = 0.0; i = 0
+            while (i < d) { val df = v(i) - qv(i); ss += df * df; i += 1 }
+            score = 1.0 / (1.0 + ss)
+          } else {
+            var dot = 0.0; i = 0
+            while (i < d) { dot += v(i) * qv(i); i += 1 }
+            score = dot
           }
           heaps(qi).offer(score, id)
           qi += 1
         }
       }
     }
+    val proj = UnsafeProjection.create(schema)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var qi = 0
+    while (qi < heaps.length) {
+      val qid = qs(qi)._1
+      heaps(qi).foreach((s, id) =>
+        out += proj(new GenericInternalRow(Array[Any](qid, id, s))).copy())
+      qi += 1
+    }
+    out.iterator
+  }
+
+  /** Blocked (GPU-shaped) cosine formulation of the same partial
+    * top-k: corpus rows are staged into a dense row-major block
+    * (block × dim flat Array[Double]) and each query streams over the
+    * contiguous block — the loop structure a batched kernel (BLAS
+    * GEMM / GPU matmul) wants, expressed in scalar JVM code. Bit-exact
+    * with [[partials]]: same index-order double accumulation per
+    * (row, query), same norms, same heap tie rule; rows whose length
+    * differs from the query dim take the row-at-a-time path inside the
+    * same call (ragged corpora can't block). Selected by the session
+    * conf `spark.graft.topk.kernel=blocked` (default: rows) — the A/B
+    * lives in tools/ScaleProbe, SURVEY §6 records the measurement. */
+  def partialsBlockedCosine(rows: Iterator[InternalRow],
+                            qs: Array[(Long, Array[Double], Double)],
+                            k: Int, block: Int = 512): Iterator[InternalRow] = {
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val nq = qs.length
+    val heaps = Array.fill(nq)(new TopKPrim(k))
+    val dim = if (nq > 0) qs(0)._2.length else 0
+    val uniformQ = qs.forall(_._2.length == dim)
+    val buf = new Array[Double](math.max(1, block * dim))
+    val ids = new Array[Long](block)
+    val nrm = new Array[Double](block)
+    var fill = 0
+    def flush(): Unit = {
+      var qi = 0
+      while (qi < nq) {
+        val qv = qs(qi)._2; val qn = qs(qi)._3; val h = heaps(qi)
+        var r = 0
+        while (r < fill) {
+          val off = r * dim
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += buf(off + i) * qv(i); i += 1 }
+          h.offer(dot / (nrm(r) * qn), ids(r))
+          r += 1
+        }
+        qi += 1
+      }
+      fill = 0
+    }
+    // exact scalar path for rows that can't join a block
+    def scalar(id: Long, v: Array[Double]): Unit = {
+      val n = v.length
+      var na = 0.0; var i = 0
+      while (i < n) { na += v(i) * v(i); i += 1 }
+      val sqNa = math.sqrt(na)
+      var qi = 0
+      while (qi < nq) {
+        val qv = qs(qi)._2; val d = math.min(n, qv.length)
+        var dot = 0.0; i = 0
+        while (i < d) { dot += v(i) * qv(i); i += 1 }
+        heaps(qi).offer(dot / (sqNa * qs(qi)._3), id)
+        qi += 1
+      }
+    }
+    rows.foreach { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val id = row.getLong(0)
+        val arr = row.getArray(1)
+        val n = arr.numElements()
+        if (n == dim && dim > 0 && uniformQ) {
+          val off = fill * dim
+          var i = 0
+          var na = 0.0
+          while (i < dim) {
+            val x = arr.getDouble(i); buf(off + i) = x; na += x * x; i += 1
+          }
+          nrm(fill) = math.sqrt(na)
+          ids(fill) = id
+          fill += 1
+          if (fill == block) flush()
+        } else {
+          val v = new Array[Double](n)
+          var i = 0
+          while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+          scalar(id, v)
+        }
+      }
+    }
+    flush()
     val proj = UnsafeProjection.create(schema)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var qi = 0
@@ -201,7 +297,17 @@ case class VectorTopKExec(
     }.toArray
     val m = metric
     val kk = k
-    child.execute().mapPartitions(TopKScore.partials(_, qs, kk, m))
+    // The blocked cosine kernel is bit-exact with the row-at-a-time
+    // path (Round8Spec) and ~1.3× faster at 4M (ScaleProbe A/B:
+    // 0.62 s vs 0.80 s steady-state, 6.5 vs 5.0 M rows/s), so it is
+    // the default; `spark.graft.topk.kernel=rows` forces the scalar
+    // path (the A/B knob). Ragged rows fall back per-row inside the
+    // blocked kernel itself.
+    val blocked = m == "cosine" &&
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.kernel", "blocked") == "blocked"
+    if (blocked) child.execute().mapPartitions(TopKScore.partialsBlockedCosine(_, qs, kk))
+    else child.execute().mapPartitions(TopKScore.partials(_, qs, kk, m))
   }
 }
 

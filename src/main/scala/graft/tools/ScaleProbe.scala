@@ -96,6 +96,67 @@ object ScaleProbe {
           graft.streaming.StreamingQueries.ivfServe(indexed, centroids, 4, 10)))
     }
 
+    // Recall-vs-cost table at scale for the HNSW variants (the §6
+    // datapoint the spill/multiprobe operators lacked — graded runs sit
+    // at sf0.001/0.01 where buckets are tiny). At 1M/nlist=64 every
+    // bucket holds ~15k rows ≥ ef, so the spill continuation rule never
+    // fires by design: its scale cost is ONE nlist-row size aggregate +
+    // the probe-rank rule, and its probe set must equal the base. The
+    // recall lift at scale comes from multiprobe (entry diversity), at
+    // ~nEntries× beam cost in the same buckets.
+    if (wanted("hnswtable")) {
+      import graft.operators.HnswAnn
+      val k = 10
+      val exact = graft.plans.VectorTopK.topK(corpus, queries, k)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+      val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(corpus), 64, 10)
+      val sizes = IvfIndex.assign(corpus, centroids)
+        .groupBy("centroid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val qRows = queries.selectExpr("vec_id", "cast(embedding as array<double>)")
+        .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+      val spillP = qRows.map { case (qid, v) =>
+        qid -> HnswAnn.spillProbes(centroids, sizes, v)
+      }.toMap
+      val baseP = qRows.map { case (qid, v) =>
+        qid -> IvfIndex.nearestN(centroids, v, HnswAnn.NProbe)
+      }.toMap
+      val avgSpill = spillP.values.map(_.length).sum.toDouble / spillP.size
+      println(f"[scale] hnsw probes/query: base=${HnswAnn.NProbe} spill=$avgSpill%.1f " +
+        s"(equal=${spillP.forall { case (q, p) => p.sameElements(baseP(q)) }}: " +
+        "healthy buckets ⇒ continuation off)")
+      def row(name: String, nEntries: Int, probes: Map[Long, Array[Int]]): Unit = {
+        val t0 = System.nanoTime()
+        val got = HnswAnn.hnswSearch(corpus, queries, k, nlist = 64,
+            centroidsOpt = Some(centroids), nEntries = nEntries, probesOverride = probes)
+          .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+        val s = (System.nanoTime() - t0) / 1e9
+        val recall = qRows.map { case (qid, _) =>
+          got.getOrElse(qid, Set.empty).intersect(exact(qid)).size.toDouble / k
+        }.sum / qRows.length
+        println(f"[scale] hnsw table | $name%-28s | recall@$k=$recall%.3f | $s%.2f s")
+      }
+      row("base (probe 4)", 1, baseP)
+      row("spill continuation", 1, spillP)
+      row("multiprobe (3 entries)", 3, baseP)
+    }
+
+    // A/B of the two VectorTopK scoring formulations (same node, same
+    // plan): row-at-a-time vs the blocked "GPU-shaped" kernel (dense
+    // row-major block × query stream — the loop order a batched matmul
+    // wants). Interleaved runs so host drift can't masquerade as a
+    // kernel difference; results are bit-exact either way (Round8Spec).
+    if (wanted("kernel")) {
+      Seq("rows", "blocked", "rows", "blocked").foreach { mode =>
+        spark.conf.set("spark.graft.topk.kernel", mode)
+        time(s"custom-plan kNN kernel=$mode k=10, 16 queries")(
+          graft.plans.VectorTopK.topK(corpus, queries, 10, Knn.Cosine).count())
+      }
+      spark.conf.unset("spark.graft.topk.kernel")
+    }
+
     time("PQ-ADC adaptive refine (m=8, k=16, alpha 0.25, cap k*8)")({
       val sample = corpus.selectExpr("cast(embedding as array<double>)")
         .limit(100000).collect().map(_.getSeq[Double](0).toArray)

@@ -49,4 +49,50 @@ class MultimodalSpec extends SparkTestBase {
     assert(BinaryColumns.resizeStub("img".getBytes, 224, 224).toSeq ==
       BinaryColumns.resizeStub("img".getBytes, 224, 224).toSeq)
   }
+
+  test("batched columnar decode == row-at-a-time path, for every batch size and partitioning") {
+    val media = BinaryColumns.mediaFromDocuments(spark, sfDir)
+    def key(rows: Array[BinaryColumns.MediaFeature]) =
+      rows.sortBy(_.media_id).map(r => (r.media_id, r.modality, r.embedding.toSeq)).toSeq
+    val want = key(BinaryColumns.extractFeatures(media).collect())
+    // batch boundaries must be invisible: degenerate (1), mid-partition
+    // splits (7), and bigger-than-partition (10_000) all agree
+    Seq(1, 7, 10000).foreach { bs =>
+      val got = key(BinaryColumns.extractFeaturesBatched(media, batchSize = bs).collect())
+      assert(got == want, s"batchSize=$bs changed results")
+    }
+    // and so must partitioning (batches never span partitions)
+    Seq(1, 3, 17).foreach { np =>
+      val got = key(BinaryColumns.extractFeaturesBatched(
+        media.repartition(np), batchSize = 7).collect())
+      assert(got == want, s"numPartitions=$np changed results")
+    }
+  }
+
+  test("decoder is pluggable: decode calls arrive as dense same-modality batches") {
+    // a probe decoder records every (modality, batch size) it sees and
+    // tags rows so dispatch is observable end-to-end
+    val media = BinaryColumns.mediaFromDocuments(spark, sfDir).limit(30).repartition(1)
+    val probe = new BinaryColumns.MediaDecoder {
+      override def name = "probe"
+      override def decodeBatch(modality: String,
+                               payloads: Array[Array[Byte]]): Array[Array[Float]] = {
+        assert(payloads.nonEmpty)
+        val tag = modality match {
+          case "image" => 1f; case "audio" => 2f; case _ => 3f
+        }
+        payloads.map(_ => Array.fill(BinaryColumns.FeatureDim)(tag))
+      }
+    }
+    val rows = BinaryColumns.extractFeaturesBatched(media, probe, batchSize = 8).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val tag = r.modality match { case "image" => 1f; case "audio" => 2f; case _ => 3f }
+      if (r.modality == "video")
+        // frames pooled then re-normalized: constant vector of 1/√dim
+        r.embedding.foreach(x => assert(math.abs(x - 1.0 / math.sqrt(BinaryColumns.FeatureDim)) < 1e-6))
+      else
+        assert(r.embedding.forall(_ == tag), s"row ${r.media_id} not decoded by $tag batch")
+    }
+  }
 }

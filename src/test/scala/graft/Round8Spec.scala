@@ -95,6 +95,43 @@ class Round8Spec extends SparkTestBase {
       s"query-side pushdown lost:\n${plan.take(2000)}")
   }
 
+  test("blocked cosine kernel == row-at-a-time kernel, bit-exact (incl. ragged tail blocks)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 7)
+    def run(mode: String) = {
+      spark.conf.set("spark.graft.topk.kernel", mode)
+      try operators.Knn.topK(emb, queries, 9)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      finally spark.conf.unset("spark.graft.topk.kernel")
+    }
+    val rows = run("rows")
+    val blocked = run("blocked")
+    assert(rows.nonEmpty && rows == blocked)
+    // and directly on the partition kernels with a block size that
+    // forces a partial tail block
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val proj = UnsafeProjection.create(schema)
+    def rowsIt = (0L until 37L).iterator.map { i =>
+      proj(new GenericInternalRow(Array[Any](i,
+        ArrayData.toArrayData(Array.tabulate(8)(j => math.sin(i * 8.0 + j)))))).copy()
+    }
+    val qs = Array.tabulate(3) { q =>
+      val v = Array.tabulate(8)(j => math.cos(q * 8.0 + j))
+      var n = 0.0; v.foreach(x => n += x * x)
+      (q.toLong, v, math.sqrt(n))
+    }
+    def key(it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =
+      it.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(t => (t._1, -t._3, t._2))
+    val a = key(graft.plans.TopKScore.partials(rowsIt, qs, 5, "cosine"))
+    val b = key(graft.plans.TopKScore.partialsBlockedCosine(rowsIt, qs, 5, block = 16))
+    assert(a.nonEmpty && a == b)
+  }
+
   test("mergeShardsLww tie on shard_seq resolves deterministically (delete beats upsert)") {
     val mk = (op: String, seq: Int) =>
       Seq((7L, Seq(1.0, 2.0), 3, op, seq)).toDF("vec_id", "embedding", "centroid", "op", "shard_seq")
