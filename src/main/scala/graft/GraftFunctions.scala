@@ -65,6 +65,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => graft.plans.VectorTopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.Fp16Idempotence)
-    ext.injectOptimizerRule(_ => graft.plans.CosineTopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.VectorTopKRewrite)
   }
 }

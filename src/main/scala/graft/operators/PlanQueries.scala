@@ -119,7 +119,7 @@ object PlanQueries {
     * expression or lost codegen precision breaks the hash. */
   def sqlPipeline(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
-    // CosineTopKRewrite turns the naive CROSS JOIN + window text below
+    // VectorTopKRewrite turns the naive CROSS JOIN + window text below
     // into the same partial-top-k physical plan the DataFrame kNN gets
     // — the q×n pair set never materializes (PlanQueriesSpec pins the
     // exec in the plan; results stay hash-identical to the naive plan).

@@ -26,12 +26,12 @@ object Fp16Idempotence extends Rule[LogicalPlan] {
 
 object GraftRules {
   def install(spark: SparkSession): Unit = {
-    val add = Seq(Fp16Idempotence, CosineTopKRewrite)
+    val add = Seq(Fp16Idempotence, VectorTopKRewrite)
     val cur = spark.experimental.extraOptimizations
     val missing = add.filterNot(cur.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations = cur ++ missing
-    // CosineTopKRewrite plants CosineTopKJoinNode — the planner
+    // VectorTopKRewrite plants VectorTopKJoinNode — the planner
     // strategy must be present for it to execute
     VectorTopK.install(spark)
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.types._
 
-import graft.functions.CosineSimD
+import graft.functions.{CosineSimD, DotD, L2SqD}
 import graft.operators.Knn
 
 /** SQL-surface plan rewrite: a user who writes the textbook kNN SQL —
@@ -31,15 +31,21 @@ import graft.operators.Knn
   *         Project(qid, vec_id, Alias(CosineSimD(qv, emb), score),
   *           Join(Cross|Inner, no condition))))
   *
-  * and replaces the Project+Join with [[CosineTopKJoinNode]], whose exec
+  * and replaces the Project+Join with [[VectorTopKJoinNode]], whose exec
   * collects the QUERY side at execution (the broadcast-batch model of
   * the reference search_batch, vector_index.py:162-210) and scans the
   * corpus once per 64k-query chunk with bounded primitive heaps. The
   * Window/Filter above are kept: they re-rank the tiny partial set
   * exactly, so results are bit-identical to the naive plan (the per-
   * partition heaps keep a superset of the global top-k, same score
-  * arithmetic as the codegen CosineSimD — double accumulation in index
-  * order).
+  * arithmetic as the codegen expressions — double accumulation in
+  * index order).
+  *
+  * All three registry scoring functions rewrite: `cosine_sim` and
+  * `dot_d` with their natural ORDER BY score DESC, and `l2_sq` with
+  * ORDER BY score ASC (raw squared distance, partial BOTTOM-k via
+  * BottomKPrim — the emitted value is l2_sq's, not the DataFrame l2
+  * metric's 1/(1+d²)).
   *
   * Exactness caveat (documented, not graded): rows whose embedding is
   * NULL score NULL in the naive plan and rank AFTER all real rows
@@ -47,7 +53,7 @@ import graft.operators.Knn
   * query has fewer than k non-null candidates. The rule therefore
   * requires the default NULLS LAST on the score ordering.
   */
-object CosineTopKRewrite extends Rule[LogicalPlan] {
+object VectorTopKRewrite extends Rule[LogicalPlan] {
 
   private def underlying(e: NamedExpression): Option[Attribute] = e match {
     case a: Attribute => Some(a)
@@ -73,11 +79,30 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
       a
     else Alias(Cast(a, ArrayType(DoubleType)), name)()
 
+  /** Recognized scoring expressions → (metric, arg1, arg2). */
+  private def metricOf(e: Expression): Option[(String, Attribute, Attribute)] = e match {
+    case CosineSimD(a: Attribute, b: Attribute) => Some(("cosine", a, b))
+    case DotD(a: Attribute, b: Attribute) => Some(("ip", a, b))
+    case L2SqD(a: Attribute, b: Attribute) => Some(("l2raw", a, b))
+    case _ => None
+  }
+
+  /** Each metric pairs with exactly one sort shape: similarities rank
+    * DESC (best first, NULLS LAST default); raw L2 distance ranks ASC
+    * (NULLS FIRST is the SQL default for ASC — same null caveat as the
+    * scaladoc, mirrored: null-embedding rows would rank first and the
+    * rewrite skips them, so the rule assumes non-null vectors). */
+  private def dirMatches(metric: String, dir: SortDirection, nulls: NullOrdering): Boolean =
+    metric match {
+      case "l2raw" => dir == Ascending && nulls == NullsFirst
+      case _ => dir == Descending && nulls == NullsLast
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, w @ Window(
         Seq(rankAlias @ Alias(WindowExpression(_: RowNumber, _), _)),
         Seq(pid: Attribute),
-        Seq(SortOrder(scoreRef: Attribute, Descending, NullsLast, _),
+        Seq(SortOrder(scoreRef: Attribute, scoreDir, scoreNulls, _),
             SortOrder(vidRef: Attribute, Ascending, NullsFirst, _)),
         wchild, _)) =>
       // unwrap the WindowGroupLimit InferWindowGroupLimit may have
@@ -90,7 +115,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
       val replaced = (kOpt(cond, rankAlias), inner) match {
         case (Some(k), p @ Project(projList, Join(l, r, jt, None, _)))
             if k > 0 && (jt == Cross || jt == Inner) && projList.length == 3 =>
-          rewriteProject(projList, l, r, k, pid, scoreRef, vidRef)
+          rewriteProject(projList, l, r, k, pid, scoreRef, vidRef, scoreDir, scoreNulls)
         case _ => None
       }
       replaced match {
@@ -103,23 +128,22 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
   private def kOpt(cond: Expression, rankAlias: Alias): Option[Int] =
     rankK(cond, rankAlias.exprId)
 
-  /** The Project-over-CrossJoin → CosineTopKJoinNode core. Returns None
+  /** The Project-over-CrossJoin → VectorTopKJoinNode core. Returns None
     * (leave the plan alone) unless every structural condition holds. */
   private def rewriteProject(
       projList: Seq[NamedExpression], l: LogicalPlan, r: LogicalPlan,
-      k: Int, pid: Attribute, scoreRef: Attribute, vidRef: Attribute)
+      k: Int, pid: Attribute, scoreRef: Attribute, vidRef: Attribute,
+      scoreDir: SortDirection, scoreNulls: NullOrdering)
       : Option[LogicalPlan] = {
     val scoreIdx = projList.indexWhere {
-      case Alias(CosineSimD(_: Attribute, _: Attribute), _) => true
+      case Alias(child, _) => metricOf(child).isDefined
       case _ => false
     }
     if (scoreIdx < 0) return None
     val scoreAlias = projList(scoreIdx).asInstanceOf[Alias]
     if (scoreAlias.exprId != scoreRef.exprId) return None
-    val (arg1, arg2) = scoreAlias.child match {
-      case CosineSimD(a: Attribute, b: Attribute) => (a, b)
-      case _ => return None
-    }
+    val (metric, arg1, arg2) = metricOf(scoreAlias.child).getOrElse(return None)
+    if (!dirMatches(metric, scoreDir, scoreNulls)) return None
     val others = projList.filterNot(_ eq scoreAlias)
     val qidEntry = others.find(_.toAttribute.exprId == pid.exprId).getOrElse(return None)
     val vidEntry = others.find(_.toAttribute.exprId == vidRef.exprId).getOrElse(return None)
@@ -149,7 +173,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
     oriented.map { case (qSide, qvAttr, cSide, embAttr) =>
       val qPlan = Project(Seq(qidSrc, toDoubleVec(qvAttr, "qv")), qSide)
       val cPlan = Project(Seq(vidSrc, toDoubleVec(embAttr, "emb")), cSide)
-      val node = CosineTopKJoinNode(qPlan, cPlan, k,
+      val node = VectorTopKJoinNode(qPlan, cPlan, k, metric,
         Seq(qidEntry.toAttribute, vidEntry.toAttribute, scoreAlias.toAttribute))
       // restore the original column order the Window above resolved to
       Project(projList.map(_.toAttribute), node)
@@ -157,42 +181,46 @@ object CosineTopKRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Partial cosine top-k over a query-side plan joined against a corpus
-  * plan — the logical node [[CosineTopKRewrite]] plants. Output rows
-  * are each corpus partition's top-k per query (a superset of the
-  * global top-k); the window the rule keeps above re-ranks them
-  * exactly. */
-case class CosineTopKJoinNode(
+/** Partial best-k over a query-side plan joined against a corpus plan
+  * — the logical node [[VectorTopKRewrite]] plants. `metric` is one of
+  * cosine / ip (similarity, best = highest) / l2raw (raw squared
+  * distance, best = lowest — the value l2_sq emits). Output rows are
+  * each corpus partition's best-k per query (a superset of the global
+  * best-k); the window the rule keeps above re-ranks them exactly. */
+case class VectorTopKJoinNode(
     queries: LogicalPlan,
     corpus: LogicalPlan,
     k: Int,
+    metric: String,
     output: Seq[Attribute]) extends BinaryNode {
   override def left: LogicalPlan = queries
   override def right: LogicalPlan = corpus
   override def producedAttributes: AttributeSet = AttributeSet(output)
   override def simpleString(maxFields: Int): String =
-    s"CosineTopKJoinNode [k=$k]"
+    s"VectorTopKJoinNode [k=$k, $metric]"
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): LogicalPlan = copy(queries = l, corpus = r)
 }
 
-/** Executes [[CosineTopKJoinNode]]: the query side (qid, qv) is
+/** Executes [[VectorTopKJoinNode]]: the query side (qid, qv) is
   * collected at execution — the broadcast-small-side posture; bounded
   * by Knn.MaxBroadcastQueries per corpus pass, larger sets chunk, one
   * corpus scan per chunk — and the corpus is scanned once per chunk
-  * with one bounded TopKPrim heap per query. The q×n pair set is never
-  * materialized; only partitions·q·k partial rows leave the scan. */
-case class CosineTopKJoinExec(
+  * with one bounded primitive heap per query. The q×n pair set is
+  * never materialized; only partitions·q·k partial rows leave the
+  * scan. */
+case class VectorTopKJoinExec(
     queries: SparkPlan,
     corpus: SparkPlan,
     k: Int,
+    metric: String,
     out: Seq[Attribute]) extends BinaryExecNode {
   override def left: SparkPlan = queries
   override def right: SparkPlan = corpus
   override def output: Seq[Attribute] = out
   override def producedAttributes: AttributeSet = AttributeSet(out)
   override def simpleString(maxFields: Int): String =
-    s"CosineTopKJoin [k=$k]"
+    s"VectorTopKJoin [k=$k, $metric]"
   override protected def withNewChildrenInternal(
       l: SparkPlan, r: SparkPlan): SparkPlan = copy(queries = l, corpus = r)
 
@@ -209,14 +237,21 @@ case class CosineTopKJoinExec(
       }
     val corpusRdd = corpus.execute()
     val kk = k
+    val m = metric
     if (qs.isEmpty) return corpusRdd.sparkContext.emptyRDD[InternalRow]
     // same kernel choice as VectorTopKExec (blocked is the measured
-    // default; bit-exact either way)
-    val blocked = org.apache.spark.sql.internal.SQLConf.get
+    // default for cosine; bit-exact either way)
+    val blocked = m == "cosine" && org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.topk.kernel", "blocked") == "blocked"
     qs.grouped(Knn.MaxBroadcastQueries).map { chunk =>
-      if (blocked) corpusRdd.mapPartitions(TopKScore.partialsBlockedCosine(_, chunk, kk))
-      else corpusRdd.mapPartitions(TopKScore.partials(_, chunk, kk, "cosine"))
+      m match {
+        case _ if blocked =>
+          corpusRdd.mapPartitions(TopKScore.partialsBlockedCosine(_, chunk, kk))
+        case "l2raw" =>
+          corpusRdd.mapPartitions(TopKScore.partialsL2Raw(_, chunk, kk))
+        case _ =>
+          corpusRdd.mapPartitions(TopKScore.partials(_, chunk, kk, m))
+      }
     }.reduce(_ union _)
   }
 }

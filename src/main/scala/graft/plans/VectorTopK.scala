@@ -116,7 +116,7 @@ final class BottomKPrim(k: Int) {
 /** The shared per-partition scoring kernel: one bounded TopKPrim heap
   * per broadcast query over a (vec_id long, vec array&lt;double&gt;)
   * InternalRow scan. Used by VectorTopKExec (DataFrame path) and
-  * CosineTopKJoinExec (the SQL-rewrite path, TopKRewrite.scala) — one
+  * VectorTopKJoinExec (the SQL-rewrite path, TopKRewrite.scala) — one
   * loop, one arithmetic, identical partials. */
 object TopKScore {
   /** @param qs (qid, query vector, precomputed ‖q‖) triples */
@@ -175,6 +175,51 @@ object TopKScore {
       val qid = qs(qi)._1
       heaps(qi).foreach((s, id) =>
         out += proj(new GenericInternalRow(Array[Any](qid, id, s))).copy())
+      qi += 1
+    }
+    out.iterator
+  }
+
+  /** Partial bottom-k by RAW squared L2 distance — the kernel behind
+    * the l2 SQL-shape rewrite (TopKRewrite): the SQL text emits
+    * l2_sq's value and ranks it ASCENDING, so the partials must carry
+    * the raw distance (the DataFrame l2 metric emits 1/(1+d²), a
+    * different column value with the same ordering). BottomKPrim keeps
+    * (d asc, id asc) — the row_number ORDER BY d ASC, id ASC rule. */
+  def partialsL2Raw(rows: Iterator[InternalRow],
+                    qs: Array[(Long, Array[Double], Double)],
+                    k: Int): Iterator[InternalRow] = {
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    val heaps = Array.fill(qs.length)(new BottomKPrim(k))
+    rows.foreach { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val id = row.getLong(0)
+        val arr = row.getArray(1)
+        val n = arr.numElements()
+        val v = new Array[Double](n)
+        var i = 0
+        while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+        var qi = 0
+        while (qi < qs.length) {
+          val qv = qs(qi)._2
+          val d = math.min(n, qv.length)
+          var ss = 0.0; i = 0
+          while (i < d) { val df = v(i) - qv(i); ss += df * df; i += 1 }
+          heaps(qi).offer(ss, id)
+          qi += 1
+        }
+      }
+    }
+    val proj = UnsafeProjection.create(schema)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var qi = 0
+    while (qi < heaps.length) {
+      val qid = qs(qi)._1
+      heaps(qi).foreach((d, id) =>
+        out += proj(new GenericInternalRow(Array[Any](qid, id, d))).copy())
       qi += 1
     }
     out.iterator
@@ -449,8 +494,8 @@ object VectorTopKStrategy extends Strategy {
       VectorTopKExec(planLater(n.child), n.output, n.queries, n.k, n.metric) :: Nil
     case n: MultiscaleTopKNode =>
       MultiscaleTopKExec(planLater(n.child), n.output, n.queries, n.k, n.scales) :: Nil
-    case n: CosineTopKJoinNode =>
-      CosineTopKJoinExec(planLater(n.queries), planLater(n.corpus), n.k, n.output) :: Nil
+    case n: VectorTopKJoinNode =>
+      VectorTopKJoinExec(planLater(n.queries), planLater(n.corpus), n.k, n.metric, n.output) :: Nil
     case _ => Nil
   }
 }

@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{HnswAnn, IvfIndex}
-import graft.plans.CosineTopKRewrite
+import graft.plans.VectorTopKRewrite
 
 /** Round 8: the SQL-registry kNN text is rewritten onto the custom
-  * partial-top-k physical plan (CosineTopKRewrite) with bit-identical
+  * partial-top-k physical plan (VectorTopKRewrite) with bit-identical
   * results; the rewrite's guards don't fire on lookalike shapes; and
   * the round's hardening items (LWW tie determinism, BeamHeap guard,
   * spill probe cap) hold. */
@@ -24,14 +24,14 @@ class Round8Spec extends SparkTestBase {
 
   private def withoutRewrite[A](f: => A): A = {
     val saved = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = saved.filterNot(_ == CosineTopKRewrite)
+    spark.experimental.extraOptimizations = saved.filterNot(_ == VectorTopKRewrite)
     try f finally spark.experimental.extraOptimizations = saved
   }
 
-  test("SQL kNN rewrites onto CosineTopKJoin; naive cross-join plan is gone") {
+  test("SQL kNN rewrites onto VectorTopKJoin; naive cross-join plan is gone") {
     val df = operators.PlanQueries.sqlPipeline(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("CosineTopKJoin"), s"rewrite did not fire:\n${plan.take(1500)}")
+    assert(plan.contains("VectorTopKJoin"), s"rewrite did not fire:\n${plan.take(1500)}")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"naive cross join still present:\n${plan.take(1500)}")
   }
@@ -42,17 +42,51 @@ class Round8Spec extends SparkTestBase {
     Tables.registerAll(spark, sfDir)
     val sql = knnSql(5, 10)
     val rewritten = spark.sql(sql)
-    assert(rewritten.queryExecution.executedPlan.toString.contains("CosineTopKJoin"))
+    assert(rewritten.queryExecution.executedPlan.toString.contains("VectorTopKJoin"))
     val a = rewritten.as[(Long, Long, Double, Int)].collect().toSeq
     val b = withoutRewrite {
       val naive = spark.sql(sql)
-      assert(!naive.queryExecution.executedPlan.toString.contains("CosineTopKJoin"))
+      assert(!naive.queryExecution.executedPlan.toString.contains("VectorTopKJoin"))
       naive.as[(Long, Long, Double, Int)].collect().toSeq
     }
     val emb = Tables.load(spark, sfDir, "embeddings")
     val c = operators.Knn.topK(emb, emb.filter($"vec_id" < 5), 10)
       .as[(Long, Long, Double, Int)].collect().toSeq
     assert(a.nonEmpty && a == b && a == c)
+  }
+
+  test("ip and l2 SQL shapes rewrite too, bit-exact vs their naive plans") {
+    GraftFunctions.register(spark)
+    graft.plans.GraftRules.install(spark)
+    Tables.registerAll(spark, sfDir)
+    def shape(fn: String, order: String): String =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id, $fn(q.qv, e.embedding) AS score
+         |      FROM q CROSS JOIN embeddings e)
+         |SELECT qid, vec_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score $order, vec_id ASC) AS rank
+         |  FROM s)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    Seq(("dot_d", "DESC", "ip"), ("l2_sq", "ASC", "l2raw")).foreach { case (fn, ord, metric) =>
+      val sql = shape(fn, ord)
+      val rewritten = spark.sql(sql)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains(s"VectorTopKJoin [k=10, $metric]"),
+        s"$fn shape did not rewrite:\n${plan.take(1200)}")
+      val a = rewritten.as[(Long, Long, Double, Int)].collect().toSeq
+      val b = withoutRewrite {
+        spark.sql(sql).as[(Long, Long, Double, Int)].collect().toSeq
+      }
+      assert(a.nonEmpty && a == b, s"$fn rewrite changed results")
+    }
+    // the l2 ids also agree with the DataFrame L2 operator (values
+    // differ by design: raw d² vs 1/(1+d²))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val df = operators.Knn.topK(emb, emb.filter($"vec_id" < 5), 10, operators.Knn.L2)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSeq
+    val viaSql = spark.sql(shape("l2_sq", "ASC"))
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSeq
+    assert(df == viaSql)
   }
 
   test("rewrite does NOT fire on lookalikes: equi-join condition, ASC score, NULLS FIRST") {
@@ -83,7 +117,7 @@ class Round8Spec extends SparkTestBase {
         |WHERE rank <= 5""".stripMargin)
     shapes.foreach { sql =>
       val plan = spark.sql(sql).queryExecution.executedPlan.toString
-      assert(!plan.contains("CosineTopKJoin"), s"rewrite fired on a lookalike:\n$sql")
+      assert(!plan.contains("VectorTopKJoin"), s"rewrite fired on a lookalike:\n$sql")
       assert(spark.sql(sql).count() > 0) // and the un-rewritten query still runs
     }
   }
