@@ -89,6 +89,15 @@ class Round8Spec extends SparkTestBase {
     assert(df == viaSql)
   }
 
+  test("rewritten plan with an EMPTY query side returns zero rows (no crash)") {
+    GraftFunctions.register(spark)
+    graft.plans.GraftRules.install(spark)
+    Tables.registerAll(spark, sfDir)
+    val df = spark.sql(knnSql(0, 10)) // vec_id < 0: no queries
+    assert(df.queryExecution.executedPlan.toString.contains("VectorTopKJoin"))
+    assert(df.count() == 0)
+  }
+
   test("rewrite does NOT fire on lookalikes: equi-join condition, ASC score, NULLS FIRST") {
     GraftFunctions.register(spark)
     graft.plans.GraftRules.install(spark)
