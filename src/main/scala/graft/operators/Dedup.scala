@@ -217,6 +217,44 @@ object Dedup {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text")
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * word n-gram with a held-out evaluation set, with the shared-gram
+    * count as evidence — the standard pre-training hygiene step (the
+    * GPT-3/PaLM-style n-gram decontamination run, here over the same
+    * shingle hashes the dedup family uses). Scale shape: the EVAL side
+    * is small and fixed (benchmarks), so its exploded shingle set is
+    * BROADCAST and the (huge) train side streams through a broadcast
+    * hash join + map-side-combinable count — the corpus text never
+    * shuffles, exactly how a 100 TB decontamination pass runs. */
+  val DecontamEvalMaxId = 20L
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    evalMaxId: Long = DecontamEvalMaxId): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), shingleHashes3(col(textCol)).as("sh"))
+    val evalSide = base.filter(col("doc_id") < evalMaxId)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("h"))
+    val trainSide = base.filter(col("doc_id") >= evalMaxId)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+    // per-doc shingle hashes are distinct, so count(*) per pair ==
+    // distinct shared grams
+    trainSide.join(broadcast(evalSide), "h")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  def dataDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  /** String-shingle twin: same cardinality argument as the jaccard
+    * oracles — |shared hash set| == |shared string-shingle set|. */
+  val dataDecontaminateSql: String =
+    s"""WITH $shingleCte,
+       |e AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM t WHERE doc_id < $DecontamEvalMaxId),
+       |tr AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM t WHERE doc_id >= $DecontamEvalMaxId)
+       |SELECT tr.train_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM tr JOIN e USING (g)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Brute-force SimHash twin: the per-token basis hash is
     * md5_number_lower (same byte convention as TextHash.md5Lower64),
     * bit votes ±1 per token occurrence over the UNFILTERED space-split
@@ -246,10 +284,12 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
-    "dedup_simhash" -> (dedupSimhash _))
+    "dedup_simhash" -> (dedupSimhash _),
+    "data_decontaminate" -> (dataDecontaminate _))
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_simhash" -> dedupSimhashSql)
+    "dedup_simhash" -> dedupSimhashSql,
+    "data_decontaminate" -> dataDecontaminateSql)
 }

@@ -175,6 +175,31 @@ class Round8Spec extends SparkTestBase {
     assert(a.nonEmpty && a == b)
   }
 
+  test("decontamination: planted eval n-gram is flagged with the right evidence count; eval side broadcasts") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over dogs"),          // eval
+      (1L, "completely different evaluation text here now"), // eval
+      (20L, "training doc mentions the quick brown fox jumps today"), // contaminated by 0
+      (21L, "clean training document with no overlap at all"),
+      (22L, "another doc saying the quick brown fox appears")  // shares 2 shingles with 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(docs, "doc_id", "text", evalMaxId = 2L)
+    val rows = got.as[(Long, Long, Long)].collect().toSeq
+    // doc 20 shares "the quick brown", "quick brown fox", "brown fox jumps" with eval 0
+    // doc 22 shares "the quick brown", "quick brown fox"
+    assert(rows == Seq((20L, 0L, 3L), (22L, 0L, 2L)), s"got $rows")
+    // eval side must be the broadcast side (the 100 TB shape)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // graded query runs on the real table and self-matches are impossible
+    // (train/eval ids are disjoint by construction)
+    val graded = Dedup.dataDecontaminate(spark, sfDir)
+    val g = graded.as[(Long, Long, Long)].collect()
+    assert(g.forall { case (t, e, n) => t >= Dedup.DecontamEvalMaxId &&
+      e < Dedup.DecontamEvalMaxId && n >= 1 })
+  }
+
   test("mergeShardsLww tie on shard_seq resolves deterministically (delete beats upsert)") {
     val mk = (op: String, seq: Int) =>
       Seq((7L, Seq(1.0, 2.0), 3, op, seq)).toDF("vec_id", "embedding", "centroid", "op", "shard_seq")
