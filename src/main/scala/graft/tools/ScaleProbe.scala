@@ -157,6 +157,43 @@ object ScaleProbe {
       spark.conf.unset("spark.graft.topk.kernel")
     }
 
+    // Binary-quantized scan: candidates by XOR+popcount Hamming, exact
+    // cosine only on accumulator-accepted rows. Same single corpus
+    // pass as the exact scan — the win is the cheap per-row kernel.
+    // R is the recall knob for 64-bit codes: Hamming values plateau
+    // (integers 0..64), so at large n thousands of rows tie near the
+    // top and a small R picks arbitrarily among them — R must grow
+    // with n. The sweep shows the recall-vs-cost curve; the exact scan
+    // is the 1.0-recall reference.
+    if (wanted("binary")) {
+      val exact = graft.plans.VectorTopK.topK(corpus, queries, 10)
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+      Seq(40, 400, 4000).foreach { r =>
+        time(s"binary-quantized kNN (hamming top-$r + exact rerank), 16 queries")(
+          graft.operators.BinaryQuant.binaryTopK(corpus, queries, 10, r).count())
+        val got = graft.operators.BinaryQuant.binaryTopK(corpus, queries, 10, r)
+          .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+        val recall = exact.keys.toSeq.map { q =>
+          got.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / 10
+        }.sum / exact.size
+        println(f"[scale] binary kNN R=$r recall@10 vs exact: $recall%.3f")
+      }
+      // asymmetric variant: double scores → no tie plateau → small R
+      Seq(40, 400).foreach { r =>
+        time(s"asym binary kNN (byte-LUT top-$r + exact rerank), 16 queries")(
+          graft.operators.BinaryQuant.asymTopK(corpus, queries, 10, r).count())
+        val got = graft.operators.BinaryQuant.asymTopK(corpus, queries, 10, r)
+          .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+        val recall = exact.keys.toSeq.map { q =>
+          got.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / 10
+        }.sum / exact.size
+        println(f"[scale] asym binary kNN R=$r recall@10 vs exact: $recall%.3f")
+      }
+    }
+
     time("PQ-ADC adaptive refine (m=8, k=16, alpha 0.25, cap k*8)")({
       val sample = corpus.selectExpr("cast(embedding as array<double>)")
         .limit(100000).collect().map(_.getSeq[Double](0).toArray)

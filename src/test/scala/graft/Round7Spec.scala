@@ -48,7 +48,8 @@ class Round7Spec extends SparkTestBase {
       operators.IndexComparison.queries, streaming.StreamingQueries.queries,
       operators.VectorAvg.queries, operators.LayoutQueries.queries,
       operators.HnswAnn.queries, operators.PlanQueries.queries,
-      operators.Multiscale.queries)
+      operators.Multiscale.queries, operators.BinaryQuant.queries,
+      operators.DataMix.queries)
     assert(maps.map(_.size).sum + 1 == SparkEntry.queries.size) // +1: multimodal_embed
   }
 
