@@ -243,6 +243,118 @@ object BinaryQuant {
       .orderBy("qid", "rank")
   }
 
+  /** Materialized sign codes — the column a deployment persists next
+    * to (or instead of) the float embedding: 8 bytes/row at 64 dims. */
+  def codes(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val src = corpus.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType)))
+    val rdd = src.queryExecution.toRdd.mapPartitions { it =>
+      it.flatMap { row =>
+        if (row.isNullAt(0) || row.isNullAt(1)) Iterator.empty
+        else Iterator.single(
+          (row.getLong(0), signCode(row.getArray(1).toDoubleArray()).toSeq))
+      }
+    }
+    spark.createDataset(rdd).toDF("vec_id", "code")
+  }
+
+  /** Two-stage at-rest formulation of the asymmetric search: the
+    * candidate scan reads ONLY the materialized code column (8 bytes +
+    * id per row — a 64× narrower read than the float vectors), then
+    * the R survivors per query rerank through one broadcast-semi-join
+    * back to the full embeddings (q·R ids — row-group-prunable at the
+    * parquet scan). Bit-equal to the one-pass asymTopK (spec'd): the
+    * candidate order and the rerank kernel are the same; only WHERE
+    * the exact cosine is computed moves. */
+  def asymTopKCoded(coded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, r: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val qs: Array[(Long, Array[Double], Double)] = queries
+      .select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map { row =>
+        val v = row.getSeq[Double](1).toArray
+        var nq = 0.0; var i = 0
+        while (i < v.length) { nq += v(i) * v(i); i += 1 }
+        (row.getLong(0), v, math.sqrt(nq))
+      }
+    val bq = spark.sparkContext.broadcast(qs)
+
+    // Stage 1: code-only candidate scan (no float vectors touched).
+    val src = coded.select(col("vec_id").cast("long"), col("code"))
+    val partialsRdd = src.queryExecution.toRdd.mapPartitions { it =>
+      val queries = bq.value
+      val nq = queries.length
+      val luts = queries.map(q => asymLut(q._2))
+      val heaps = Array.fill(nq)(new ScoredTopR(r))
+      it.foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val id = row.getLong(0)
+          val code = row.getArray(1).toLongArray()
+          var qi = 0
+          while (qi < nq) {
+            val s = asymScore(code, luts(qi))
+            if (heaps(qi).wouldAccept(s, id)) heaps(qi).offer(s, id, 0.0)
+            qi += 1
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var qi = 0
+      while (qi < nq) {
+        val qid = queries(qi)._1
+        heaps(qi).foreach((s, id, _) => out += ((qid, id, s)))
+        qi += 1
+      }
+      out.iterator
+    }
+    val partials = spark.createDataset(partialsRdd).toDF("qid", "vec_id", "asym")
+    val aw = Window.partitionBy("qid").orderBy(col("asym").desc, col("vec_id").asc)
+    val cand = partials
+      .withColumn("ar", row_number().over(aw)).filter(col("ar") <= r).drop("ar")
+
+    // Stage 2: rerank the q·R survivors — candidate ids broadcast back
+    // onto the (pruned) embedding scan, exact cosine there.
+    val exactScores = corpus
+      .join(broadcast(cand.select(col("vec_id")).distinct()), "vec_id")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vecSeq) =>
+        val v = vecSeq.toArray
+        val queries = bq.value
+        var cn = 0.0; var i = 0
+        while (i < v.length) { cn += v(i) * v(i); i += 1 }
+        cn = math.sqrt(cn)
+        val out = new Array[Double](queries.length)
+        var qi = 0
+        while (qi < queries.length) {
+          val qv = queries(qi)._2
+          val d = math.min(v.length, qv.length)
+          var dot = 0.0; i = 0
+          while (i < d) { dot += v(i) * qv(i); i += 1 }
+          out(qi) = dot / (cn * queries(qi)._3)
+          qi += 1
+        }
+        (id, out)
+      }.toDF("vec_id", "scores")
+
+    val qIdx = qs.map(_._1).zipWithIndex.toMap
+    val idxOf = udf((qid: Long) => qIdx(qid))
+    val sw = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    cand.join(exactScores, "vec_id")
+      .withColumn("score", element_at(col("scores"), idxOf(col("qid")) + 1))
+      .drop("scores")
+      .withColumn("rank", row_number().over(sw)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("asym"), col("score"),
+        col("rank").cast("int"))
+      .orderBy("qid", "rank")
+  }
+
   def knnBinaryAsym(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     asymTopK(emb, emb.filter(col("vec_id") < VectorSearch.NQueries),

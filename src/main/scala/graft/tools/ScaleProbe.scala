@@ -180,6 +180,16 @@ object ScaleProbe {
         }.sum / exact.size
         println(f"[scale] binary kNN R=$r recall@10 vs exact: $recall%.3f")
       }
+      // at-rest two-stage: candidate scan over the materialized code
+      // column only (8B+id per row), rerank via broadcast join-back —
+      // code materialization outside the timer, like any at-rest index
+      if (wanted("binary")) {
+        val coded = graft.operators.BinaryQuant.codes(corpus).localCheckpoint(true)
+        Seq(40, 400).foreach { r =>
+          time(s"asym binary CODED scan (top-$r + join-back rerank), 16 queries")(
+            graft.operators.BinaryQuant.asymTopKCoded(coded, corpus, queries, 10, r).count())
+        }
+      }
       // asymmetric variant: double scores → no tie plateau → small R
       Seq(40, 400).foreach { r =>
         time(s"asym binary kNN (byte-LUT top-$r + exact rerank), 16 queries")(

@@ -44,8 +44,9 @@ class BinaryMixSpec extends SparkTestBase {
     val emb = Tables.load(spark, sfDir, "embeddings").limit(200).cache()
     val q = emb.filter($"vec_id" < 3)
     val r = 17; val k = 5
-    val got = BinaryQuant.binaryTopK(emb, q, k, r)
+    val got = try BinaryQuant.binaryTopK(emb, q, k, r)
       .as[(Long, Long, Int, Double, Int)].collect().toSeq
+    finally emb.unpersist(blocking = true)
 
     // independent in-memory replay
     val corpus = emb.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
@@ -96,8 +97,9 @@ class BinaryMixSpec extends SparkTestBase {
     val emb = Tables.load(spark, sfDir, "embeddings").limit(200).cache()
     val q = emb.filter($"vec_id" < 3)
     val r = 17; val k = 5
-    val got = BinaryQuant.asymTopK(emb, q, k, r)
+    val got = try BinaryQuant.asymTopK(emb, q, k, r)
       .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    finally emb.unpersist(blocking = true)
     val corpus = emb.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
     val queries = q.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
@@ -119,6 +121,22 @@ class BinaryMixSpec extends SparkTestBase {
         .map { case ((a, b, c, d), i) => (a, b, c, d, i + 1) }
     }
     assert(got == want)
+  }
+
+  test("asymTopKCoded (at-rest two-stage) == asymTopK (one-pass), bit-exact") {
+    // cache must be scoped: a leaked cache of the raw table would make
+    // LATER suites' plan assertions hit InMemoryTableScan (no parquet
+    // PushedFilters) via the shared session's CacheManager
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    try {
+      val q = emb.filter($"vec_id" < 5)
+      val coded = BinaryQuant.codes(emb)
+      val a = BinaryQuant.asymTopKCoded(coded, emb, q, 7, 23)
+        .as[(Long, Long, Double, Double, Int)].collect().toSeq
+      val b = BinaryQuant.asymTopK(emb, q, 7, 23)
+        .as[(Long, Long, Double, Double, Int)].collect().toSeq
+      assert(a.nonEmpty && a == b)
+    } finally emb.unpersist(blocking = true)
   }
 
   test("knn_binary: every query finds itself at rank 1 with score 1") {
