@@ -62,6 +62,57 @@ case class DotD(left: Expression, right: Expression) extends VectorBinaryExpr {
     copy(left = l, right = r)
 }
 
+/** Asymmetric sign-quantized dot: Σ_i (a_i >= 0 ? +b_i : −b_i) — the
+  * scalar twin of BinaryQuant.asymLut/asymScore (query stays float,
+  * corpus contributes only sign bits). Accumulation is BYTE-BLOCKED to
+  * match the LUT path bit-exactly: terms group in 8s (j-ascending
+  * inside a group), groups fold in ascending order — the same
+  * parenthesization the byte-LUT serve path and the SQL twin use. */
+case class AsymSignDotD(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var blk = 0
+    while (blk < n) {
+      val end = math.min(blk + 8, n)
+      var g = 0.0; var j = blk
+      while (j < end) {
+        val x = get(a, ta, j); val y = get(b, tb, j)
+        g += (if (x >= 0.0) y else -y)
+        j += 1
+      }
+      acc += g; blk += 8
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ta, tb) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val blk = ctx.freshName("blk")
+      val end = ctx.freshName("end"); val j = ctx.freshName("j")
+      val g = ctx.freshName("g"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $blk = 0; $blk < $n; $blk += 8) {
+         |  int $end = java.lang.Math.min($blk + 8, $n);
+         |  double $g = 0.0;
+         |  for (int $j = $blk; $j < $end; $j++) {
+         |    double $x = ${cGet(a, ta, j)}; double $y = ${cGet(b, tb, j)};
+         |    $g += ($x >= 0.0) ? $y : -$y;
+         |  }
+         |  $acc += $g;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** cosine similarity = dot/(||a||·||b||), one fused pass. */
 case class CosineSimD(left: Expression, right: Expression) extends VectorBinaryExpr {
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -268,6 +319,7 @@ object VectorOps {
   private def ex(c: Column): Expression = Shims.expression(c)
 
   def dot(a: Column, b: Column): Column = col(DotD(ex(a), ex(b)))
+  def asymSignDot(a: Column, b: Column): Column = col(AsymSignDotD(ex(a), ex(b)))
   def cosineSim(a: Column, b: Column): Column = col(CosineSimD(ex(a), ex(b)))
   def l2Sq(a: Column, b: Column): Column = col(L2SqD(ex(a), ex(b)))
   def fp16(a: Column): Column = col(Fp16RoundArr(ex(a)))

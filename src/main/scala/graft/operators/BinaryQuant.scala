@@ -498,11 +498,106 @@ object BinaryQuant {
        |      FROM c WHERE hr <= $RerankR)
        |WHERE rnk <= ${VectorSearch.K} ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ivf_binary — the composed 100 TB serving stack in one query:
+  // IVF centroid routing prunes to nprobe/nlist of the partitions,
+  // the candidate score inside probed buckets is the 1-bit asymmetric
+  // sign-dot (at rest: reads the 8-byte code column, 64× narrower than
+  // the floats — the one-pass graded form computes signs inline), and
+  // only the asym top-R survivors per query pay the exact cosine.
+  // Combined read reduction at scale: (nprobe/nlist) × (1/64) of the
+  // brute-force float scan, with the float kernel on q·R rows only.
+  // AsymSignDotD is whole-stage-codegen'd; probes and queries are
+  // broadcast (the corpus never shuffles — the centroid join is the
+  // partition-prune surrogate, exactly like ivf_search).
+  // ---------------------------------------------------------------
+
+  val IvfNlist = 16
+  val IvfNprobe = 4
+  @volatile private var lastIvfBinCentroids: Array[Array[Double]] = _
+
+  def ivfBinary(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), IvfNlist, 10)
+    lastIvfBinCentroids = centroids
+    ivfBinaryOn(emb, queries, centroids, VectorSearch.K, RerankR, IvfNprobe)
+  }
+
+  def ivfBinaryOn(corpus: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int, r: Int, nprobe: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val assigned = IvfIndex.assign(corpus, centroids)
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+    val probes = qRows.flatMap { row =>
+      IvfIndex.nearestN(centroids, row.getSeq[Double](1).toArray, nprobe)
+        .map(c => (row.getLong(0), c))
+    }
+    val probeDf = s.createDataFrame(
+      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+    val qv = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+
+    val cand = assigned.join(broadcast(probeDf), "centroid")
+      .join(broadcast(qv), "qid")
+      .withColumn("asym",
+        graft.functions.VectorOps.asymSignDot(col("embedding"), col("qv")))
+    val aw = Window.partitionBy("qid").orderBy(col("asym").desc, col("vec_id").asc)
+    val sw = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    cand
+      .withColumn("ar", row_number().over(aw)).filter(col("ar") <= r).drop("ar")
+      .withColumn("score",
+        graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(sw)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("asym"), col("score"),
+        col("rank").cast("int"))
+      .orderBy("qid", "rank")
+  }
+
+  /** ivfSql's probe selection composed with the byte-blocked asym
+    * candidate cut and the exact-cosine rerank. */
+  private def ivfBinarySql(centroids: Array[Array[Double]]): String = {
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val nlist = centroids.length
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
+       |pe AS (SELECT vec_id AS qid, unnest(dl) AS dist, unnest(range(0, $nlist)) AS c
+       |       FROM d WHERE vec_id < $nq),
+       |pr AS (SELECT qid, c FROM (
+       |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
+       |   FROM pe) WHERE rn <= $IvfNprobe),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv,
+       |      ${OracleSql.norm("e.embedding")} AS qn
+       |      FROM embeddings e WHERE e.vec_id < $nq),
+       |c0 AS (SELECT p.qid, e.vec_id,
+       |        ${asymSql("q.qv", "e.embedding")} AS asym,
+       |        ${OracleSql.dot("q.qv", "e.embedding")}
+       |          / (${OracleSql.norm("e.embedding")} * q.qn) AS score
+       |      FROM pr p JOIN a e ON e.centroid = p.c JOIN q ON q.qid = p.qid),
+       |c1 AS (SELECT *, row_number() OVER
+       |        (PARTITION BY qid ORDER BY asym DESC, vec_id ASC) AS ar FROM c0)
+       |SELECT qid, vec_id, asym, score, CAST(rnk AS INT) AS "rank"
+       |FROM (SELECT qid, vec_id, asym, score, row_number() OVER
+       |        (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |      FROM c1 WHERE ar <= $RerankR)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_binary" -> (knnBinary _),
-    "knn_binary_asym" -> (knnBinaryAsym _))
+    "knn_binary_asym" -> (knnBinaryAsym _),
+    "ivf_binary" -> (ivfBinary _))
 
-  val oracles: Map[String, String] = Map(
-    "knn_binary" -> knnBinarySql,
-    "knn_binary_asym" -> knnBinaryAsymSql)
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    m += "knn_binary" -> knnBinarySql
+    m += "knn_binary_asym" -> knnBinaryAsymSql
+    if (lastIvfBinCentroids != null)
+      m += "ivf_binary" -> ivfBinarySql(lastIvfBinCentroids)
+    m.result()
+  }
 }

@@ -190,6 +190,22 @@ object ScaleProbe {
             graft.operators.BinaryQuant.asymTopKCoded(coded, corpus, queries, 10, r).count())
         }
       }
+      // composed IVF routing × 1-bit asym scan × exact rerank: the
+      // candidate read at rest is (nprobe/nlist)·(1/64) of brute force
+      if (wanted("binary")) {
+        val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(corpus), 64, 10)
+        Seq(400).foreach { r =>
+          time(s"ivf_binary (nlist=64, probe 4, asym top-$r, exact rerank), 16 queries")(
+            graft.operators.BinaryQuant.ivfBinaryOn(corpus, queries, centroids, 10, r, 4).count())
+          val got = graft.operators.BinaryQuant.ivfBinaryOn(corpus, queries, centroids, 10, r, 4)
+            .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+          val recall = exact.keys.toSeq.map { q =>
+            got.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / 10
+          }.sum / exact.size
+          println(f"[scale] ivf_binary R=$r recall@10 vs exact: $recall%.3f")
+        }
+      }
       // asymmetric variant: double scores → no tie plateau → small R
       Seq(40, 400).foreach { r =>
         time(s"asym binary kNN (byte-LUT top-$r + exact rerank), 16 queries")(

@@ -149,6 +149,39 @@ class BinaryMixSpec extends SparkTestBase {
     }
   }
 
+  test("AsymSignDotD codegen == eval == asymLut path, bit-exact") {
+    val rng = new scala.util.Random(11)
+    for (dim <- Seq(8, 64, 70)) {
+      val qv = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+      val cv = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+      val df = Seq((cv.toSeq, qv.toSeq)).toDF("a", "b")
+        .select(graft.functions.VectorOps.asymSignDot($"a", $"b").as("s"))
+      val viaExpr = df.as[Double].head() // codegen path
+      val viaLut = BinaryQuant.asymScore(BinaryQuant.signCode(cv), BinaryQuant.asymLut(qv))
+      assert(viaExpr == viaLut, s"dim=$dim codegen vs LUT")
+    }
+  }
+
+  test("ivf_binary: every query finds itself at rank 1; asym bounded by |Σq|") {
+    val df = BinaryQuant.ivfBinary(spark, sfDir).cache()
+    try {
+      val top = df.filter($"rank" === 1)
+        .select("qid", "vec_id", "score").as[(Long, Long, Double)].collect()
+      assert(top.length == VectorSearch.NQueries)
+      top.foreach { case (qid, id, s) =>
+        assert(qid == id && math.abs(s - 1.0) < 1e-12)
+      }
+      // |asym(v, q)| <= Σ|q_i| for any v — sanity on the kernel
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val qAbs = emb.filter($"vec_id" < VectorSearch.NQueries)
+        .select($"vec_id", expr("aggregate(embedding, 0D, (acc, x) -> acc + abs(x))").as("cap"))
+        .as[(Long, Double)].collect().toMap
+      df.select("qid", "asym").as[(Long, Double)].collect().foreach { case (q, a) =>
+        assert(math.abs(a) <= qAbs(q) + 1e-9)
+      }
+    } finally df.unpersist(blocking = true)
+  }
+
   // ---------- data_domain_mix ----------
 
   test("domainMixOn matches a direct per-doc replay of the keep rule") {
