@@ -241,12 +241,14 @@ case class VectorTopKJoinExec(
     if (qs.isEmpty) return corpusRdd.sparkContext.emptyRDD[InternalRow]
     // same kernel choice as VectorTopKExec (blocked is the measured
     // default for cosine; bit-exact either way)
-    val blocked = m == "cosine" && org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.topk.kernel", "blocked") == "blocked"
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val blocked = m == "cosine" &&
+      conf.getConfString("spark.graft.topk.kernel", "blocked") == "blocked"
+    val blockSz = conf.getConfString("spark.graft.topk.block", "0").toInt
     qs.grouped(Knn.MaxBroadcastQueries).map { chunk =>
       m match {
         case _ if blocked =>
-          corpusRdd.mapPartitions(TopKScore.partialsBlockedCosine(_, chunk, kk))
+          corpusRdd.mapPartitions(TopKScore.partialsBlockedCosine(_, chunk, kk, blockSz))
         case "l2raw" =>
           corpusRdd.mapPartitions(TopKScore.partialsL2Raw(_, chunk, kk))
         case _ =>

@@ -235,10 +235,22 @@ object TopKScore {
     * differs from the query dim take the row-at-a-time path inside the
     * same call (ragged corpora can't block). Selected by the session
     * conf `spark.graft.topk.kernel=blocked` (default: rows) — the A/B
-    * lives in tools/ScaleProbe, SURVEY §6 records the measurement. */
+    * lives in tools/ScaleProbe, SURVEY §6 records the measurement.
+    *
+    * Block size is ADAPTIVE by default (`block <= 0`): rows-per-block
+    * targets a ~256 KB staged buffer (32768 doubles / dim, clamped to
+    * [16, 1024]) so the block stays L2-resident at any dimension —
+    * 512 rows at 64-d (the measured sweet spot), 32 at 1024-d where a
+    * fixed 512 would stage 4 MB and thrash. Block size is staging
+    * granularity only: each (row, query) dot is computed individually,
+    * so results are bit-identical for every block value (spec'd).
+    * Override via `spark.graft.topk.block`. */
+  def autoBlock(dim: Int): Int =
+    math.max(16, math.min(1024, 32768 / math.max(1, dim)))
+
   def partialsBlockedCosine(rows: Iterator[InternalRow],
                             qs: Array[(Long, Array[Double], Double)],
-                            k: Int, block: Int = 512): Iterator[InternalRow] = {
+                            k: Int, block: Int = 0): Iterator[InternalRow] = {
     val schema = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("vec_id", LongType, nullable = false),
@@ -247,9 +259,10 @@ object TopKScore {
     val heaps = Array.fill(nq)(new TopKPrim(k))
     val dim = if (nq > 0) qs(0)._2.length else 0
     val uniformQ = qs.forall(_._2.length == dim)
-    val buf = new Array[Double](math.max(1, block * dim))
-    val ids = new Array[Long](block)
-    val nrm = new Array[Double](block)
+    val blk = if (block > 0) block else autoBlock(dim)
+    val buf = new Array[Double](math.max(1, blk * dim))
+    val ids = new Array[Long](blk)
+    val nrm = new Array[Double](blk)
     var fill = 0
     def flush(): Unit = {
       var qi = 0
@@ -297,7 +310,7 @@ object TopKScore {
           nrm(fill) = math.sqrt(na)
           ids(fill) = id
           fill += 1
-          if (fill == block) flush()
+          if (fill == blk) flush()
         } else {
           val v = new Array[Double](n)
           var i = 0
@@ -348,10 +361,12 @@ case class VectorTopKExec(
     // the default; `spark.graft.topk.kernel=rows` forces the scalar
     // path (the A/B knob). Ragged rows fall back per-row inside the
     // blocked kernel itself.
+    val conf = org.apache.spark.sql.internal.SQLConf.get
     val blocked = m == "cosine" &&
-      org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.graft.topk.kernel", "blocked") == "blocked"
-    if (blocked) child.execute().mapPartitions(TopKScore.partialsBlockedCosine(_, qs, kk))
+      conf.getConfString("spark.graft.topk.kernel", "blocked") == "blocked"
+    // block-size staging knob read on the driver and captured; <= 0 = adaptive
+    val blockSz = conf.getConfString("spark.graft.topk.block", "0").toInt
+    if (blocked) child.execute().mapPartitions(TopKScore.partialsBlockedCosine(_, qs, kk, blockSz))
     else child.execute().mapPartitions(TopKScore.partials(_, qs, kk, m))
   }
 }

@@ -220,6 +220,27 @@ object ScaleProbe {
       }
     }
 
+    // Adaptive block size: at 64-d auto resolves to the measured 512;
+    // the case that needs adaptivity is HIGH dimension, where a fixed
+    // 512-row block stages megabytes and falls out of L2. Interleaved
+    // A/B at 512-d (auto = 64 rows = 256 KB).
+    if (wanted("kernelblock")) {
+      val hi = spark.read.format("graft.sources.VectorGen")
+        .option("n", 250000L).option("dim", 512).option("partitions", 32).load()
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val hq = hi.filter(col("vec_id") < 16)
+      graft.plans.VectorTopK.topK(hi, hq, 10, Knn.Cosine).count() // warm JIT
+      Seq("4096", "512", "0", "4096", "512", "0").foreach { b =>
+        spark.conf.set("spark.graft.topk.block", b)
+        val t0 = System.nanoTime()
+        graft.plans.VectorTopK.topK(hi, hq, 10, Knn.Cosine).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        val eff = if (b == "0") s"auto=${graft.plans.TopKScore.autoBlock(512)}" else b
+        println(f"[scale] blocked kernel 512-d 250k rows block=$eff%-9s $s%.2f s")
+      }
+      spark.conf.unset("spark.graft.topk.block")
+    }
+
     time("PQ-ADC adaptive refine (m=8, k=16, alpha 0.25, cap k*8)")({
       val sample = corpus.selectExpr("cast(embedding as array<double>)")
         .limit(100000).collect().map(_.getSeq[Double](0).toArray)

@@ -173,6 +173,15 @@ class Round8Spec extends SparkTestBase {
     val a = key(graft.plans.TopKScore.partials(rowsIt, qs, 5, "cosine"))
     val b = key(graft.plans.TopKScore.partialsBlockedCosine(rowsIt, qs, 5, block = 16))
     assert(a.nonEmpty && a == b)
+    // block size is staging granularity only — every value (including
+    // adaptive 0, degenerate 1, and block > n) is bit-identical
+    for (blk <- Seq(0, 1, 3, 64)) {
+      val c = key(graft.plans.TopKScore.partialsBlockedCosine(rowsIt, qs, 5, block = blk))
+      assert(c == a, s"block=$blk diverged")
+    }
+    assert(graft.plans.TopKScore.autoBlock(64) == 512 &&
+      graft.plans.TopKScore.autoBlock(1024) == 32 &&
+      graft.plans.TopKScore.autoBlock(65536) == 16)
   }
 
   test("decontamination: planted eval n-gram is flagged with the right evidence count; eval side broadcasts") {
