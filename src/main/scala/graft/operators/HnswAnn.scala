@@ -316,6 +316,38 @@ object HnswAnn {
       .collect().sortBy(t => (t._1, t._2))
   }
 
+  /** Serve-ready NSW index shards: ONE row per bucket carrying the
+    * bucket's sorted ids, unit vectors (flattened row-major), and
+    * adjacency aligned to ids — the at-rest form a streaming serve
+    * equi-joins against (stream_nsw). Built executor-side from the
+    * same sorted-bucket layout as buildAdjacency, so reconstructing
+    * NswGraph.withAdj from a shard replays the batch beams exactly. */
+  def nswShards(assigned: DataFrame,
+                adj: Array[(Int, Long, Array[Long])]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val ba = spark.sparkContext.broadcast(
+      adj.groupBy(_._1).map { case (b, rs) => b -> rs.map(r => r._2 -> r._3).toMap })
+    assigned.select(col("centroid"), col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (bucket, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val ids = rows.map(_._2)
+        val amap = ba.value(bucket)
+        (bucket, ids.toSeq,
+          rows.flatMap(t => unitArr(t._3.toArray)).toSeq,
+          ids.map(id => amap(id).toSeq).toSeq)
+      }.toDF("bucket", "ids", "vecs", "adj")
+  }
+
+  /** The hnsw_search oracle for an externally-stashed build — the
+    * stream_nsw twin (same single-entry beam replay CTE). */
+  private[graft] def stashedOracle(centroids: Array[Array[Double]],
+      adj: Array[(Int, Long, Array[Long])]): String =
+    hnswSql(centroids, adj, SingleEntSql)
+
   /** Cross-bucket beam continuation budget, in beam-candidate units:
     * a query keeps spilling to its next-nearest bucket (beyond the
     * first NProbe) while the beams probed so far can have yielded

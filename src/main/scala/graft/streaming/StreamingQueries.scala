@@ -316,10 +316,90 @@ object StreamingQueries {
     }
   }
 
+  /** NSW-graph stream-static serve: arriving queries route to nprobe
+    * buckets (same NearestCentroidsExpr as stream_ivf), equi-join the
+    * serve-ready NSW shard table (one row per bucket: ids, unit
+    * vectors, adjacency — HnswAnn.nswShards), and each (query, shard)
+    * row replays the bucket's beam walk exactly as the batch path
+    * does; a per-partition graph cache rebuilds each bucket's NswGraph
+    * once per task, not once per query. Survivors rerank by exact
+    * cosine against the raw corpus and fold into the keyed top-k
+    * state. At scale the shard table is the at-rest index (partitioned
+    * by bucket); only q·nprobe routed rows and the beam survivors ever
+    * move. */
+  private[graft] def nswServe(shards: DataFrame, corpus: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int, k: Int)(
+      ds: Dataset[(Long, Seq[Double])]): DataFrame = {
+    import shards.sparkSession.implicits._
+    val routed = ds.toDF("qid", "qv").withColumn("centroid",
+      explode(org.apache.spark.sql.graftshim.Shims.column(
+        graft.operators.NearestCentroidsExpr(
+          org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
+          centroids, nprobe))))
+    val joined = shards.join(broadcast(routed), col("bucket") === col("centroid"))
+      .select(col("qid"), col("qv"), col("bucket"), col("ids"), col("vecs"), col("adj"))
+      .as[(Long, Seq[Double], Int, Seq[Long], Seq[Double], Seq[Seq[Long]])]
+    val cands = joined.mapPartitions { it =>
+      val cache = scala.collection.mutable.HashMap.empty[Int, graft.operators.HnswAnn.NswGraph]
+      it.flatMap { case (qid, qv, bucket, ids, flat, adjSeq) =>
+        val g = cache.getOrElseUpdate(bucket, {
+          val n = ids.length
+          val dim = if (n == 0) 1 else flat.length / n
+          val idsA = ids.toArray
+          val vecsA = Array.tabulate(n)(i =>
+            flat.slice(i * dim, (i + 1) * dim).toArray)
+          val amap: Map[Long, Array[Long]] =
+            idsA.zip(adjSeq.map(_.toArray)).toMap
+          new graft.operators.HnswAnn.NswGraph(idsA, vecsA).withAdj(amap)
+        })
+        val qu = graft.operators.HnswAnn.unitArr(qv.toArray)
+        g.search(qu, graft.operators.HnswAnn.EfSearch)
+          .map { case (id, _) => (qid, id, qv) }
+      }
+    }.toDF("qid", "vec_id", "qv")
+    keyedTopK(
+      cands.join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("score",
+          graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+        .select(col("qid"), col("vec_id"), col("score"))
+        .as[(Long, Long, Double)], k)
+  }
+
+  /** Online ANN serving through the at-rest NSW index — the streaming
+    * twin of hnsw_search (same trained centroids, same deterministic
+    * graph build, same beam replay), so the converged union is graded
+    * against the SAME recursive-CTE beam-replay oracle as the batch
+    * query. Composes the round-7 pieces the way a serving deployment
+    * would: routing (stream_ivf), per-bucket NSW graphs (hnsw_search),
+    * keyed top-k state (stream_knn). */
+  def streamNsw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.HnswAnn
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), HnswAnn.NList, 10)
+    val assigned = IvfIndex.assign(emb, centroids)
+    val adj = HnswAnn.buildAdjacency(assigned)
+    lastStreamNswCentroids = centroids
+    lastStreamNswAdj = adj
+    val qs = emb.filter(col("vec_id") < VectorSearch.NQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val chunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
+    graft.Mat.withScratchDirs("stream_nsw_index") { case Seq(idx) =>
+      HnswAnn.nswShards(assigned, adj).write.mode("overwrite").parquet(idx)
+      val shards = s.read.parquet(idx)
+      val out = drain(s, chunks, "update", sinkName("stream_nsw"))(
+        nswServe(shards, emb, centroids, HnswAnn.NProbe, VectorSearch.K))
+      graft.Mat.detach(out.orderBy("qid", "rank"))
+    }
+  }
+
   // ---------------------------------------------------------------- grading
   @volatile private var lastIngestCentroids: Array[Array[Double]] = _
   @volatile private var lastSinkCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamIvfCentroids: Array[Array[Double]] = _
+  @volatile private var lastStreamNswCentroids: Array[Array[Double]] = _
+  @volatile private var lastStreamNswAdj: Array[(Int, Long, Array[Long])] = _
 
   private def ingestSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
@@ -332,6 +412,7 @@ object StreamingQueries {
     "stream_sessionize" -> (streamSessionize _),
     "stream_knn" -> (streamKnn _),
     "stream_ivf" -> (streamIvf _),
+    "stream_nsw" -> (streamNsw _),
     "stream_ingest" -> (streamIngest _),
     "stream_topk" -> (streamTopk _),
     "stream_dedup" -> (streamDedup _),
@@ -349,6 +430,9 @@ object StreamingQueries {
     m += "stream_mmr" -> Mmr.mmrRerankSql
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
+    if (lastStreamNswCentroids != null && lastStreamNswAdj != null)
+      m += "stream_nsw" -> graft.operators.HnswAnn.stashedOracle(
+        lastStreamNswCentroids, lastStreamNswAdj)
     if (lastIngestCentroids != null) m += "stream_ingest" -> ingestSql(lastIngestCentroids)
     if (lastSinkCentroids != null) m += "stream_sink" -> ingestSql(lastSinkCentroids)
     m.result()

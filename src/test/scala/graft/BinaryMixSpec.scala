@@ -182,6 +182,16 @@ class BinaryMixSpec extends SparkTestBase {
     } finally df.unpersist(blocking = true)
   }
 
+  // ---------- stream_nsw ----------
+
+  test("stream_nsw == batch hnsw_search, row for row") {
+    val a = graft.streaming.StreamingQueries.streamNsw(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val b = graft.operators.HnswAnn.hnswGraded(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   // ---------- data_domain_mix ----------
 
   test("domainMixOn matches a direct per-doc replay of the keep rule") {
