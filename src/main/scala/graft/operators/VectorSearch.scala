@@ -369,6 +369,37 @@ object VectorSearch {
        |) ORDER BY dim, qid""".stripMargin
   }
 
+  /** Radius threshold for range_search (exactly-representable). */
+  val RangeTau = 0.25
+
+  /** Range (radius) search: ALL neighbors with cosine ≥ τ per query —
+    * the thresholded query shape behind embedding-dedup candidate
+    * generation and near-match retrieval, where top-k is the wrong
+    * contract (a query may have 0 or 10 000 true matches). Exact scan:
+    * queries broadcast, ONE corpus pass, the codegen CosineSimD filter
+    * runs inside the scan stage — no pair materialization, no shuffle;
+    * output size is the true match set. At 100 TB the same operator
+    * runs behind IVF routing (probe buckets whose centroid cap admits
+    * τ) or LSH buckets (dedup_minhash_lsh's shape) — the exact pass
+    * here is also the verifier those candidate generators are graded
+    * against. */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = corpusAndQueries(s, dir)
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    corpus.crossJoin(q)
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("qv"), col("embedding")))
+      .filter(col("score") >= RangeTau)
+      .select(col("qid"), col("vec_id"), col("score"))
+      .orderBy("qid", "vec_id")
+  }
+
+  val rangeSearchSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQueries)
+       |SELECT q.qid, e.vec_id, ${OracleSql.cosine("q.qv", "e.embedding")} AS score
+       |FROM q CROSS JOIN embeddings e
+       |WHERE ${OracleSql.cosine("q.qv", "e.embedding")} >= ${OracleSql.dlit(RangeTau)}
+       |ORDER BY qid, vec_id""".stripMargin
+
   val indexStatsSql: String =
     """SELECT content_type, CAST(count(*) AS BIGINT) AS total_vectors,
       | CAST(max(len(embedding)) AS INT) AS dimension, 2.0 AS compression_ratio
@@ -389,7 +420,8 @@ object VectorSearch {
     "crossmodal_search" -> (crossmodal _),
     "matryoshka_recall" -> (matryoshkaRecall _),
     "index_delete" -> (indexDelete _),
-    "index_stats" -> (indexStats _))
+    "index_stats" -> (indexStats _),
+    "range_search" -> (rangeSearch _))
 
   val oracles: Map[String, String] = Map(
     "matryoshka_recall" -> matryoshkaRecallSql,
@@ -404,5 +436,6 @@ object VectorSearch {
     "dualspace_search" -> dualspaceSearchSql,
     "knn_matryoshka" -> knnMatryoshkaSql,
     "crossmodal_search" -> crossmodalSql,
-    "index_stats" -> indexStatsSql)
+    "index_stats" -> indexStatsSql,
+    "range_search" -> rangeSearchSql)
 }
