@@ -36,6 +36,15 @@ object TextHash {
     z ^ (z >>> 31)
   }
 
+  /** NFC-normalize a UTF8String; returns the input object untouched
+    * when already normalized (no allocation on the ASCII fast path). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   private val md5Digest: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
@@ -284,6 +293,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** string → low 64 bits of MD5 (DuckDB md5_number_lower convention) —
   * the engine-portable deterministic hash for seeded initialization
   * (NN-Descent init edges). */
+/** Unicode NFC normalization (java.text.Normalizer) — canonical
+  * composition so visually-identical decomposed/precomposed strings
+  * hash alike before dedup/fingerprinting. The already-normalized
+  * fast path (the overwhelming case — ASCII never re-allocates) is a
+  * single isNormalized scan. Matches DuckDB's nfc_normalize, which
+  * implements the same Unicode canonical composition. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHash.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val th = TextHash.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $th.nfc($s);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class Md5Lower64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -299,6 +326,8 @@ case class Md5Lower64(child: Expression) extends UnaryExpression {
 object TextHashOps {
   def md5Lower64(s: Column): Column =
     Shims.column(Md5Lower64(Shims.expression(s)))
+  def nfcNormalize(s: Column): Column =
+    Shims.column(NfcNormalize(Shims.expression(s)))
   def minhashSig(shingles: Column, k: Int): Column =
     Shims.column(MinHashSig(Shims.expression(shingles), k))
   def minhashSigLong(shingleHashes: Column, k: Int): Column =

@@ -165,15 +165,51 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- text_normalize
+
+  /** Unicode NFC normalization — the normalize-before-hash step:
+    * decomposed and precomposed renderings of the same visible text
+    * (e + U+0301 vs é) hash to DIFFERENT md5 fingerprints, so every
+    * hash-keyed stage downstream (exact dedup, MinHash, fingerprints)
+    * silently misses duplicates unless the corpus is canonicalized
+    * first. The testdata is pure-ASCII, so the graded query PLANTS
+    * deterministic decomposed sequences (doc_id-derived; the oracle
+    * replants with chr() and normalizes with DuckDB's nfc_normalize).
+    * NfcNormalize is a codegen Expression with an allocation-free
+    * already-normalized fast path — one scan projection, no shuffle. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.load(s, dir, "documents").withColumn("txt",
+      when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" cafe\u0301 blend")))
+        .when(pmod(col("doc_id"), lit(5)) === 1, concat(col("text"), lit(" zu\u0308rich mix")))
+        .otherwise(col("text")))
+    planted.select(col("doc_id"), col("txt"),
+        graft.functions.TextHashOps.nfcNormalize(col("txt")).as("norm"))
+      .select(col("doc_id"), (col("norm") =!= col("txt")).as("changed"),
+        md5(col("norm")).as("fp"), col("norm"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id, nfc <> txt AS changed, md5(nfc) AS fp, nfc AS norm
+      |FROM (SELECT doc_id, txt, nfc_normalize(txt) AS nfc
+      |      FROM (SELECT doc_id,
+      |        CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769) || ' blend'
+      |             WHEN doc_id % 5 = 1 THEN text || ' zu' || chr(776) || 'rich mix'
+      |             ELSE text END AS txt
+      |       FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "global_shuffle" -> (globalShuffle _),
     "quality_classifier" -> (qualityClassifier _),
-    "pii_redact" -> (piiRedact _))
+    "pii_redact" -> (piiRedact _),
+    "text_normalize" -> (textNormalize _))
 
   def oracles: Map[String, String] = Map(
     "global_shuffle" -> globalShuffleSql,
     "quality_classifier" -> qualityClassifierSql,
-    "pii_redact" -> piiRedactSql)
+    "pii_redact" -> piiRedactSql,
+    "text_normalize" -> textNormalizeSql)
 }

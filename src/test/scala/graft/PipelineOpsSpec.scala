@@ -88,6 +88,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.values.exists(_._2 > 0) && out.values.exists(_._3 > 0))
   }
 
+  // --------------------------------------------------- text_normalize
+
+  test("text_normalize: planted decomposed sequences compose; ASCII docs untouched; fingerprints converge") {
+    val out = PipelineOps.textNormalize(spark, sfDir)
+      .as[(Long, Boolean, String, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, changed, _, norm) =>
+      if (id % 5 == 0) {
+        assert(changed && norm.endsWith(" caf\u00e9 blend"))
+        assert(!norm.contains("\u0301"))
+      } else if (id % 5 == 1) {
+        assert(changed && norm.endsWith(" z\u00fcrich mix"))
+      } else assert(!changed)
+    }
+    // the dedup story: decomposed and precomposed spellings of the
+    // same text must share an fp after normalization
+    val a = Seq(("x café", 1L), ("x café", 2L)).toDF("t", "id")
+      .select(md5(graft.functions.TextHashOps.nfcNormalize(col("t"))).as("fp"))
+      .as[String].collect()
+    assert(a.distinct.length == 1)
+  }
+
   // ----------------------------------------------------- range_search
 
   test("range_search: exactly the >= tau set, includes self-matches, agrees with knn where they overlap") {
