@@ -313,6 +313,99 @@ object Int8RoundArr {
   }
 }
 
+/** array<float|double> → array<long> sign-bit code: bit j of word
+  * j/64 is set iff v(j) >= 0 — the 8-bytes-per-64-dims column a
+  * deployment PERSISTS next to (or instead of) the float embedding.
+  * Identical packing to BinaryQuant.signCode, so codes written by this
+  * expression replay through the same byte-LUT / AsymCodeDotD scoring. */
+case class SignCodeL(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      if (x >= 0.0) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val w = ctx.freshName("w")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $w = new long[($n + 63) >>> 6];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (((double) $a.$getter($i)) >= 0.0) $w[$i >>> 6] |= 1L << ($i & 63);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($w);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Asymmetric sign dot read DIRECTLY from a persisted code word
+  * (array<long>, SignCodeL packing): Σ_i (bit i of code ? +q_i : −q_i),
+  * byte-blocked exactly like AsymSignDotD / BinaryQuant.asymScore —
+  * terms group in 8s (j-ascending inside), groups fold b-ascending —
+  * so a candidate scan over the 8-byte code column is bit-equal to the
+  * float-path asym score and the same SQL twin grades both. */
+case class AsymCodeDotD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def qIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val code = l.asInstanceOf[ArrayData]; val q = r.asInstanceOf[ArrayData]
+    val n = math.min(q.numElements(), code.numElements() << 6)
+    var acc = 0.0; var blk = 0
+    while (blk < n) {
+      val end = math.min(blk + 8, n)
+      var g = 0.0; var j = blk
+      while (j < end) {
+        val y = if (qIsFloat) q.getFloat(j).toDouble else q.getDouble(j)
+        g += (if (((code.getLong(j >>> 6) >>> (j & 63)) & 1L) == 1L) y else -y)
+        j += 1
+      }
+      acc += g; blk += 8
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (qIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val blk = ctx.freshName("blk")
+      val end = ctx.freshName("end"); val j = ctx.freshName("j")
+      val g = ctx.freshName("g"); val y = ctx.freshName("y")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($b.numElements(), $a.numElements() << 6);
+         |double $acc = 0.0;
+         |for (int $blk = 0; $blk < $n; $blk += 8) {
+         |  int $end = java.lang.Math.min($blk + 8, $n);
+         |  double $g = 0.0;
+         |  for (int $j = $blk; $j < $end; $j++) {
+         |    double $y = (double) $b.$getter($j);
+         |    $g += ((($a.getLong($j >>> 6) >>> ($j & 63)) & 1L) == 1L) ? $y : -$y;
+         |  }
+         |  $acc += $g;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points. */
 object VectorOps {
   private def col(e: Expression): Column = Shims.column(e)
@@ -320,6 +413,8 @@ object VectorOps {
 
   def dot(a: Column, b: Column): Column = col(DotD(ex(a), ex(b)))
   def asymSignDot(a: Column, b: Column): Column = col(AsymSignDotD(ex(a), ex(b)))
+  def signCode(a: Column): Column = col(SignCodeL(ex(a)))
+  def asymCodeDot(code: Column, q: Column): Column = col(AsymCodeDotD(ex(code), ex(q)))
   def cosineSim(a: Column, b: Column): Column = col(CosineSimD(ex(a), ex(b)))
   def l2Sq(a: Column, b: Column): Column = col(L2SqD(ex(a), ex(b)))
   def fp16(a: Column): Column = col(Fp16RoundArr(ex(a)))

@@ -555,6 +555,90 @@ object BinaryQuant {
       .orderBy("qid", "rank")
   }
 
+  @volatile private var lastIvfCodedCentroids: Array[Array[Double]] = _
+
+  /** ivf_binary with the codes PERSISTED in the index layout (the
+    * at-rest composition the coded formulation exists for): the
+    * assigned corpus is written partitioned by centroid with a
+    * `code` column (SignCodeL — 8 bytes per 64 dims) next to the
+    * float embedding, reloaded, and probed in two stages — the
+    * candidate stage reads ONLY (vec_id, code) inside the probed
+    * partitions (explicit `centroid IN` partition predicate + parquet
+    * column pruning: the float column is never decoded for the
+    * (nprobe/nlist)-bucket candidate scan, a 64× narrower read at
+    * 64-d), then the q·R survivors rerank through a broadcast
+    * join-back onto the float column of the same pruned partitions.
+    * Bit-equal to the in-memory ivf_binary (same centroids, same
+    * asym association — AsymCodeDotD mirrors AsymSignDotD byte
+    * blocking), so the SAME SQL twin grades both. */
+  def ivfBinaryCoded(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), IvfNlist, 10)
+    lastIvfCodedCentroids = centroids
+    graft.Mat.withScratchDirs("ivf_coded") { case Seq(out) =>
+      writeCodedLayout(emb, centroids, out)
+      graft.Mat.detach(ivfBinaryCodedProbe(s.read.parquet(out), queries,
+        centroids, VectorSearch.K, RerankR, IvfNprobe))
+    }
+  }
+
+  /** Write the centroid-partitioned layout carrying (vec_id, embedding,
+    * code): assignment and sign-coding are one projection over the
+    * corpus scan — no shuffle beyond the partitioned write itself. */
+  def writeCodedLayout(corpus: DataFrame, centroids: Array[Array[Double]],
+      dir: String): Unit =
+    IvfIndex.assign(corpus, centroids)
+      .withColumn("code", graft.functions.VectorOps.signCode(col("embedding")))
+      .write.partitionBy("centroid").mode("overwrite").parquet(dir)
+
+  /** Stage 1 over a loaded coded layout: the code-only candidate scan.
+    * Exposed so the spec can pin its plan (PartitionFilters on
+    * centroid; ReadSchema without the embedding column). */
+  def codedCandidates(loaded: DataFrame, probeDf: DataFrame,
+      probedCentroids: Seq[Int], qv: DataFrame): DataFrame =
+    loaded.filter(col("centroid").isin(probedCentroids: _*))
+      .select(col("vec_id"), col("code"), col("centroid"))
+      .join(broadcast(probeDf), "centroid")
+      .join(broadcast(qv), "qid")
+      .withColumn("asym",
+        graft.functions.VectorOps.asymCodeDot(col("code"), col("qv")))
+
+  def ivfBinaryCodedProbe(loaded: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int, r: Int, nprobe: Int): DataFrame = {
+    val s = loaded.sparkSession
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+    val probes = qRows.flatMap { row =>
+      IvfIndex.nearestN(centroids, row.getSeq[Double](1).toArray, nprobe)
+        .map(c => (row.getLong(0), c))
+    }
+    val probedCentroids = probes.map(_._2).distinct.sorted.toSeq
+    val probeDf = s.createDataFrame(
+      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+    val qv = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+
+    val aw = Window.partitionBy("qid").orderBy(col("asym").desc, col("vec_id").asc)
+    val top = codedCandidates(loaded, probeDf, probedCentroids, qv)
+      .withColumn("ar", row_number().over(aw)).filter(col("ar") <= r)
+      .select(col("qid"), col("vec_id"), col("asym"))
+
+    // Rerank: survivor ids broadcast back onto the float column of the
+    // same pruned partitions (row-group-prunable point reads at rest).
+    val vecs = loaded.filter(col("centroid").isin(probedCentroids: _*))
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(top.select(col("vec_id")).distinct()), "vec_id")
+    val sw = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    top.join(vecs, "vec_id").join(broadcast(qv), "qid")
+      .withColumn("score",
+        graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(sw)).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("asym"), col("score"),
+        col("rank").cast("int"))
+      .orderBy("qid", "rank")
+  }
+
   /** ivfSql's probe selection composed with the byte-blocked asym
     * candidate cut and the exact-cosine rerank. */
   private def ivfBinarySql(centroids: Array[Array[Double]]): String = {
@@ -590,7 +674,8 @@ object BinaryQuant {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_binary" -> (knnBinary _),
     "knn_binary_asym" -> (knnBinaryAsym _),
-    "ivf_binary" -> (ivfBinary _))
+    "ivf_binary" -> (ivfBinary _),
+    "ivf_binary_coded" -> (ivfBinaryCoded _))
 
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
@@ -598,6 +683,8 @@ object BinaryQuant {
     m += "knn_binary_asym" -> knnBinaryAsymSql
     if (lastIvfBinCentroids != null)
       m += "ivf_binary" -> ivfBinarySql(lastIvfBinCentroids)
+    if (lastIvfCodedCentroids != null)
+      m += "ivf_binary_coded" -> ivfBinarySql(lastIvfCodedCentroids)
     m.result()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryQuant, DataMix, Knn, VectorSearch}
+import graft.operators.{BinaryQuant, DataMix, IvfIndex, Knn, VectorSearch}
 
 /** Round 8 additions: knn_binary (sign-bit Hamming candidates + exact
   * rerank), data_domain_mix (integer target-mixture sampler), and
@@ -180,6 +180,62 @@ class BinaryMixSpec extends SparkTestBase {
         assert(math.abs(a) <= qAbs(q) + 1e-9)
       }
     } finally df.unpersist(blocking = true)
+  }
+
+  // ---------- ivf_binary_coded ----------
+
+  test("SignCodeL packing == signCode; AsymCodeDotD == AsymSignDotD == LUT, bit-exact incl. ragged dims") {
+    val rng = new scala.util.Random(17)
+    for (dim <- Seq(8, 64, 70, 130)) {
+      val qv = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+      val cv = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+      val df = Seq((cv.toSeq, qv.toSeq)).toDF("a", "b")
+      val viaCode = df.select(graft.functions.VectorOps.asymCodeDot(
+        graft.functions.VectorOps.signCode($"a"), $"b").as("s")).as[Double].head()
+      val viaFloat = df.select(
+        graft.functions.VectorOps.asymSignDot($"a", $"b").as("s")).as[Double].head()
+      val viaLut = BinaryQuant.asymScore(
+        BinaryQuant.signCode(cv), BinaryQuant.asymLut(qv))
+      assert(viaCode == viaFloat && viaCode == viaLut, s"dim=$dim")
+      val packed = df.select(
+        graft.functions.VectorOps.signCode($"a").as("c")).as[Seq[Long]].head()
+      assert(packed == BinaryQuant.signCode(cv).toSeq, s"dim=$dim packing")
+    }
+  }
+
+  test("ivf_binary_coded: at-rest coded probe == in-memory ivf_binary; candidate scan prunes partitions, never reads the float column") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), 8, 10)
+    graft.Mat.withScratchDirs("coded_spec") { case Seq(dir) =>
+      BinaryQuant.writeCodedLayout(emb, centroids, dir)
+      val loaded = spark.read.parquet(dir)
+      val a = BinaryQuant.ivfBinaryCodedProbe(loaded, q, centroids, 7, 23, 3)
+        .as[(Long, Long, Double, Double, Int)].collect().toSeq
+      val b = BinaryQuant.ivfBinaryOn(emb, q, centroids, 7, 23, 3)
+        .as[(Long, Long, Double, Double, Int)].collect().toSeq
+      assert(a.nonEmpty && a == b)
+
+      // stage-1 plan: explicit partition predicate; the only file scan
+      // reads (vec_id, code) — the embedding column never decodes
+      val probeDf = Seq((0L, 0), (1L, 1)).toDF("qid", "centroid")
+      val qv = q.select($"vec_id".as("qid"),
+        $"embedding".cast("array<double>").as("qv"))
+      val plan = BinaryQuant.codedCandidates(loaded, probeDf, Seq(0, 1), qv)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("centroid"),
+        plan.take(800))
+      // two file scans exist: the broadcast query side (reads floats
+      // from embeddings.parquet — fine) and the LAYOUT scan; only the
+      // latter (rooted in the scratch dir) must be code-only
+      val layoutScans = plan.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("graft_coded_spec"))
+        .toList
+      assert(layoutScans.nonEmpty, plan.take(1200))
+      layoutScans.foreach { l =>
+        assert(l.contains("code") && !l.contains("embedding"), l)
+      }
+    }
   }
 
   // ---------- stream_nsw ----------
