@@ -281,15 +281,98 @@ object Dedup {
        |WHERE bit_count(xor(a.sh64, b.sh64)) <= $SimHashMaxHamming
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ semdedup
+
+  /** Semantic deduplication, the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cluster the embedding space, then look
+    * for near-duplicates ONLY within a cluster — the clustering IS the
+    * blocking, so the quadratic verify is bounded by cluster size and
+    * no cross-cluster pair is ever scored (at 100 TB nlist grows with
+    * the corpus — the paper uses ~100k clusters — and hot clusters
+    * split by the same salting used for label blocks). Keep rule,
+    * deterministic: a row is a duplicate iff an earlier row (lower
+    * vec_id) of the SAME cluster has cosine ≥ τ; dup_of is the
+    * smallest such witness. The corpus carries no exact copies, so the
+    * graded query PLANTS copies of the first $SemPlantN rows (vec_id +
+    * $SemPlantBase — the oracle replants identically); planted rows
+    * land in their original's cluster and are dropped with dup_of =
+    * the original. */
+  val SemDedupTau = 0.5
+  val SemDedupNlist = 16
+  val SemPlantN = 20
+  val SemPlantBase = 10000000L
+  @volatile private var lastSemCentroids: Array[Array[Double]] = _
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") < SemPlantN)
+        .select((col("vec_id") + SemPlantBase).as("vec_id"), col("embedding")))
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), SemDedupNlist, 10)
+    lastSemCentroids = centroids
+    semDedupOn(planted, centroids, SemDedupTau)
+  }
+
+  def semDedupOn(corpus: DataFrame, centroids: Array[Array[Double]],
+      tau: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val assigned = IvfIndex.assign(corpus, centroids)
+    val a = assigned.select(col("vec_id").as("vid_a"), col("centroid"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("vec_id").as("vid_b"), col("centroid"),
+      col("embedding").as("emb_b"))
+    val dups = a.join(b, "centroid")
+      .filter(col("vid_b") < col("vid_a"))
+      .withColumn("score", VectorOps.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= tau)
+      .groupBy(col("vid_a").as("vec_id")).agg(min(col("vid_b")).as("dup_of"))
+    assigned.select(col("vec_id"), col("centroid"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .select(col("vec_id"), col("centroid"), col("keep"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  private def semDedupSql(centroids: Array[Array[Double]]): String = {
+    import graft.OracleSql
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $SemPlantBase, embedding FROM embeddings
+       |  WHERE vec_id < $SemPlantN),
+       |d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM base),
+       |a AS (SELECT vec_id, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
+       |nrm AS (SELECT vec_id, ${OracleSql.norm("embedding")} AS nm FROM base),
+       |p AS (SELECT x.vec_id AS vid, MIN(y.vec_id) AS dup_of
+       |      FROM a x JOIN a y ON x.centroid = y.centroid AND y.vec_id < x.vec_id
+       |      JOIN nrm nx ON nx.vec_id = x.vec_id
+       |      JOIN nrm ny ON ny.vec_id = y.vec_id
+       |      WHERE ${OracleSql.dot("x.embedding", "y.embedding")} / (nx.nm * ny.nm)
+       |        >= $SemDedupTau
+       |      GROUP BY x.vec_id)
+       |SELECT a.vec_id, a.centroid, (p.dup_of IS NULL) AS keep, p.dup_of
+       |FROM a LEFT JOIN p ON p.vid = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
-    "data_decontaminate" -> (dataDecontaminate _))
+    "data_decontaminate" -> (dataDecontaminate _),
+    "semdedup" -> (semDedup _))
 
-  val oracles: Map[String, String] = Map(
-    "dedup_minhash_lsh" -> dedupMinhashLshSql,
-    "dedup_clusters" -> dedupClustersSql,
-    "dedup_simhash" -> dedupSimhashSql,
-    "data_decontaminate" -> dataDecontaminateSql)
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    m += "dedup_minhash_lsh" -> dedupMinhashLshSql
+    m += "dedup_clusters" -> dedupClustersSql
+    m += "dedup_simhash" -> dedupSimhashSql
+    m += "data_decontaminate" -> dataDecontaminateSql
+    if (lastSemCentroids != null)
+      m += "semdedup" -> semDedupSql(lastSemCentroids)
+    m.result()
+  }
 }

@@ -39,6 +39,42 @@ class DedupSpec extends SparkTestBase {
     assert(m.get((1L, 101L)).exists(_ <= Dedup.SimHashMaxHamming), "near dup beyond threshold")
   }
 
+  test("semdedup: planted copies drop with dup_of = original; originals keep; witnesses share a cluster") {
+    val out = Dedup.semDedup(spark, sfDir)
+      .select($"vec_id", $"centroid", $"keep", $"dup_of")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val byId = out.map(t => t._1 -> t).toMap
+    (0L until Dedup.SemPlantN).foreach { i =>
+      val copy = byId(i + Dedup.SemPlantBase)
+      assert(!copy._3, s"planted copy of $i kept")
+      assert(copy._4 <= i, s"dup_of for copy of $i is ${copy._4}, later than original")
+      // the witness lives in the same cluster as the copy
+      assert(byId(copy._4)._2 == copy._2, s"witness cluster mismatch for copy of $i")
+    }
+    // keep rule is positional: every dup_of points to an EARLIER kept-or-dropped row
+    out.filter(t => !t._3).foreach { t =>
+      assert(t._4 >= 0 && t._4 < t._1, s"bad witness for ${t._1}")
+    }
+  }
+
+  test("semDedupOn: hand-built corpus — first of an identical group keeps, rest drop to it; singletons keep") {
+    val v1 = Seq.fill(4)(1.0) ++ Seq.fill(60)(0.0)
+    val v2 = Seq.fill(60)(0.0) ++ Seq.fill(4)(-1.0)
+    val corpus = Seq(
+      (10L, v1), (11L, v1), (12L, v1), // identical trio
+      (20L, v2)                        // singleton, far away
+    ).toDF("vec_id", "embedding")
+    val cents = Array(v1.toArray, v2.toArray)
+    val got = Dedup.semDedupOn(corpus, cents, 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((10L, true, -1L), (11L, false, 10L),
+      (12L, false, 10L), (20L, true, -1L)), got.toString)
+  }
+
   test("minhash signature is deterministic and length-k") {
     val sig = graft.functions.TextHash.minhash(
       Iterator("a b c".getBytes, "b c d".getBytes), 32)
