@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryQuant, DataMix, Dedup, EvalMetrics, HnswAnn, IndexComparison, IvfIndex, IvfPq, Knn, LayoutQueries, Multiscale, NnDescent, LshAnn, Mmr, PipelineOps, PlanQueries, ProductQuant, Projection, Relational, TextOps, VectorAvg, VectorSearch}
+import graft.operators.{BinaryQuant, Bpe, DataMix, Dedup, EvalMetrics, HnswAnn, IndexComparison, IvfIndex, IvfPq, Knn, LayoutQueries, Multiscale, NnDescent, LshAnn, Mmr, PipelineOps, PlanQueries, ProductQuant, Projection, Relational, TextOps, VectorAvg, VectorSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
@@ -23,7 +23,7 @@ object SparkEntry {
       LshAnn.queries ++ ProductQuant.queries ++ Mmr.queries ++ Projection.queries ++ IvfPq.queries ++ NnDescent.queries ++ IndexComparison.queries ++
       graft.streaming.StreamingQueries.queries ++ VectorAvg.queries ++ LayoutQueries.queries ++
       HnswAnn.queries ++ PlanQueries.queries ++ Multiscale.queries ++
-      BinaryQuant.queries ++ DataMix.queries ++ PipelineOps.queries ++
+      BinaryQuant.queries ++ DataMix.queries ++ PipelineOps.queries ++ Bpe.queries ++
       Map("multimodal_embed" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.BinaryColumns.mediaFeatures(s, dir)
           .select(col("vec_id"), col("modality"), size(col("embedding")).as("dim"))
@@ -40,7 +40,7 @@ object SparkEntry {
       LshAnn.oracles ++ ProductQuant.oracles ++ Mmr.oracles ++ Projection.oracles ++ IvfPq.oracles ++ NnDescent.oracles ++ IndexComparison.oracles ++
       graft.streaming.StreamingQueries.oracles ++ VectorAvg.oracles ++ LayoutQueries.oracles ++
       HnswAnn.oracles ++ PlanQueries.oracles ++ Multiscale.oracles ++
-      BinaryQuant.oracles ++ DataMix.oracles ++ PipelineOps.oracles ++
+      BinaryQuant.oracles ++ DataMix.oracles ++ PipelineOps.oracles ++ Bpe.oracles ++
       Map("multimodal_embed" ->
         """SELECT doc_id AS vec_id,
           |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -49,7 +49,8 @@ class Round7Spec extends SparkTestBase {
       operators.VectorAvg.queries, operators.LayoutQueries.queries,
       operators.HnswAnn.queries, operators.PlanQueries.queries,
       operators.Multiscale.queries, operators.BinaryQuant.queries,
-      operators.DataMix.queries, operators.PipelineOps.queries)
+      operators.DataMix.queries, operators.PipelineOps.queries,
+      operators.Bpe.queries)
     assert(maps.map(_.size).sum + 1 == SparkEntry.queries.size) // +1: multimodal_embed
   }
 
