@@ -45,7 +45,12 @@ import graft.operators.Knn
   * `dot_d` with their natural ORDER BY score DESC, and `l2_sq` with
   * ORDER BY score ASC (raw squared distance, partial BOTTOM-k via
   * BottomKPrim — the emitted value is l2_sq's, not the DataFrame l2
-  * metric's 1/(1+d²)).
+  * metric's 1/(1+d²)). The HAND-WRITTEN cosine also rewrites:
+  * `dot_d(a,b) / (sqrt(dot_d(a,a)) * sqrt(dot_d(b,b)))` (either
+  * norm-factor order) is recognized as the cosine metric — it is
+  * bit-equal to the kernel for any vector lengths, since both compute
+  * the dot over the shared prefix and each norm over its own full
+  * vector, and IEEE multiplication commutes.
   *
   * Exactness caveat (documented, not graded): rows whose embedding is
   * NULL score NULL in the naive plan and rank AFTER all real rows
@@ -84,6 +89,18 @@ object VectorTopKRewrite extends Rule[LogicalPlan] {
     case CosineSimD(a: Attribute, b: Attribute) => Some(("cosine", a, b))
     case DotD(a: Attribute, b: Attribute) => Some(("ip", a, b))
     case L2SqD(a: Attribute, b: Attribute) => Some(("l2raw", a, b))
+    // hand-written cosine: dot_d(a,b) / (sqrt(dot_d(a,a)) * sqrt(dot_d(b,b)))
+    // — bit-equal to the kernel's cosine for ANY lengths (dot over the
+    // shared prefix, each norm over its own full vector — exactly what
+    // TopKScore computes; IEEE multiply is commutative and the dot
+    // symmetric, so either norm-factor order matches)
+    case Divide(DotD(a: Attribute, b: Attribute),
+                Multiply(Sqrt(DotD(x1: Attribute, x2: Attribute)),
+                         Sqrt(DotD(y1: Attribute, y2: Attribute)), _), _)
+        if x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+          ((x1.exprId == a.exprId && y1.exprId == b.exprId) ||
+           (x1.exprId == b.exprId && y1.exprId == a.exprId)) =>
+      Some(("cosine", a, b))
     case _ => None
   }
 

@@ -89,6 +89,44 @@ class Round8Spec extends SparkTestBase {
     assert(df == viaSql)
   }
 
+  test("hand-written dot/norm cosine SQL rewrites; mismatched-norm lookalike does not") {
+    GraftFunctions.register(spark)
+    graft.plans.GraftRules.install(spark)
+    Tables.registerAll(spark, sfDir)
+    def shape(denom: String): String =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, e.vec_id,
+         |        dot_d(q.qv, e.embedding) / ($denom) AS score
+         |      FROM q CROSS JOIN embeddings e)
+         |SELECT qid, vec_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM s)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    // both norm-factor orders are the same cosine (multiply commutes)
+    Seq("sqrt(dot_d(q.qv, q.qv)) * sqrt(dot_d(e.embedding, e.embedding))",
+        "sqrt(dot_d(e.embedding, e.embedding)) * sqrt(dot_d(q.qv, q.qv))")
+      .foreach { denom =>
+        val sql = shape(denom)
+        val rewritten = spark.sql(sql)
+        val plan = rewritten.queryExecution.executedPlan.toString
+        assert(plan.contains("VectorTopKJoin [k=10, cosine]"),
+          s"hand-written cosine did not rewrite:\n${plan.take(1200)}")
+        val a = rewritten.as[(Long, Long, Double, Int)].collect().toSeq
+        val b = withoutRewrite {
+          spark.sql(sql).as[(Long, Long, Double, Int)].collect().toSeq
+        }
+        assert(a.nonEmpty && a == b, "hand-written cosine rewrite changed results")
+        // and it equals the registry cosine_sim rewrite row for row
+        val c = spark.sql(knnSql(5, 10)).as[(Long, Long, Double, Int)].collect().toSeq
+        assert(a == c)
+      }
+    // lookalike: both norm factors from the SAME side — not a cosine;
+    // must execute the naive plan untouched
+    val fake = shape("sqrt(dot_d(q.qv, q.qv)) * sqrt(dot_d(q.qv, q.qv))")
+    assert(!spark.sql(fake).queryExecution.executedPlan.toString.contains("VectorTopKJoin"),
+      "mismatched-norm lookalike was rewritten")
+  }
+
   test("rewritten plan with an EMPTY query side returns zero rows (no crash)") {
     GraftFunctions.register(spark)
     graft.plans.GraftRules.install(spark)
