@@ -227,6 +227,31 @@ object ScaleProbe {
       }
     }
 
+    // At-rest coded index: codes persisted IN the centroid-partitioned
+    // layout; the candidate stage reads only (vec_id, code) inside the
+    // probed partitions (explicit PartitionFilters + parquet column
+    // pruning), rerank joins back to the float column. In-memory twin
+    // runs the same parameters for the delta.
+    if (wanted("codedrest")) {
+      val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(corpus), 64, 10)
+      graft.Mat.withScratchDirs("codedrest") { case Seq(dir) =>
+        time("codedrest layout WRITE (assign + sign-code, partitionBy centroid)")(
+          graft.operators.BinaryQuant.writeCodedLayout(corpus, centroids, dir))
+        val loaded = spark.read.parquet(dir)
+        Seq(400).foreach { r =>
+          // run each probe twice: first pair is JIT/IO warmup
+          for (pass <- 1 to 2) {
+            time(s"codedrest AT-REST probe pass$pass (nlist=64, probe 4, top-$r, rerank), 16 queries")(
+              graft.operators.BinaryQuant
+                .ivfBinaryCodedProbe(loaded, queries, centroids, 10, r, 4).count())
+            time(s"codedrest IN-MEMORY twin pass$pass (same params)")(
+              graft.operators.BinaryQuant
+                .ivfBinaryOn(corpus, queries, centroids, 10, r, 4).count())
+          }
+        }
+      }
+    }
+
     // Adaptive block size: at 64-d auto resolves to the measured 512;
     // the case that needs adaptivity is HIGH dimension, where a fixed
     // 512-row block stages megabytes and falls out of L2. Interleaved
