@@ -640,8 +640,10 @@ object BinaryQuant {
   }
 
   /** ivfSql's probe selection composed with the byte-blocked asym
-    * candidate cut and the exact-cosine rerank. */
-  private def ivfBinarySql(centroids: Array[Array[Double]]): String = {
+    * candidate cut and the exact-cosine rerank. Shared with the
+    * streaming coded serve (stream_ivf_coded), whose graded output is
+    * the same pipeline with the candidate stage incremental. */
+  private[graft] def ivfBinarySql(centroids: Array[Array[Double]]): String = {
     val nq = VectorSearch.NQueries; val k = VectorSearch.K
     val nlist = centroids.length
     s"""WITH d AS MATERIALIZED (

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
@@ -163,6 +164,79 @@ object StreamingQueries {
           graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
         .select(col("qid"), col("vec_id"), col("score"))
         .as[(Long, Long, Double)], k)
+  }
+
+  /** Coded-layout streaming serve stage: routed queries equi-join the
+    * CODE side of the at-rest layout (vec_id, code, centroid — the
+    * float column never decodes on the candidate path), AsymCodeDotD
+    * scores straight off the persisted words, and keyed state keeps
+    * the per-query top-R by (asym DESC, id ASC) — the same candidate
+    * cut as batch ivf_binary's `ar` window. */
+  private[graft] def codedServe(codes: DataFrame, centroids: Array[Array[Double]],
+                                nprobe: Int, r: Int)(
+      ds: Dataset[(Long, Seq[Double])]): DataFrame = {
+    import codes.sparkSession.implicits._
+    val routed = ds.toDF("qid", "qv").withColumn("centroid",
+      explode(org.apache.spark.sql.graftshim.Shims.column(
+        graft.operators.NearestCentroidsExpr(
+          org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
+          centroids, nprobe))))
+    keyedTopK(
+      codes.join(broadcast(routed), "centroid")
+        .withColumn("asym",
+          graft.functions.VectorOps.asymCodeDot(col("code"), col("qv")))
+        .select(col("qid"), col("vec_id"), col("asym"))
+        .as[(Long, Long, Double)], r)
+  }
+
+  /** Streaming serve over the PERSISTED-CODE index layout
+    * (ivf_binary_coded's at-rest form, served online): arriving
+    * queries route to nprobe buckets, the per-trigger candidate scan
+    * reads only the 8-byte code column of the probed partitions, and
+    * the q·R survivors rerank through the downstream batch tier — a
+    * broadcast join-back onto the float column of the same layout
+    * (the candidate-generation-streams / rerank-follows architecture
+    * of a production serving stack). Union of emissions == batch
+    * ivf_binary (same deterministic centroids, same candidate cut,
+    * same rerank), which is exactly what the shared SQL twin
+    * recomputes from the stashed centroid literals. */
+  def streamIvfCoded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(
+      IvfIndex.trainSample(emb), graft.operators.BinaryQuant.IvfNlist, 10)
+    lastStreamIvfCodedCentroids = centroids
+    val qs = emb.filter(col("vec_id") < VectorSearch.NQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val k = VectorSearch.K
+    val r = graft.operators.BinaryQuant.RerankR
+    val chunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
+    graft.Mat.withScratchDirs("stream_ivf_coded") { case Seq(idx) =>
+      graft.operators.BinaryQuant.writeCodedLayout(emb, centroids, idx)
+      val loaded = s.read.parquet(idx)
+      val codes = loaded.select(col("vec_id"), col("code"),
+        col("centroid").cast("int").as("centroid"))
+      val cands = drain(s, chunks, "update", sinkName("stream_ivf_coded"))(
+        codedServe(codes, centroids, graft.operators.BinaryQuant.IvfNprobe, r))
+      // rerank tier: exact cosine over the survivors only
+      val qv = emb.filter(col("vec_id") < VectorSearch.NQueries)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val vecs = loaded.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cands.select(col("vec_id")).distinct()), "vec_id")
+      val sw = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val out = cands.select(col("qid"), col("vec_id"), col("score").as("asym"))
+        .join(vecs, "vec_id").join(broadcast(qv), "qid")
+        .withColumn("score",
+          graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+        .withColumn("rank", row_number().over(sw)).filter(col("rank") <= k)
+        .select(col("qid"), col("vec_id"), col("asym"), col("score"),
+          col("rank").cast("int"))
+        .orderBy("qid", "rank")
+      graft.Mat.detach(out)
+    }
   }
 
   /** IVF-routed online serving — the scale-safe replacement for
@@ -398,6 +472,7 @@ object StreamingQueries {
   @volatile private var lastIngestCentroids: Array[Array[Double]] = _
   @volatile private var lastSinkCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamIvfCentroids: Array[Array[Double]] = _
+  @volatile private var lastStreamIvfCodedCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswAdj: Array[(Int, Long, Array[Long])] = _
 
@@ -412,6 +487,7 @@ object StreamingQueries {
     "stream_sessionize" -> (streamSessionize _),
     "stream_knn" -> (streamKnn _),
     "stream_ivf" -> (streamIvf _),
+    "stream_ivf_coded" -> (streamIvfCoded _),
     "stream_nsw" -> (streamNsw _),
     "stream_ingest" -> (streamIngest _),
     "stream_topk" -> (streamTopk _),
@@ -430,6 +506,9 @@ object StreamingQueries {
     m += "stream_mmr" -> Mmr.mmrRerankSql
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
+    if (lastStreamIvfCodedCentroids != null)
+      m += "stream_ivf_coded" -> graft.operators.BinaryQuant
+        .ivfBinarySql(lastStreamIvfCodedCentroids)
     if (lastStreamNswCentroids != null && lastStreamNswAdj != null)
       m += "stream_nsw" -> graft.operators.HnswAnn.stashedOracle(
         lastStreamNswCentroids, lastStreamNswAdj)

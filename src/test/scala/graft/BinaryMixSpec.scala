@@ -238,6 +238,14 @@ class BinaryMixSpec extends SparkTestBase {
     }
   }
 
+  test("stream_ivf_coded == batch ivf_binary, row for row (same deterministic training)") {
+    val a = graft.streaming.StreamingQueries.streamIvfCoded(spark, sfDir)
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    val b = BinaryQuant.ivfBinary(spark, sfDir)
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   // ---------- stream_nsw ----------
 
   test("stream_nsw == batch hnsw_search, row for row") {
