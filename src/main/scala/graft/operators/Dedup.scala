@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -358,11 +359,106 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ------------------------------------------------- substring dedup
+
+  /** Exact-duplicated-substring window length, in tokens. The
+    * technique (Lee et al., ACL 2022, "Deduplicating Training Data
+    * Makes Language Models Better") removes any span of >= L tokens
+    * that occurs more than once in the corpus; their suffix-array
+    * build is single-node, so at scale the standard distributed
+    * formulation is position-shingling: hash every L-token window,
+    * group by hash, and call a window duplicated iff it occurs at
+    * >= 2 (doc, pos) positions corpus-wide (within-doc repeats count,
+    * as in the paper). 8 tokens keeps the graded corpus discriminative
+    * (47/500 sf0.01 docs carry a duplicated span). */
+  val SubstrWindow = 8
+
+  /** Per-doc duplicated-span coverage: the fraction of each document's
+    * tokens lying inside some L-token window that occurs >= 2 times in
+    * the corpus.
+    *
+    * Scale shape: windows shuffle as (hash, doc, pos) longs only —
+    * document text never moves after the projection that hashes it.
+    * The duplicated-hash set comes from one map-side-combined groupBy;
+    * the join back is keyed on the hash (broadcastable when the dup
+    * set is small, plain shuffle join otherwise). Coverage is an
+    * interval union done with one lead() window per doc — overlapping
+    * windows contribute min(L, next_pos - pos), so no position is
+    * double-counted and nothing ever explodes L-fold.
+    *
+    * The 64-bit hash can in principle collide (two distinct windows
+    * sharing md5Lower64 would both be marked duplicated); the oracle
+    * deliberately groups by the RAW window string, so a green grade
+    * also certifies no collision affected this corpus. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      winLen: Int = SubstrWindow): DataFrame = {
+    val L = winLen
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x != '')").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val wins = base.filter(col("n_tokens") >= L)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_tokens") - L)).as("p"))
+      .select(col("doc_id"), col("p"),
+        TextHashOps.md5Lower64(
+          array_join(slice(col("w"), (col("p") + 1).cast("int"), lit(L)), " ")).as("h"))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val lead1 = Window.partitionBy("doc_id").orderBy("p")
+    val cov = wins.join(dupH, "h")
+      .withColumn("nxt", lead(col("p"), 1).over(lead1))
+      .withColumn("contrib",
+        when(col("nxt").isNull, lit(L.toLong))
+          .otherwise(least(lit(L.toLong), col("nxt") - col("p"))))
+      .groupBy("doc_id").agg(sum("contrib").as("dup_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_tokens") > 0,
+          col("dup_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  /** Raw-string twin (stronger than the engine: no hash), same window
+    * enumeration, same interval-union coverage. */
+  val dedupSubstringSql: String = {
+    val L = SubstrWindow
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |n AS (SELECT doc_id, w, len(w) AS n_tokens FROM t),
+       |win AS (
+       |  SELECT doc_id, u.p, array_to_string(w[u.p+1:u.p+$L], ' ') AS s
+       |  FROM n, unnest(CASE WHEN n_tokens >= $L
+       |                      THEN range(0, n_tokens - $L + 1) ELSE [] END) u(p)),
+       |dh AS (SELECT s FROM win GROUP BY s HAVING count(*) >= 2),
+       |dw AS (SELECT doc_id, p,
+       |         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+       |       FROM win JOIN dh USING (s)),
+       |cov AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN nxt IS NULL THEN $L ELSE least($L, nxt - p) END) AS dup_tokens
+       |  FROM dw GROUP BY doc_id)
+       |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CASE WHEN n.n_tokens > 0
+       |       THEN CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / n.n_tokens
+       |       ELSE 0.0 END AS dup_frac
+       |FROM n LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "data_decontaminate" -> (dataDecontaminate _),
+    "dedup_substring" -> (dedupSubstring _),
     "semdedup" -> (semDedup _))
 
   def oracles: Map[String, String] = {
@@ -371,6 +467,7 @@ object Dedup {
     m += "dedup_clusters" -> dedupClustersSql
     m += "dedup_simhash" -> dedupSimhashSql
     m += "data_decontaminate" -> dataDecontaminateSql
+    m += "dedup_substring" -> dedupSubstringSql
     if (lastSemCentroids != null)
       m += "semdedup" -> semDedupSql(lastSemCentroids)
     m.result()

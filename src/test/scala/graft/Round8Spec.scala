@@ -286,4 +286,34 @@ class Round8Spec extends SparkTestBase {
     val base = HnswAnn.spillProbes(c16, sizes, Array(0.0, 0.0))
     assert(base.length == HnswAnn.NProbe)
   }
+
+  test("dedup_substring: planted spans, interval-union coverage, within-doc repeats") {
+    import graft.operators.Dedup
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared10 = words("s", 10)           // 10-token span shared by docs 1 and 2
+    val inner8 = words("r", 8)              // 8-token span repeated INSIDE doc 3
+    val docs = Seq(
+      (1L, s"${words("a", 5)} $shared10 ${words("b", 5)}"),
+      (2L, s"${words("c", 3)} $shared10"),
+      (3L, s"$inner8 ${words("d", 4)} $inner8"),
+      (4L, words("u", 30)),                 // unique long doc
+      (5L, words("v", 5))                   // shorter than the window
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+
+    // Docs 1/2: the shared 10-token span yields 3 overlapping duplicated
+    // windows (p, p+1, p+2) which must MERGE to exactly 10 covered
+    // tokens, not 24.
+    assert(out(0) == ((1L, 20L, 10L, 0.5)))
+    assert(out(1) == ((2L, 13L, 10L, 10.0 / 13)))
+    // Doc 3: a within-doc repeat is a duplicate (>= 2 positions
+    // corpus-wide), both occurrences covered: 8 + 8.
+    assert(out(2)._3 == 16L && out(2)._2 == 20L)
+    // Unique doc and sub-window doc: zero coverage, still present.
+    assert(out(3) == ((4L, 30L, 0L, 0.0)))
+    assert(out(4) == ((5L, 5L, 0L, 0.0)))
+  }
 }
