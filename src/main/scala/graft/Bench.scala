@@ -23,12 +23,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Drift canary: the same fixed reference query (knn_cosine — pure
-    // corpus-scan compute, no scratch IO) timed at the start, middle
-    // and end of the sequential run. On a quiet host the three agree;
-    // a drifting ratio means the host got noisy INSIDE this run and
-    // the numbers around the slow canary are suspect — BENCH_r07's
-    // 5.7× doc_chunking regression on untouched code was exactly this,
-    // detectable only across rounds. canary_drift = max/min.
+    // corpus-scan compute, no scratch IO) timed at the start of the
+    // run and then every CanaryEvery queries. On a quiet host the
+    // points agree; a drifting ratio means the host got noisy INSIDE
+    // this run and the numbers around the slow canary are suspect —
+    // BENCH_r07's 5.7× doc_chunking regression on untouched code was
+    // exactly this, detectable only across rounds. canary_drift =
+    // max/min over the warm points.
+    //
+    // Why every-K and not start/mid/end: a 3-point canary was tried
+    // first and MISSED a measured ~40% whole-run inflation (a
+    // concurrent compile on the same host) — the contention bursts
+    // fell between the three points and min-of-n swallowed the rest.
+    // Sampling every 15 queries bounds the undetectable window to one
+    // stretch of ~15 queries at ~0.4 s of canary cost per point.
     val canaryFn = SparkEntry.queries("knn_cosine")
     val canary = scala.collection.mutable.ArrayBuffer.empty[Double]
     // min-of-n per point (same steady-state philosophy as the
@@ -40,14 +48,14 @@ object Bench {
     def canaryPoint(n: Int): Double = Seq.fill(n)(time(canaryFn)).min
     time(canaryFn) // discard: first execution is dominated by codegen
     canary += canaryPoint(4)
+    val CanaryEvery = 15
     val qseq = SparkEntry.queries.toSeq
-    val mid = qseq.length / 2
     val runs = qseq.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == mid) canary += canaryPoint(2)
+      if (i > 0 && i % CanaryEvery == 0) canary += canaryPoint(2)
       name -> Seq(time(fn), time(fn), time(fn))
     }.toMap
     canary += canaryPoint(2)
-    // Drift is judged on the two fully-warm points (mid, end): the
+    // Drift is judged on the fully-warm points (every-K + end): the
     // start point always carries some session ramp no matter how many
     // samples it takes (measured: still ~2.5× steady at 1 warm +
     // min-of-4) and is reported as context, not signal. A quiet host

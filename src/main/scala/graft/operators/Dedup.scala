@@ -424,6 +424,116 @@ object Dedup {
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
     duplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
 
+  /** Substring-dedup REWRITE — the actionable half of Lee et al.:
+    * every duplicated L-token window keeps its FIRST corpus occurrence
+    * (smallest (doc_id, pos)) and all later occurrences are removed
+    * from the text. Removal windows are merged into disjoint intervals
+    * per doc with one gaps-and-islands pass (running max of window
+    * end; a window starting at/after the max opens a new island), so
+    * the per-token membership test is over merged intervals, not raw
+    * windows. All of that shuffles (doc_id, pos, hash) longs only;
+    * document text is touched exactly twice — hashed in the scan
+    * projection, and rewritten in place at the end when the small
+    * per-doc interval arrays join back (broadcastable: only docs with
+    * removals carry intervals). The rewrite itself is a codegen
+    * higher-order filter — no UDF, no per-token explode.
+    *
+    * Overlapping self-similar spans (periodic text) are handled by the
+    * same mechanical rule — a later window overlapping a kept first
+    * occurrence still removes its own positions — deterministic and
+    * replayed identically by the oracle. */
+  def pruneDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           winLen: Int = SubstrWindow): DataFrame = {
+    val L = winLen
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x != '')").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val wins = base.filter(col("n_tokens") >= L)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_tokens") - L)).as("p"))
+      .select(col("doc_id"), col("p"),
+        TextHashOps.md5Lower64(
+          array_join(slice(col("w"), (col("p") + 1).cast("int"), lit(L)), " ")).as("h"))
+    val byH = Window.partitionBy("h").orderBy(col("doc_id"), col("p"))
+    val removals = wins
+      .withColumn("rn", row_number().over(byH))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= 2 && col("rn") >= 2)
+      .select("doc_id", "p")
+    // gaps-and-islands: merge overlapping removal windows per doc
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val islands = removals
+      .withColumn("mx", max(col("p") + L)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("mx").isNull || col("p") >= col("mx"), lit(1L))
+        .otherwise(lit(0L)))
+      .withColumn("island", sum("ni")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("p").as("st"), max(col("p") + L).as("en"))
+    val ivs = islands.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("irs"))
+    base.join(ivs, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("irs").isNull, col("w"))
+        .otherwise(expr(
+          "filter(w, (x, i) -> NOT exists(irs, r -> i >= r.st AND i < r.en))")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("removed_tokens"),
+        array_join(col("kept"), " ").as("text_pruned"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSubstringPrune(s: SparkSession, dir: String): DataFrame =
+    pruneDuplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  /** Raw-string twin of the rewrite (same first-occurrence rule, same
+    * island merge, same indexed-lambda filter; DuckDB lambda indices
+    * are 1-based vs Spark's 0-based, hence the i-1). */
+  val dedupSubstringPruneSql: String = {
+    val L = SubstrWindow
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |n AS (SELECT doc_id, w, len(w) AS n_tokens FROM t),
+       |win AS (
+       |  SELECT doc_id, u.p, array_to_string(w[u.p+1:u.p+$L], ' ') AS g
+       |  FROM n, unnest(CASE WHEN n_tokens >= $L
+       |                      THEN range(0, n_tokens - $L + 1) ELSE [] END) u(p)),
+       |mk AS (
+       |  SELECT doc_id, p,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+       |    count(*) OVER (PARTITION BY g) AS cnt
+       |  FROM win),
+       |rem AS (SELECT doc_id, p FROM mk WHERE cnt >= 2 AND rn >= 2),
+       |gaps AS (
+       |  SELECT doc_id, p,
+       |    max(p + $L) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+       |  FROM rem),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    sum(CASE WHEN mx IS NULL OR p >= mx THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM gaps),
+       |iv AS (SELECT doc_id, island, min(p) AS st, max(p + $L) AS en
+       |       FROM isl GROUP BY 1, 2),
+       |irs AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS irs
+       |        FROM iv GROUP BY 1),
+       |kept AS (
+       |  SELECT n.doc_id, n.n_tokens,
+       |    CASE WHEN irs.irs IS NULL THEN n.w
+       |         ELSE list_filter(n.w, (x, i) ->
+       |           len(list_filter(irs.irs,
+       |             r -> i - 1 >= r.st AND i - 1 < r.en)) = 0)
+       |    END AS kw
+       |  FROM n LEFT JOIN irs ON n.doc_id = irs.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_tokens - len(kw) AS BIGINT) AS removed_tokens,
+       |  array_to_string(kw, ' ') AS text_pruned
+       |FROM kept ORDER BY doc_id""".stripMargin
+  }
+
   /** Raw-string twin (stronger than the engine: no hash), same window
     * enumeration, same interval-union coverage. */
   val dedupSubstringSql: String = {
@@ -459,6 +569,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "data_decontaminate" -> (dataDecontaminate _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_prune" -> (dedupSubstringPrune _),
     "semdedup" -> (semDedup _))
 
   def oracles: Map[String, String] = {
@@ -468,6 +579,7 @@ object Dedup {
     m += "dedup_simhash" -> dedupSimhashSql
     m += "data_decontaminate" -> dataDecontaminateSql
     m += "dedup_substring" -> dedupSubstringSql
+    m += "dedup_substring_prune" -> dedupSubstringPruneSql
     if (lastSemCentroids != null)
       m += "semdedup" -> semDedupSql(lastSemCentroids)
     m.result()

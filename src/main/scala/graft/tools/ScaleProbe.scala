@@ -58,6 +58,30 @@ object ScaleProbe {
       val mdl = graft.operators.IvfPq.trainModel(sample, nlist = 64)
       graft.operators.IvfPq.search(corpus, queries, 10, mdl).count()
     })
+    // Substring dedup at ~400× the sf0.1 corpus: 200k docs × 100
+    // tokens = 20M tokens → ~18.6M position-shingled windows shuffling
+    // as longs. Every 20th doc carries the same planted 16-token span
+    // (10k-occurrence hash groups exercise the hot-group path); the
+    // rest of the vocabulary (hash of doc×101+j mod 50k) makes
+    // incidental 8-gram collisions negligible.
+    if (wanted("substring")) {
+      val nDocs = 200000L
+      val tPerDoc = 100
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(expr(
+          s"""transform(sequence(0, ${tPerDoc - 1}), j ->
+             |  CASE WHEN id % 20 = 0 AND j BETWEEN 10 AND 25 THEN concat('d', j)
+             |       ELSE concat('w', pmod(hash(id * 101 + j), 50000)) END)"""
+            .stripMargin), " ").as("text"))
+        .repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val covered = graft.operators.Dedup
+        .duplicatedSpans(docs, "doc_id", "text")
+        .filter(col("dup_tokens") > 0).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      val mtok = nDocs * tPerDoc / s / 1e6
+      println(f"[scale] substring dedup (200k docs × 100 tok): $s%.2f s ($mtok%.1f M tokens/s, $covered docs covered)")
+    }
     time("multiscale custom plan (scales 8/16/32/64, k=10, 16 queries, ONE pass)")(
       graft.operators.Multiscale.topKAllScales(corpus, queries, 10, Seq(8, 16, 32, 64)).count())
     time("multiscale baseline: 4 per-scale Dataset-mapPartitions passes")(

@@ -316,4 +316,60 @@ class Round8Spec extends SparkTestBase {
     assert(out(3) == ((4L, 30L, 0L, 0.0)))
     assert(out(4) == ((5L, 5L, 0L, 0.0)))
   }
+
+  test("dedup_substring: only non-string columns cross the shuffles (text never moves)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val out = graft.operators.Dedup.duplicatedSpans(
+      graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+    val exchanges = out.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected at least the dup-hash groupBy shuffle")
+    val leaked = exchanges.flatMap(_.child.output).filter { a =>
+      a.dataType == StringType ||
+        (a.dataType match { case ArrayType(StringType, _) => true; case _ => false })
+    }
+    assert(leaked.isEmpty,
+      s"string columns crossed a shuffle: ${leaked.map(_.name).mkString(", ")}")
+  }
+
+  test("dedup_substring_prune: first occurrence kept, later spans excised from the text") {
+    import graft.operators.Dedup
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared10 = words("s", 10)
+    val inner8 = words("r", 8)
+    val doc1Text = s"${words("a", 5)} $shared10 ${words("b", 5)}"
+    val docs = Seq(
+      (1L, doc1Text),
+      (2L, s"${words("c", 3)} $shared10"),
+      (3L, s"$inner8 ${words("d", 4)} $inner8"),
+      (5L, words("v", 5))
+    ).toDF("doc_id", "text")
+    val out = Dedup.pruneDuplicatedSpans(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "removed_tokens", "text_pruned")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // Doc 1 carries the FIRST occurrence of every duplicated window:
+    // untouched.
+    assert(out(0) == ((1L, 20L, 0L, doc1Text)))
+    // Doc 2's copy of the 10-token span is excised; its prefix stays.
+    assert(out(1) == ((2L, 13L, 10L, words("c", 3))))
+    // Doc 3: the SECOND within-doc occurrence goes, the first stays.
+    assert(out(2) == ((3L, 20L, 8L, s"$inner8 ${words("d", 4)}")))
+    // No duplicated window at all: identity rewrite.
+    assert(out(3) == ((5L, 5L, 0L, words("v", 5))))
+  }
+
+  test("dedup_substring_prune: periodic self-overlap collapses to one island") {
+    import graft.operators.Dedup
+    // 'a b' repeated 4× with L=4: windows at p∈{0,2,4} and p∈{1,3}
+    // form two hash groups; first occurrences p=0 and p=1 are kept,
+    // removals p∈{2,3,4} merge into the single interval [2,8).
+    val docs = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
+    val out = Dedup.pruneDuplicatedSpans(docs, "doc_id", "text", winLen = 4)
+      .select("doc_id", "n_tokens", "removed_tokens", "text_pruned")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.head == ((1L, 8L, 6L, "a b")))
+  }
 }
