@@ -320,18 +320,30 @@ class Round8Spec extends SparkTestBase {
   test("dedup_substring: only non-string columns cross the shuffles (text never moves)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val out = graft.operators.Dedup.duplicatedSpans(
-      graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
-    val exchanges = out.queryExecution.sparkPlan.collect {
-      case e: ShuffleExchangeExec => e
+    // Exchanges are inserted by EnsureRequirements during executedPlan
+    // preparation (sparkPlan never contains them). AQE would further wrap
+    // them in leaf QueryStageExec nodes invisible to collect(), so pin the
+    // non-adaptive executedPlan for this assertion.
+    val conf = spark.conf
+    val savedAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.operators.Dedup.duplicatedSpans(
+        graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected at least the dup-hash groupBy shuffle")
+      val leaked = exchanges.flatMap(_.child.output).filter { a =>
+        a.dataType == StringType ||
+          (a.dataType match { case ArrayType(StringType, _) => true; case _ => false })
+      }
+      assert(leaked.isEmpty,
+        s"string columns crossed a shuffle: ${leaked.map(_.name).mkString(", ")}")
+    } finally savedAqe match {
+      case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+      case None => conf.unset("spark.sql.adaptive.enabled")
     }
-    assert(exchanges.nonEmpty, "expected at least the dup-hash groupBy shuffle")
-    val leaked = exchanges.flatMap(_.child.output).filter { a =>
-      a.dataType == StringType ||
-        (a.dataType match { case ArrayType(StringType, _) => true; case _ => false })
-    }
-    assert(leaked.isEmpty,
-      s"string columns crossed a shuffle: ${leaked.map(_.name).mkString(", ")}")
   }
 
   test("dedup_substring_prune: first occurrence kept, later spans excised from the text") {
