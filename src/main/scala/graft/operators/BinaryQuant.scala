@@ -343,11 +343,12 @@ object BinaryQuant {
         (id, out)
       }.toDF("vec_id", "scores")
 
-    val qIdx = qs.map(_._1).zipWithIndex.toMap
-    val idxOf = udf((qid: Long) => qIdx(qid))
+    // qid -> scores-array index as a literal map: element_at on a map
+    // literal stays inside whole-stage codegen (vs a per-row Scala UDF).
+    val qIdx = typedlit(qs.map(_._1).zipWithIndex.toMap)
     val sw = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
     cand.join(exactScores, "vec_id")
-      .withColumn("score", element_at(col("scores"), idxOf(col("qid")) + 1))
+      .withColumn("score", element_at(col("scores"), element_at(qIdx, col("qid")) + 1))
       .drop("scores")
       .withColumn("rank", row_number().over(sw)).filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("asym"), col("score"),

@@ -431,11 +431,15 @@ object Dedup {
     * per doc with one gaps-and-islands pass (running max of window
     * end; a window starting at/after the max opens a new island), so
     * the per-token membership test is over merged intervals, not raw
-    * windows. All of that shuffles (doc_id, pos, hash) longs only;
-    * document text is touched exactly twice — hashed in the scan
-    * projection, and rewritten in place at the end when the small
-    * per-doc interval arrays join back (broadcastable: only docs with
-    * removals carry intervals). The rewrite itself is a codegen
+    * windows. The window/group/interval stages shuffle (doc_id, pos,
+    * hash) longs only; document text is touched exactly twice — hashed
+    * in the scan projection, and rewritten in place at the end when the
+    * per-doc interval arrays join back. That join-back is broadcast
+    * (only docs with removals carry intervals, each a handful of
+    * longs), so no HASH exchange ever carries text; the one exchange
+    * that does is the final orderBy's RANGE partitioning of the graded
+    * output — text moves exactly once, already pruned (drop the sort at
+    * scale and it moves zero times). The rewrite itself is a codegen
     * higher-order filter — no UDF, no per-token explode.
     *
     * Overlapping self-similar spans (periodic text) are handled by the
@@ -473,7 +477,7 @@ object Dedup {
       .agg(min("p").as("st"), max(col("p") + L).as("en"))
     val ivs = islands.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("irs"))
-    base.join(ivs, Seq("doc_id"), "left")
+    base.join(broadcast(ivs), Seq("doc_id"), "left")
       .withColumn("kept", when(col("irs").isNull, col("w"))
         .otherwise(expr(
           "filter(w, (x, i) -> NOT exists(irs, r -> i >= r.st AND i < r.en))")))
@@ -492,7 +496,7 @@ object Dedup {
   val dedupSubstringPruneSql: String = {
     val L = SubstrWindow
     s"""WITH t AS (
-       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
        |  FROM documents),
        |n AS (SELECT doc_id, w, len(w) AS n_tokens FROM t),
        |win AS (
@@ -530,7 +534,7 @@ object Dedup {
        |  FROM n LEFT JOIN irs ON n.doc_id = irs.doc_id)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  CAST(n_tokens - len(kw) AS BIGINT) AS removed_tokens,
-       |  array_to_string(kw, ' ') AS text_pruned
+       |  coalesce(array_to_string(kw, ' '), '') AS text_pruned
        |FROM kept ORDER BY doc_id""".stripMargin
   }
 
@@ -539,7 +543,7 @@ object Dedup {
   val dedupSubstringSql: String = {
     val L = SubstrWindow
     s"""WITH t AS (
-       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
        |  FROM documents),
        |n AS (SELECT doc_id, w, len(w) AS n_tokens FROM t),
        |win AS (

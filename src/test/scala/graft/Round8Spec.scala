@@ -346,6 +346,36 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("dedup_substring_prune: no HASH exchange carries text (ivs join-back broadcasts)") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val conf = spark.conf
+    val savedAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.operators.Dedup.pruneDuplicatedSpans(
+        graft.Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected the window/group-stage shuffles")
+      // Hash exchanges move the (doc_id, pos, hash) long stages; only the
+      // final orderBy RANGE exchange may carry the (already pruned) text.
+      val leaked = exchanges
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+        .flatMap(_.child.output).filter { a =>
+          a.dataType == StringType ||
+            (a.dataType match { case ArrayType(StringType, _) => true; case _ => false })
+        }
+      assert(leaked.isEmpty,
+        s"string columns crossed a hash shuffle: ${leaked.map(_.name).mkString(", ")}")
+    } finally savedAqe match {
+      case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+      case None => conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("dedup_substring_prune: first occurrence kept, later spans excised from the text") {
     import graft.operators.Dedup
     def words(prefix: String, n: Int): String =
