@@ -291,55 +291,61 @@ object HnswAnn {
   // recursive CTE (same heap orders, same insert/termination rules,
   // same sequential neighbor processing), and the exact cosine re-rank
   // recomputed from the raw table. The graphs are built ONCE, on the
-  // executors (the same flatMapGroups pass the scale path runs); only
-  // the resulting adjacency — M neighbor ids per node, the literal set
-  // the oracle needs anyway — is collected, then broadcast back for
-  // the beam pass. No driver-side rebuild, no full-table collect;
-  // driver footprint is n·M ids at the graded SF.
+  // executors, directly into the one-row-per-bucket shard table
+  // (nswShards) — the at-rest index form. The batch search equi-joins
+  // the broadcast routed queries against that shard table with a
+  // per-partition graph cache (searchShards), exactly the serve shape
+  // stream_nsw runs; the ONLY corpus-sized collect is adjFromShards,
+  // which stashes the adjacency literals the oracle needs, at graded
+  // SF only — no search path consumes driver-held graph state.
   @volatile private var lastCentroids: Array[Array[Double]] = _
   @volatile private var lastAdj: Array[(Int, Long, Array[Long])] = _
 
-  /** Distributed NSW build: each bucket's graph is constructed
-    * executor-side, emitting (bucket, vec_id, neighbor vec_ids in
-    * stored order). */
-  def buildAdjacency(assigned: DataFrame): Array[(Int, Long, Array[Long])] = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    assigned.select(col("centroid"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Seq[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (bucket, it) =>
-        val rows = it.toArray.sortBy(_._2) // vec_id order: deterministic build
-        val g = new NswGraph(rows.map(_._2), rows.map(t => unitArr(t._3.toArray))).build()
-        g.ids.indices.iterator.map(i => (bucket, g.ids(i), g.adjIds(i)))
-      }
-      .collect().sortBy(t => (t._1, t._2))
-  }
-
   /** Serve-ready NSW index shards: ONE row per bucket carrying the
     * bucket's sorted ids, unit vectors (flattened row-major), and
-    * adjacency aligned to ids — the at-rest form a streaming serve
-    * equi-joins against (stream_nsw). Built executor-side from the
-    * same sorted-bucket layout as buildAdjacency, so reconstructing
-    * NswGraph.withAdj from a shard replays the batch beams exactly. */
-  def nswShards(assigned: DataFrame,
-                adj: Array[(Int, Long, Array[Long])]): DataFrame = {
+    * adjacency aligned to ids — the at-rest form both the streaming
+    * serve (stream_nsw) and the batch graded queries equi-join
+    * against. Each bucket's graph is constructed executor-side inside
+    * this pass (deterministic vec_id-order insertion), one group per
+    * bucket, no driver state. */
+  def nswShards(assigned: DataFrame): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val ba = spark.sparkContext.broadcast(
-      adj.groupBy(_._1).map { case (b, rs) => b -> rs.map(r => r._2 -> r._3).toMap })
     assigned.select(col("centroid"), col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)))
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .mapGroups { (bucket, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val ids = rows.map(_._2)
-        val amap = ba.value(bucket)
-        (bucket, ids.toSeq,
-          rows.flatMap(t => unitArr(t._3.toArray)).toSeq,
-          ids.map(id => amap(id).toSeq).toSeq)
+        val rows = it.toArray.sortBy(_._2) // vec_id order: deterministic build
+        val vecs = rows.map(t => unitArr(t._3.toArray))
+        val g = new NswGraph(rows.map(_._2), vecs).build()
+        (bucket, g.ids.toSeq, vecs.flatten.toSeq,
+          g.ids.indices.map(i => g.adjIds(i).toSeq).toSeq)
       }.toDF("bucket", "ids", "vecs", "adj")
+  }
+
+  /** Flatten the shard table back to (bucket, vec_id, neighbor ids)
+    * rows — a corpus-sized COLLECT used ONLY to stash the trained
+    * adjacency as oracle SQL literals at graded SF (the literal set
+    * the recursive-CTE beam replay needs anyway). Column-pruned to
+    * (bucket, ids, adj): the flattened unit vectors never move. */
+  def adjFromShards(shards: DataFrame): Array[(Int, Long, Array[Long])] =
+    shards.select("bucket", "ids", "adj").collect().flatMap { r =>
+      val ids = r.getSeq[Long](1)
+      val adj = r.getSeq[Seq[Long]](2)
+      ids.indices.map(i => (r.getInt(0), ids(i), adj(i).toArray))
+    }.sortBy(t => (t._1, t._2))
+
+  /** Rebuild one bucket's NswGraph from its shard row (ids, flattened
+    * unit vectors, aligned adjacency). */
+  def graphFromShard(ids: Seq[Long], flat: Seq[Double],
+                     adjSeq: Seq[Seq[Long]]): NswGraph = {
+    val n = ids.length
+    val dim = if (n == 0) 1 else flat.length / n
+    val idsA = ids.toArray
+    val vecsA = Array.tabulate(n)(i => flat.slice(i * dim, (i + 1) * dim).toArray)
+    val amap: Map[Long, Array[Long]] = idsA.zip(adjSeq.map(_.toArray)).toMap
+    new NswGraph(idsA, vecsA).withAdj(amap)
   }
 
   /** The hnsw_search oracle for an externally-stashed build — the
@@ -381,50 +387,47 @@ object HnswAnn {
     sel.toArray
   }
 
-  /** Beam-search the stashed (executor-built) graphs: graphs are
-    * reconstituted per bucket from the broadcast adjacency (no
-    * rebuild), queries fan out to their probed buckets, exact cosine
-    * re-rank merges the partials to the global top-k. */
-  private def searchStashed(emb: DataFrame, queries: DataFrame,
-                            centroids: Array[Array[Double]],
-                            adj: Array[(Int, Long, Array[Long])],
-                            nEntries: Int,
-                            probesOverride: Map[Long, Array[Int]] = null): DataFrame = {
-    val spark = emb.sparkSession
+  /** Batch search over the at-rest shard table — the same serve shape
+    * as stream_nsw: queries route to their probed buckets (codegen
+    * nearest-centroids expression, or an explicit per-query probe
+    * table when the spill rule overrides), the routed SMALL side
+    * broadcasts into an equi-join against the one-row-per-bucket
+    * shards, and a per-partition cache rebuilds each bucket's graph at
+    * most once per task. Exact cosine re-rank merges the partials to
+    * the global top-k. No corpus-sized driver state on this path. */
+  private def searchShards(shards: DataFrame, corpus: DataFrame,
+                           queries: DataFrame,
+                           centroids: Array[Array[Double]],
+                           nEntries: Int,
+                           probesOverride: Map[Long, Array[Int]] = null): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val assigned = IvfIndex.assign(emb, centroids)
-    val qRows = queries.select(col("vec_id").cast("long"),
-      col("embedding").cast(ArrayType(DoubleType))).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val bq = spark.sparkContext.broadcast(qRows)
-    val probes: Map[Long, Array[Int]] =
-      if (probesOverride != null) probesOverride
-      else qRows.map { case (qid, v) =>
-        qid -> IvfIndex.nearestN(centroids, v, NProbe)
-      }.toMap
-    val bp = spark.sparkContext.broadcast(probes)
-    val adjByBucket: Map[Int, Map[Long, Array[Long]]] =
-      adj.groupBy(_._1).map { case (b, rs) => b -> rs.map(r => r._2 -> r._3).toMap }
-    val ba = spark.sparkContext.broadcast(adjByBucket)
-    val partials = assigned
-      .select(col("centroid"), col("vec_id"), col("embedding"))
-      .as[(Int, Long, Seq[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (bucket, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val g = new NswGraph(rows.map(_._2), rows.map(t => unitArr(t._3.toArray)))
-          .withAdj(ba.value(bucket))
-        bq.value.iterator
-          .filter { case (qid, _) => bp.value(qid).contains(bucket) }
-          .flatMap { case (qid, qv) =>
-            val qu = unitArr(qv)
-            if (nEntries == 1) g.search(qu, EfSearch).map { case (id, _) => (qid, id) }
-            else g.searchMulti(qu, nEntries).map(id => (qid, id))
-          }
+    val q2 = queries.select(col("vec_id").cast("long").as("qid"),
+      col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+    val routed =
+      if (probesOverride == null)
+        q2.withColumn("centroid", explode(
+          org.apache.spark.sql.graftshim.Shims.column(NearestCentroidsExpr(
+            org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
+            centroids, NProbe))))
+      else
+        q2.join(probesOverride.toSeq
+          .flatMap { case (qid, bs) => bs.map(b => (qid, b)) }
+          .toDF("qid", "centroid"), "qid")
+    val joined = shards.join(broadcast(routed), col("bucket") === col("centroid"))
+      .select(col("qid"), col("qv"), col("bucket"), col("ids"), col("vecs"), col("adj"))
+      .as[(Long, Seq[Double], Int, Seq[Long], Seq[Double], Seq[Seq[Long]])]
+    val partials = joined.mapPartitions { it =>
+      val cache = scala.collection.mutable.HashMap.empty[Int, NswGraph]
+      it.flatMap { case (qid, qv, bucket, ids, flat, adjSeq) =>
+        val g = cache.getOrElseUpdate(bucket, graphFromShard(ids, flat, adjSeq))
+        val qu = unitArr(qv.toArray)
+        if (nEntries == 1) g.search(qu, EfSearch).map { case (id, _) => (qid, id) }
+        else g.searchMulti(qu, nEntries).map(id => (qid, id))
       }
-      .toDF("qid", "vec_id")
+    }.toDF("qid", "vec_id")
     val scored = partials.distinct()
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("qid"),
         col("embedding").as("qv"))), "qid")
       .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
@@ -440,9 +443,9 @@ object HnswAnn {
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
     val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), NList, 10)
     lastCentroids = centroids
-    val adj = buildAdjacency(IvfIndex.assign(emb, centroids))
-    lastAdj = adj
-    searchStashed(emb, queries, centroids, adj, nEntries)
+    val shards = nswShards(IvfIndex.assign(emb, centroids)).localCheckpoint(true)
+    lastAdj = adjFromShards(shards) // oracle literal stash only
+    searchShards(shards, emb, queries, centroids, nEntries)
   }
 
   def hnswGraded(s: SparkSession, dir: String): DataFrame = gradedRun(s, dir, 1)
@@ -459,16 +462,18 @@ object HnswAnn {
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
     val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), NList, 10)
     lastCentroids = centroids
-    val adj = buildAdjacency(IvfIndex.assign(emb, centroids))
-    lastAdj = adj
-    val sizes: Map[Int, Long] = IvfIndex.assign(emb, centroids)
+    val assigned = IvfIndex.assign(emb, centroids)
+    val shards = nswShards(assigned).localCheckpoint(true)
+    lastAdj = adjFromShards(shards) // oracle literal stash only
+    // bucket sizes: an nlist-row aggregate (not corpus-sized)
+    val sizes: Map[Int, Long] = assigned
       .groupBy("centroid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val probes = queries.select(col("vec_id").cast("long"),
         col("embedding").cast(ArrayType(DoubleType))).collect()
       .map(r => r.getLong(0) -> spillProbes(centroids, sizes, r.getSeq[Double](1).toArray))
       .toMap
-    searchStashed(emb, queries, centroids, adj, nEntries = 1, probesOverride = probes)
+    searchShards(shards, emb, queries, centroids, nEntries = 1, probesOverride = probes)
   }
 
   /** Multi-probe variant: beams from MultiProbeEntries vec_id-rank-

@@ -416,16 +416,8 @@ object StreamingQueries {
     val cands = joined.mapPartitions { it =>
       val cache = scala.collection.mutable.HashMap.empty[Int, graft.operators.HnswAnn.NswGraph]
       it.flatMap { case (qid, qv, bucket, ids, flat, adjSeq) =>
-        val g = cache.getOrElseUpdate(bucket, {
-          val n = ids.length
-          val dim = if (n == 0) 1 else flat.length / n
-          val idsA = ids.toArray
-          val vecsA = Array.tabulate(n)(i =>
-            flat.slice(i * dim, (i + 1) * dim).toArray)
-          val amap: Map[Long, Array[Long]] =
-            idsA.zip(adjSeq.map(_.toArray)).toMap
-          new graft.operators.HnswAnn.NswGraph(idsA, vecsA).withAdj(amap)
-        })
+        val g = cache.getOrElseUpdate(bucket,
+          graft.operators.HnswAnn.graphFromShard(ids, flat, adjSeq))
         val qu = graft.operators.HnswAnn.unitArr(qv.toArray)
         g.search(qu, graft.operators.HnswAnn.EfSearch)
           .map { case (id, _) => (qid, id, qv) }
@@ -452,16 +444,18 @@ object StreamingQueries {
     val emb = Tables.load(s, dir, "embeddings")
     val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), HnswAnn.NList, 10)
     val assigned = IvfIndex.assign(emb, centroids)
-    val adj = HnswAnn.buildAdjacency(assigned)
     lastStreamNswCentroids = centroids
-    lastStreamNswAdj = adj
     val qs = emb.filter(col("vec_id") < VectorSearch.NQueries)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val chunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
     graft.Mat.withScratchDirs("stream_nsw_index") { case Seq(idx) =>
-      HnswAnn.nswShards(assigned, adj).write.mode("overwrite").parquet(idx)
+      // Graphs build executor-side straight into the at-rest shard
+      // layout; the oracle's adjacency literals are read back from the
+      // written index (column-pruned — the flattened vectors stay put).
+      HnswAnn.nswShards(assigned).write.mode("overwrite").parquet(idx)
       val shards = s.read.parquet(idx)
+      lastStreamNswAdj = HnswAnn.adjFromShards(shards)
       val out = drain(s, chunks, "update", sinkName("stream_nsw"))(
         nswServe(shards, emb, centroids, HnswAnn.NProbe, VectorSearch.K))
       graft.Mat.detach(out.orderBy("qid", "rank"))

@@ -120,8 +120,7 @@ object ScaleProbe {
           graft.streaming.StreamingQueries.ivfServe(indexed, centroids, 4, 10)))
       // NSW-graph serve: beams over prebuilt per-bucket graphs instead
       // of scanning the probed buckets — index build outside the timer
-      val adj = graft.operators.HnswAnn.buildAdjacency(indexed)
-      val shards = graft.operators.HnswAnn.nswShards(indexed, adj).localCheckpoint(true)
+      val shards = graft.operators.HnswAnn.nswShards(indexed).localCheckpoint(true)
       time("stream serve NSW-GRAPH (stream_nsw shape, nlist=64, probe 4): 16 queries, 1 trigger")(
         serveOnce("sp_serve_nsw")(
           graft.streaming.StreamingQueries.nswServe(shards, corpusD, centroids, 4, 10)))
