@@ -314,15 +314,27 @@ object Dedup {
     semDedupOn(planted, centroids, SemDedupTau)
   }
 
+  /** Salt factor for the within-cluster verify join: side A keyed by
+    * (centroid, vid mod salt), side B replicated salt× — a hot k-means
+    * cell's quadratic verify spreads across `salt` reducer tasks
+    * instead of one straggler (the dedupEmbeddingSalted / writeSalted
+    * remedy). The pair set is unchanged — only reducer placement moves
+    * — so salted results are identical (Round9Spec proves it, and pins
+    * the per-task row bound on a planted hot cluster). At 100 TB pick
+    * salt ~ ceil(maxClusterSize / targetRowsPerTask). */
+  val SemDedupSalt = 4
+
   def semDedupOn(corpus: DataFrame, centroids: Array[Array[Double]],
-      tau: Double): DataFrame = {
+      tau: Double, salt: Int = SemDedupSalt): DataFrame = {
     import graft.functions.VectorOps
     val assigned = IvfIndex.assign(corpus, centroids)
     val a = assigned.select(col("vec_id").as("vid_a"), col("centroid"),
       col("embedding").as("emb_a"))
+      .withColumn("salt", (col("vid_a") % salt).cast("int"))
     val b = assigned.select(col("vec_id").as("vid_b"), col("centroid"),
       col("embedding").as("emb_b"))
-    val dups = a.join(b, "centroid")
+      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+    val dups = a.join(b, Seq("centroid", "salt"))
       .filter(col("vid_b") < col("vid_a"))
       .withColumn("score", VectorOps.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("score") >= tau)
