@@ -36,6 +36,7 @@ object Bpe {
   val Merges = 10
 
   @volatile private var lastMerges: Seq[(String, String)] = _
+  @volatile private var lastDict: Array[(String, Long)] = _
 
   /** Frame a word as |c1||c2||…|cn| (segmentation string). */
   def frame(word: String): String =
@@ -98,7 +99,9 @@ object Bpe {
     * artifact a tokenizer ships. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val merges = trainMerges(wordFreq(docs), Merges)
+    val dict = wordFreq(docs)
+    lastDict = dict
+    val merges = trainMerges(dict, Merges)
     lastMerges = merges.map(t => (t._2, t._3))
     import s.implicits._
     merges.toDF("round", "left", "right", "cnt")
@@ -107,39 +110,67 @@ object Bpe {
       .orderBy("round")
   }
 
+  /** Driver-side segmentation replay of the BOUNDED dictionary under
+    * the trained merges: word -> token count. The dictionary is heaps
+    * of tokens, not text (same bound as trainMerges), so this is the
+    * tokenizer artifact a serving encode broadcasts. */
+  def dictTokenCounts(dict: Array[(String, Long)],
+                      merges: Seq[(String, String)]): Seq[(String, Long)] =
+    dict.toSeq.map { case (w, _) =>
+      val seg = merges.foldLeft(frame(w)) { case (s0, (l, r)) => applyMerge(s0, l, r) }
+      (w, symbolCount(seg).toLong)
+    }
+
   /** bpe_encode graded query: the learned merges applied back over
     * the whole corpus — per-doc token count under the trained
     * tokenizer vs raw char count (the compression the merges buy).
-    * The merge chain is literal `replace` calls on the framed
-    * segmentation (codegen built-ins; one scan projection + the
-    * word-explode aggregation, grouped on doc_id). */
+    *
+    * Encode shape: the trained dictionary's segmentations are replayed
+    * ONCE driver-side (bounded — [[dictTokenCounts]]) and broadcast;
+    * the corpus-sized pass is a broadcast hash join word -> token
+    * count. Only OOV words (outside the top-[[VocabWords]] dictionary,
+    * the corpus long tail) fall back to the inline merge chain of
+    * literal `replace` calls — evaluated lazily inside the when()
+    * branch, so the chain never runs for dictionary hits. This is the
+    * shape that survives a 32k-merge vocabulary: expression depth no
+    * longer grows with merge count on the hot path ([[
+    * encodeDistinctWords]] is the bounded-depth chain for the OOV
+    * side at real vocab sizes). */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val merges =
       if (lastMerges != null) lastMerges
       else {
-        val m = trainMerges(wordFreq(docs), Merges).map(t => (t._2, t._3))
+        val d = wordFreq(docs)
+        lastDict = d
+        val m = trainMerges(d, Merges).map(t => (t._2, t._3))
         lastMerges = m
         m
       }
+    val dict = if (lastDict != null) lastDict else { lastDict = wordFreq(docs); lastDict }
+    val dictDf = broadcast(dictTokenCounts(dict, merges).toDF("word", "dict_toks"))
     val words = docs
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-    // frame: '|' + chars joined by '||' + '|' — split on the (?=.)
-    // lookahead (a bare '' pattern appends a trailing empty element
-    // under Java's limit=-1 split semantics); then the merge chain as
-    // literal `replace` calls (codegen'd StringReplace, left-to-right
-    // non-overlapping — exactly the BPE scan on the framed form)
+    // OOV fallback: frame '|' + chars joined by '||' + '|' — split on
+    // the (?=.) lookahead (a bare '' pattern appends a trailing empty
+    // element under Java's limit=-1 split semantics); then the merge
+    // chain as literal `replace` calls (codegen'd StringReplace,
+    // left-to-right non-overlapping — exactly the BPE scan on the
+    // framed form)
     val segSql = merges.foldLeft(
       "concat('|', array_join(split(word, '(?=.)'), '||'), '|')") {
       case (acc, (l, r)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
     }
     val perWord = words
-      .withColumn("s", expr(segSql))
+      .join(dictDf, Seq("word"), "left")
+      .withColumn("s", when(col("dict_toks").isNull, expr(segSql)))
       .select(col("doc_id"),
         length(col("word")).as("chars"),
-        ((length(col("s")) - length(translate(col("s"), "|", "")))
-          .cast("long") / 2).cast("long").as("toks"))
+        coalesce(col("dict_toks"),
+          ((length(col("s")) - length(translate(col("s"), "|", "")))
+            .cast("long") / 2).cast("long")).as("toks"))
     val agg = perWord.groupBy("doc_id").agg(
       count(lit(1)).as("n_words"),
       sum(col("chars")).as("n_chars"),
@@ -150,6 +181,33 @@ object Bpe {
         coalesce(col("n_chars"), lit(0L)).as("n_chars"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** Segmentation of a DISTINCT-words table (col "word") under an
+    * arbitrarily long merge list — the OOV/offline path at real vocab
+    * sizes (32k merges), where one nested replace chain would build an
+    * expression tree 32k deep. Merges apply in bounded-depth batches
+    * (one narrow projection per batch; the plan is truncated every few
+    * batches so CollapseProject cannot re-grow the tree). Corpus-sized
+    * work stays a broadcast join against the returned (word, toks)
+    * table — this pass touches distinct words only. */
+  def encodeDistinctWords(words: DataFrame, merges: Seq[(String, String)],
+                          batch: Int = 64): DataFrame = {
+    var cur = words.withColumn("seg",
+      expr("concat('|', array_join(split(word, '(?=.)'), '||'), '|')"))
+    val groups = merges.grouped(batch).toSeq
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val chain = g.foldLeft("seg") { case (acc, (l, r)) =>
+        s"replace($acc, '${sqlQuote(s"|$l||$r|")}', '${sqlQuote(s"|$l$r|")}')"
+      }
+      cur = cur.withColumn("seg", expr(chain))
+      // truncate lineage every 8 batches (512 merges of collapsed
+      // projection depth) — keeps analysis/codegen stack-safe
+      if (i % 8 == 7 && i != groups.length - 1) cur = cur.localCheckpoint(true)
+    }
+    cur.select(col("word"),
+      ((length(col("seg")) - length(translate(col("seg"), "|", "")))
+        .cast("long") / 2).cast("long").as("toks"))
   }
 
   // ------------------------------------------------------------- oracle

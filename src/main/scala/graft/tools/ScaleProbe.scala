@@ -82,6 +82,43 @@ object ScaleProbe {
       val mtok = nDocs * tPerDoc / s / 1e6
       println(f"[scale] substring dedup (200k docs × 100 tok): $s%.2f s ($mtok%.1f M tokens/s, $covered docs covered)")
     }
+    // BPE encode at a real vocabulary size: train ≥1k merges on a
+    // synthetic 20k-word dictionary (driver-side, bounded), segment the
+    // distinct words through the bounded-depth batched chain, then
+    // encode a corpus-sized word stream via the broadcast (word, toks)
+    // join — the shape where expression depth does NOT grow with merge
+    // count on the corpus pass.
+    if (wanted("bpe")) {
+      val dictWords = Array.tabulate(20000) { i =>
+        // deterministic pseudo-words, 6-12 chars, skewed freq
+        val h = java.lang.Long.rotateLeft(i.toLong * 0x9e3779b97f4a7c15L, 17)
+        val len = 6 + (math.abs(h) % 7).toInt
+        val w = (0 until len).map(j =>
+          ('a' + (math.abs(java.lang.Long.rotateLeft(h, j * 5)) % 26).toInt).toChar)
+          .mkString
+        (w, (20000 - i).toLong)
+      }.distinctBy(_._1)
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.trainMerges(dictWords, 1200).map(t => (t._2, t._3))
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val wordsDf = dictWords.map(_._1).toSeq.toDF("word").repartition(32)
+      val t1 = System.nanoTime()
+      val segged = graft.operators.Bpe.encodeDistinctWords(wordsDf, merges)
+        .localCheckpoint(true)
+      val tSeg = (System.nanoTime() - t1) / 1e9
+      // corpus pass: n word occurrences drawn from the dictionary,
+      // token counts via broadcast join — no merge chain anywhere
+      val t2 = System.nanoTime()
+      val total = spark.range(n)
+        .select(element_at(typedlit(dictWords.map(_._1).toSeq),
+          (pmod(col("id"), lit(dictWords.length.toLong)) + 1).cast("int")).as("word"))
+        .join(broadcast(segged), "word")
+        .agg(sum("toks")).collect()(0).getLong(0)
+      val tJoin = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] bpe: ${merges.length} merges trained in $tTrain%.2f s; " +
+        f"20k distinct words segmented in $tSeg%.2f s (batched chain); " +
+        f"$n%d-word corpus encoded in $tJoin%.2f s (${n / tJoin / 1e6}%.1f M words/s, $total tokens)")
+    }
     time("multiscale custom plan (scales 8/16/32/64, k=10, 16 queries, ONE pass)")(
       graft.operators.Multiscale.topKAllScales(corpus, queries, 10, Seq(8, 16, 32, 64)).count())
     time("multiscale baseline: 4 per-scale Dataset-mapPartitions passes")(

@@ -57,4 +57,41 @@ class Round9Spec extends SparkTestBase {
       .select("vec_id", "dup_of").as[(Long, Long)].collect().toSet
     assert(out == Set((1000L, 0L), (1001L, 1L), (1002L, 2L)), out.toString)
   }
+
+  test("bpe: dictTokenCounts (driver replay) == encodeDistinctWords (batched chain), small batch") {
+    import graft.operators.Bpe
+    val dict = Array(("banana", 50L), ("bandana", 30L), ("cabana", 20L),
+      ("anna", 10L), ("x", 5L))
+    val merges = Bpe.trainMerges(dict, 6).map(t => (t._2, t._3))
+    assert(merges.nonEmpty)
+    val viaDriver = Bpe.dictTokenCounts(dict, merges).toMap
+    // batch=2 forces several chained projections + the truncation path
+    val viaChain = Bpe.encodeDistinctWords(
+      dict.map(_._1).toSeq.toDF("word"), merges, batch = 2)
+      .as[(String, Long)].collect().toMap
+    assert(viaChain == viaDriver, s"chain=$viaChain driver=$viaDriver")
+  }
+
+  test("bpe_encode: dictionary-join path == pure merge-chain path on real docs") {
+    import graft.operators.Bpe
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dict = Bpe.wordFreq(docs)
+    val merges = Bpe.trainMerges(dict, Bpe.Merges).map(t => (t._2, t._3))
+    // chain-only twin: every word through the inline replace chain
+    val segSql = merges.foldLeft(
+      "concat('|', array_join(split(word, '(?=.)'), '||'), '|')") {
+      case (acc, (l, r)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    val words = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    val chainAgg = words.withColumn("s", expr(segSql))
+      .select(col("doc_id"),
+        ((length(col("s")) - length(translate(col("s"), "|", "")))
+          .cast("long") / 2).cast("long").as("toks"))
+      .groupBy("doc_id").agg(sum("toks").as("n_tokens"))
+      .as[(Long, Long)].collect().toMap
+    val viaDict = Bpe.bpeEncode(spark, sfDir)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(viaDict.filter(_._2 > 0) == chainAgg, "dictionary-join encode diverged from chain encode")
+  }
 }
