@@ -101,4 +101,74 @@ class ServeCompactionSpec extends SparkTestBase {
       assert(plan.contains("PartitionFilters"), plan.take(800))
     }
   }
+
+  test("coded-layout serve racing compactIndex: candidate emissions bit-equal throughout and after the swap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.BinaryQuant
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), 16, 10)
+    val qs = emb.filter($"vec_id" < 12)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val chunks = qs.grouped(math.max(1, qs.length / 3)).map(_.toSeq).toSeq
+    val r = BinaryQuant.RerankR
+
+    def runServe(codes: DataFrame, beforeTrigger: Int => Unit = _ => ())
+        : Seq[(Long, Long, Double, Int)] = {
+      val input = MemoryStream[(Long, Seq[Double])]
+      val name = nextSink()
+      val q = StreamingQueries.codedServe(codes, centroids, 4, r)(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try chunks.zipWithIndex.foreach { case (c, i) =>
+        beforeTrigger(i); input.addData(c: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[(Long, Long, Double, Int)]
+        .collect().sortBy(t => (t._1, t._4)).toSeq
+    }
+
+    Mat.withScratchDirs("r9_coded_live", "r9_coded_compacted") { case Seq(live, compacted) =>
+      // coded serving layout with several file generations per bucket
+      // (incremental-ingest shape): (vec_id, embedding, code, centroid)
+      val coded = IvfIndex.assign(emb, centroids)
+        .withColumn("code", graft.functions.VectorOps.signCode($"embedding"))
+      (0 until 3).foreach { i =>
+        coded.filter(pmod($"vec_id", lit(3)) === i)
+          .write.partitionBy("centroid").mode("append").parquet(live)
+      }
+      def codesOf(dir: String) = spark.read.parquet(dir)
+        .select($"vec_id", $"code", $"centroid".cast("int").as("centroid"))
+
+      val quiet = runServe(codesOf(live))
+      assert(quiet.nonEmpty && quiet.map(_._1).distinct.length == qs.length)
+
+      @volatile var compactJob: Future[Unit] = null
+      val racing = runServe(codesOf(live), beforeTrigger = { i =>
+        if (i == 1) {
+          compactJob = Future { IvfIndex.compactIndex(spark, live, compacted) }
+          assert(!compactJob.isCompleted, "compaction finished before any trigger raced it")
+        }
+      })
+      Await.result(compactJob, Duration(180, "s"))
+      assert(racing == quiet, "coded serve drifted while compaction raced the layout")
+
+      // post-swap serve from the compacted coded layout: bit-equal, and
+      // the persisted code column survived the rewrite
+      val swapped = runServe(codesOf(compacted))
+      assert(swapped == quiet, "serve from the compacted coded layout differs")
+
+      def parquetFiles(root: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(root))
+      }
+      assert(parquetFiles(compacted) < parquetFiles(live))
+      // candidate path still reads only (vec_id, code) of pruned partitions
+      val plan = codesOf(compacted).filter($"centroid" === 3)
+        .select($"vec_id", $"code")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan.take(800))
+      assert(!plan.contains("embedding"), "candidate scan read the float column")
+    }
+  }
 }
