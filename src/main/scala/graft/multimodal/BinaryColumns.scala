@@ -102,12 +102,98 @@ object BinaryColumns {
 
   /** The deterministic fake wired where codecs are absent (container
     * has no PIL/ffmpeg/librosa — SURVEY §1 declared scope): per-element
-    * decodeStub, batch-shaped. */
+    * decodeStub, batch-shaped. The decoder owns the image "resize"
+    * pre-process (as a real one does), so the host passes raw image
+    * payloads for every decoder. */
   object StubDecoder extends MediaDecoder {
     override def name: String = "stub"
     override def decodeBatch(modality: String,
                              payloads: Array[Array[Byte]]): Array[Array[Float]] =
-      payloads.map(decodeStub(_))
+      modality match {
+        case "image" => payloads.map(p => decodeStub(resizeStub(p, 224, 224)))
+        case _ => payloads.map(decodeStub(_))
+      }
+  }
+
+  /** REAL image decode path (pure JVM, JDK-only): ImageIO decode
+    * (PNG/JPEG/BMP/GIF) → RGB → bicubic resize to 224×224 → CLIP
+    * mean/std channel normalization — the reference's image preprocess
+    * (image_embedder.py:54-116: PIL open → RGB → resize 224 bicubic →
+    * normalize) — then a deterministic 8×8 patch mean-pool down to
+    * FeatureDim as the stand-in for the vision tower forward pass
+    * (model inference is out of scope per SURVEY §1; an ONNX session
+    * drops in at exactly this point, see DECODERS.md), L2-normalized.
+    * Audio/video payloads still go through the stub (no JVM codec in
+    * the JDK for them). */
+  object ImageIoDecoder extends MediaDecoder {
+    override def name: String = "imageio"
+    val ClipMean: Array[Double] = Array(0.48145466, 0.4578275, 0.40821073)
+    val ClipStd: Array[Double] = Array(0.26862954, 0.26130258, 0.27577711)
+    val Side = 224
+
+    override def decodeBatch(modality: String,
+                             payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      modality match {
+        case "image" => payloads.map(decodeImage)
+        case m => StubDecoder.decodeBatch(m, payloads)
+      }
+
+    def decodeImage(bytes: Array[Byte]): Array[Float] = {
+      require(FeatureDim == 64, "patch pooling assumes an 8x8 grid")
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(src != null, "undecodable image payload")
+      val img = new java.awt.image.BufferedImage(Side, Side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BICUBIC)
+      g.drawImage(src, 0, 0, Side, Side, null)
+      g.dispose()
+      val patch = Side / 8 // 28
+      val acc = new Array[Double](FeatureDim)
+      var y = 0
+      while (y < Side) {
+        var x = 0
+        while (x < Side) {
+          val rgb = img.getRGB(x, y)
+          val r = ((rgb >> 16) & 0xff) / 255.0
+          val gg = ((rgb >> 8) & 0xff) / 255.0
+          val b = (rgb & 0xff) / 255.0
+          val v = ((r - ClipMean(0)) / ClipStd(0) +
+            (gg - ClipMean(1)) / ClipStd(1) +
+            (b - ClipMean(2)) / ClipStd(2)) / 3.0
+          acc((y / patch) * 8 + (x / patch)) += v
+          x += 1
+        }
+        y += 1
+      }
+      val pooled = acc.map(_ / (patch.toDouble * patch))
+      val n = math.sqrt(pooled.map(v => v * v).sum)
+      if (n == 0.0) pooled.map(_ => (1.0 / math.sqrt(FeatureDim)).toFloat)
+      else pooled.map(v => (v / n).toFloat)
+    }
+  }
+
+  /** Deterministic synthetic PNG: a real encoded image (JDK PNG
+    * writer) whose pixels derive from the seed — gives the image
+    * modality genuine codec bytes to decode without any external
+    * data. */
+  def makePng(seed: Long, w: Int = 64, h: Int = 48): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = TextHash.mix64(seed ^ (y.toLong * w + x) * TextHash.Golden)
+        img.setRGB(x, y, (m & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** One decode unit: a payload plus where its feature lands (row slot,
@@ -137,7 +223,8 @@ object BinaryColumns {
                 case (f, fi) => Unit4(ri, fi, "video", f)
               }
             case "image" =>
-              Iterator.single(Unit4(ri, 0, "image", resizeStub(r.payload, 224, 224)))
+              // raw payload: the decoder owns resize/preprocess
+              Iterator.single(Unit4(ri, 0, "image", r.payload))
             case m =>
               Iterator.single(Unit4(ri, 0, m, r.payload))
           }
@@ -166,9 +253,12 @@ object BinaryColumns {
     }
   }
 
-  /** Synthesize a deterministic media table from the documents table
-    * (payload = utf8 text bytes) — exercises the full pipeline against
-    * the shipped testdata without real codecs. */
+  /** Synthesize a deterministic media table from the documents table —
+    * exercises the full pipeline against the shipped testdata. Image
+    * rows carry REAL encoded PNG bytes (seeded from the doc id, JDK
+    * PNG writer) so the image path decodes actual codec payloads;
+    * audio/video rows carry utf8 text bytes for the stub (no JDK codec
+    * for those modalities). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.load(spark, dir, "documents")
@@ -176,20 +266,28 @@ object BinaryColumns {
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
         val modality = Seq("image", "audio", "video")((id % 3).toInt)
+        val payload =
+          if (modality == "image") makePng(id) else text.getBytes("UTF-8")
         MediaRow(id,
-          MediaMeta(modality, 640, 480, text.length.toLong * 10L, "stub"),
-          text.getBytes("UTF-8"))
+          MediaMeta(modality, if (modality == "image") 64 else 640,
+            if (modality == "image") 48 else 480,
+            text.length.toLong * 10L,
+            if (modality == "image") "png" else "stub"),
+          payload)
       }
   }
 
   /** Query-surface form: media features as a DataFrame compatible with
     * the k-NN operators (media_id, modality, embedding). Graded
-    * (multimodal_embed) through the batched columnar decode contract —
-    * MultimodalSpec proves the contract equals the row-at-a-time path
-    * and is invariant to batch boundaries. */
+    * (multimodal_embed) through the batched columnar decode contract
+    * with the REAL ImageIO decoder on the image modality (actual PNG
+    * decode + bicubic resize + CLIP normalization; audio/video remain
+    * stubbed) — MultimodalSpec proves the contract equals the
+    * row-at-a-time path and is invariant to batch boundaries for both
+    * decoders. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    extractFeaturesBatched(mediaFromDocuments(spark, dir))
+    extractFeaturesBatched(mediaFromDocuments(spark, dir), ImageIoDecoder)
       .toDF("vec_id", "modality", "embedding")
   }
 }

@@ -69,6 +69,73 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  private def flatImage(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoDecoder: real pixel math — constant images pool to uniform features with the CLIP-normalized sign") {
+    import BinaryColumns.ImageIoDecoder
+    // white: (1 - mean)/std > 0 per channel → every patch positive and
+    // equal → L2-normalized feature is exactly +1/8 everywhere (8x8 grid)
+    val white = ImageIoDecoder.decodeImage(flatImage(10, 10, 0xffffff))
+    assert(white.length == BinaryColumns.FeatureDim)
+    white.foreach(v => assert(math.abs(v - 0.125f) < 1e-6, s"white -> $v"))
+    // black: (0 - mean)/std < 0 → -1/8 everywhere
+    val black = ImageIoDecoder.decodeImage(flatImage(300, 200, 0x000000))
+    black.foreach(v => assert(math.abs(v + 0.125f) < 1e-6, s"black -> $v"))
+    // left-black/right-white: after bicubic resize the left patch
+    // columns stay negative, the right ones positive
+    val img = new java.awt.image.BufferedImage(100, 100,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 100).foreach(y => (0 until 100).foreach(x =>
+      img.setRGB(x, y, if (x < 50) 0x000000 else 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val half = ImageIoDecoder.decodeImage(out.toByteArray)
+    (0 until 8).foreach { py =>
+      assert(half(py * 8 + 0) < 0, "leftmost patch should be dark")
+      assert(half(py * 8 + 7) > 0, "rightmost patch should be bright")
+    }
+    // decode is deterministic
+    assert(ImageIoDecoder.decodeImage(flatImage(10, 10, 0x123456)).toSeq ==
+      ImageIoDecoder.decodeImage(flatImage(10, 10, 0x123456)).toSeq)
+  }
+
+  test("ImageIoDecoder: batch-size and partitioning invariance (the MediaDecoder contract)") {
+    val media = BinaryColumns.mediaFromDocuments(spark, sfDir)
+    def key(rows: Array[BinaryColumns.MediaFeature]) =
+      rows.sortBy(_.media_id).map(r => (r.media_id, r.modality, r.embedding.toSeq)).toSeq
+    val want = key(BinaryColumns.extractFeaturesBatched(
+      media, BinaryColumns.ImageIoDecoder).collect())
+    assert(want.nonEmpty)
+    Seq(1, 7, 10000).foreach { bs =>
+      val got = key(BinaryColumns.extractFeaturesBatched(
+        media, BinaryColumns.ImageIoDecoder, batchSize = bs).collect())
+      assert(got == want, s"batchSize=$bs changed ImageIoDecoder results")
+    }
+    Seq(1, 3, 17).foreach { np =>
+      val got = key(BinaryColumns.extractFeaturesBatched(
+        media.repartition(np), BinaryColumns.ImageIoDecoder, batchSize = 7).collect())
+      assert(got == want, s"numPartitions=$np changed ImageIoDecoder results")
+    }
+    // image features are REAL pixel math (unit-norm, not the stub's
+    // hash fingerprint of the same payload)
+    val imgRows = want.filter(_._2 == "image")
+    assert(imgRows.nonEmpty)
+    val stub = key(BinaryColumns.extractFeaturesBatched(media).collect())
+      .filter(_._2 == "image")
+    assert(imgRows != stub, "image path still produces stub features")
+    imgRows.take(5).foreach { case (_, _, e) =>
+      val n = math.sqrt(e.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+  }
+
   test("decoder is pluggable: decode calls arrive as dense same-modality batches") {
     // a probe decoder records every (modality, batch size) it sees and
     // tags rows so dispatch is observable end-to-end
