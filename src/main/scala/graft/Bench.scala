@@ -38,32 +38,61 @@ object Bench {
     // Sampling every 15 queries bounds the undetectable window to one
     // stretch of ~15 queries at ~0.4 s of canary cost per point.
     val canaryFn = SparkEntry.queries("knn_cosine")
-    val canary = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val CanaryEvery = 15
+    /** Drift above this invalidates a pass: BENCH_r07/r08 both shipped
+      * artifacts whose own canary read 1.7×/8.8× and whose per-query
+      * numbers were then unusable as a regression signal. */
+    val DriftLimit = 2.0
+    val MaxPasses = 3
     // min-of-n per point (same steady-state philosophy as the
     // per-query min-of-3): the canary must measure the HOST, not the
-    // JIT ramp. The start point sits before any real query has warmed
-    // the session, so it gets extra samples (measured: 1 warm + 2
-    // samples still read ~3× the steady state; 1 warm + 4 samples
-    // reaches it); mid/end are already warm and take 2.
+    // JIT ramp. The start point of the FIRST pass sits before any real
+    // query has warmed the session, so it gets extra samples (measured:
+    // 1 warm + 2 samples still read ~3× the steady state; 1 warm + 4
+    // reaches it); later points/passes are warm and take 2. Drift is
+    // judged on the fully-warm points (every-K + end) — the pass-1
+    // start point is context, not signal.
     def canaryPoint(n: Int): Double = Seq.fill(n)(time(canaryFn)).min
-    time(canaryFn) // discard: first execution is dominated by codegen
-    canary += canaryPoint(4)
-    val CanaryEvery = 15
     val qseq = SparkEntry.queries.toSeq
-    val runs = qseq.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % CanaryEvery == 0) canary += canaryPoint(2)
-      name -> Seq(time(fn), time(fn), time(fn))
-    }.toMap
-    canary += canaryPoint(2)
-    // Drift is judged on the fully-warm points (every-K + end): the
-    // start point always carries some session ramp no matter how many
-    // samples it takes (measured: still ~2.5× steady at 1 warm +
-    // min-of-4) and is reported as context, not signal. A quiet host
-    // reads ~1.0; BENCH_r07's pattern (untouched queries 5×) would
-    // read >2.
-    val warm = canary.drop(1)
-    val canaryDrift = warm.max / math.max(warm.min, 1e-9)
-    val results = runs.map { case (k, v) => k -> v.min }
+    def measurePass(first: Boolean): (Map[String, Double], Vector[Double], Double) = {
+      val canary = scala.collection.mutable.ArrayBuffer.empty[Double]
+      if (first) { time(canaryFn); canary += canaryPoint(4) } // discard codegen run
+      else canary += canaryPoint(2)
+      val runs = qseq.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % CanaryEvery == 0) canary += canaryPoint(2)
+        name -> Seq(time(fn), time(fn), time(fn)).min
+      }.toMap
+      canary += canaryPoint(2)
+      val warm = if (first) canary.drop(1) else canary
+      (runs, canary.toVector, warm.max / math.max(warm.min, 1e-9))
+    }
+    // A noisy pass is RE-RUN, not shipped: the canary exists to catch
+    // in-run host contention, and acting on it means measuring again.
+    // Per-query results min-merge across passes (noise only inflates,
+    // so the min is the steady-state cost); the artifact's canary/
+    // drift fields describe the CLEANEST pass, and every pass's drift
+    // is recorded. If no pass comes in under the limit the artifact
+    // says noisy:true — explicitly unusable for cross-round deltas.
+    var results = Map.empty[String, Double]
+    val passDrifts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var bestCanary: Vector[Double] = Vector.empty
+    var bestDrift = Double.MaxValue
+    var pass = 0
+    var done = false
+    while (pass < MaxPasses && !done) {
+      val (runs, czn, drift) = measurePass(first = pass == 0)
+      results =
+        if (results.isEmpty) runs
+        else results.map { case (k, v) => k -> math.min(v, runs(k)) }
+      passDrifts += drift
+      if (drift < bestDrift) { bestDrift = drift; bestCanary = czn }
+      if (drift <= DriftLimit) done = true
+      else System.err.println(
+        f"[bench] canary drift $drift%.2f > $DriftLimit on pass ${pass + 1} — re-running")
+      pass += 1
+    }
+    val canaryDrift = bestDrift
+    val noisy = canaryDrift > DriftLimit
     // Locale.ROOT: f"" interpolators use the JVM default locale, which on a
     // comma-decimal host would emit invalid JSON.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -77,9 +106,10 @@ object Bench {
       if (sorted.isEmpty) 0.0
       else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
     val qps = if (total > 0) results.size / total else 0.0
-    val canaryJson = canary.map(r3).mkString("[", ",", "]")
+    val canaryJson = bestCanary.map(r3).mkString("[", ",", "]")
+    val passDriftJson = passDrifts.map(r3).mkString("[", ",", "]")
     def header(nOmitted: Int): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","p50":${r3(pct(0.5))},"p95":${r3(pct(0.95))},"qps":${r3(qps)},"n_queries":${results.size},"queries_omitted":$nOmitted,"canary_sec":$canaryJson,"canary_drift":${r3(canaryDrift)},"sf":"$sfDir","queries":"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","p50":${r3(pct(0.5))},"p95":${r3(pct(0.95))},"qps":${r3(qps)},"n_queries":${results.size},"queries_omitted":$nOmitted,"canary_sec":$canaryJson,"canary_drift":${r3(canaryDrift)},"pass_drifts":$passDriftJson,"noisy":$noisy,"sf":"$sfDir","queries":"""
     // Full-fidelity artifact: every per-query time at ms precision.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

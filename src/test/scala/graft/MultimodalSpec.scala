@@ -136,6 +136,81 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  private def sineWav(freqHz: Double, rate: Float, nSamples: Int,
+                      channels: Int = 1, amp: Double = 0.8): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2 * channels)
+    (0 until nSamples).foreach { i =>
+      val v = amp * math.sin(2 * math.Pi * freqHz * i / rate)
+      val s = math.max(-32768, math.min(32767, (v * 32767).toInt)).toShort
+      (0 until channels).foreach { c =>
+        val off = (i * channels + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("AudioIoDecoder: real signal math — a pure tone concentrates energy in its mel band, at any source rate or channel count") {
+    import BinaryColumns.AudioIoDecoder
+    def dominantBand(feat: Array[Float]): Int = {
+      // average the 8 frames, return the argmax band
+      val byBand = (0 until AudioIoDecoder.NBands).map { b =>
+        (0 until AudioIoDecoder.NFrames).map(f => feat(f * AudioIoDecoder.NBands + b)).sum
+      }
+      byBand.indexOf(byBand.max)
+    }
+    val tone = 500.0
+    val expected = math.min(AudioIoDecoder.NBands - 1,
+      (AudioIoDecoder.mel(tone) / AudioIoDecoder.mel(AudioIoDecoder.TargetRate / 2) *
+        AudioIoDecoder.NBands).toInt)
+    val at8k = AudioIoDecoder.decodeAudio(sineWav(tone, 8000f, 1600))
+    assert(at8k.length == BinaryColumns.FeatureDim)
+    assert(dominantBand(at8k) == expected, s"8k: ${dominantBand(at8k)} != $expected")
+    // resample path: same tone sampled at 16 kHz lands in the same band
+    val at16k = AudioIoDecoder.decodeAudio(sineWav(tone, 16000f, 3200))
+    assert(dominantBand(at16k) == expected, s"16k: ${dominantBand(at16k)}")
+    // stereo mixdown: 2-channel tone decodes to the same band
+    val stereo = AudioIoDecoder.decodeAudio(sineWav(tone, 8000f, 1600, channels = 2))
+    assert(dominantBand(stereo) == expected, s"stereo: ${dominantBand(stereo)}")
+    // a much higher tone moves the dominant band up
+    val hi = AudioIoDecoder.decodeAudio(sineWav(3500.0, 8000f, 1600))
+    assert(dominantBand(hi) > expected, s"hi tone band ${dominantBand(hi)}")
+    // deterministic + unit norm
+    assert(at8k.toSeq == AudioIoDecoder.decodeAudio(sineWav(tone, 8000f, 1600)).toSeq)
+    val n = math.sqrt(at8k.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+  }
+
+  test("JdkDecoder (graded default): batch-size and partitioning invariance; image+audio are real, video stubbed") {
+    val media = BinaryColumns.mediaFromDocuments(spark, sfDir)
+    def key(rows: Array[BinaryColumns.MediaFeature]) =
+      rows.sortBy(_.media_id).map(r => (r.media_id, r.modality, r.embedding.toSeq)).toSeq
+    val want = key(BinaryColumns.extractFeaturesBatched(
+      media, BinaryColumns.JdkDecoder).collect())
+    Seq(1, 7, 10000).foreach { bs =>
+      val got = key(BinaryColumns.extractFeaturesBatched(
+        media, BinaryColumns.JdkDecoder, batchSize = bs).collect())
+      assert(got == want, s"batchSize=$bs changed JdkDecoder results")
+    }
+    Seq(3, 17).foreach { np =>
+      val got = key(BinaryColumns.extractFeaturesBatched(
+        media.repartition(np), BinaryColumns.JdkDecoder, batchSize = 7).collect())
+      assert(got == want, s"numPartitions=$np changed JdkDecoder results")
+    }
+    val stub = key(BinaryColumns.extractFeaturesBatched(media).collect())
+    def m(rows: Seq[(Long, String, Seq[Float])], mod: String) = rows.filter(_._2 == mod)
+    assert(m(want, "image") != m(stub, "image"), "image not on the real path")
+    assert(m(want, "audio") != m(stub, "audio"), "audio not on the real path")
+    assert(m(want, "video") == m(stub, "video"), "video should remain stubbed")
+  }
+
   test("decoder is pluggable: decode calls arrive as dense same-modality batches") {
     // a probe decoder records every (modality, batch size) it sees and
     // tags rows so dispatch is observable end-to-end
