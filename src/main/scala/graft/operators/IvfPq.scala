@@ -147,11 +147,121 @@ object IvfPq {
     search(emb, emb.filter(col("vec_id") < VectorSearch.NQueries), VectorSearch.K, model)
   }
 
+  // ---------------------------------------------- at-rest coded layout
+
+  /** Write the centroid-partitioned IVF-PQ index layout: one routing
+    * pass assigns the bucket and encodes the residual PQ codes (m
+    * one-byte codes per vector — the only per-vector payload the
+    * candidate stage ever needs), written next to the embedding so the
+    * rerank stage can point-read the float column of the same pruned
+    * partitions. No shuffle beyond the partitioned write itself. */
+  def writeCodedPqLayout(corpus: DataFrame, model: Model, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bm = spark.sparkContext.broadcast(model)
+    corpus.select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val mdl = bm.value
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val b = IvfIndex.nearest(mdl.centroids, v)
+          val ctr = mdl.centroids(b)
+          val res = Array.tabulate(v.length)(i => v(i) - ctr(i))
+          (id, ProductQuant.encode(mdl.cb, res).toSeq, vSeq, b)
+        }
+      }.toDF("vec_id", "codes", "embedding", "centroid")
+      .write.partitionBy("centroid").mode("overwrite").parquet(dir)
+  }
+
+  /** Stage 1 over a loaded coded layout: the code-only ADC candidate
+    * scan. probeDf carries one row per (query, probed bucket) WITH that
+    * pair's residual ADC LUT ([m × k] doubles — query-sized, broadcast);
+    * the scan reads ONLY (vec_id, codes) inside the probed partitions
+    * and scores each candidate with m byte-indexed LUT lookups folded
+    * left-to-right in subspace order (codegen HOFs — the same
+    * association as the in-memory kernel and the SQL twin's unrolled
+    * sum). Exposed so the spec can pin the plan (PartitionFilters on
+    * centroid; ReadSchema without the embedding column). */
+  def pqCodedCandidates(loaded: DataFrame, probeDf: DataFrame,
+      probedCentroids: Seq[Int]): DataFrame =
+    loaded.filter(col("centroid").isin(probedCentroids: _*))
+      .select(col("vec_id"), col("codes"), col("centroid"))
+      .join(broadcast(probeDf), "centroid")
+      .withColumn("adc", expr(
+        "aggregate(transform(codes, (c, s) -> lut[s][c]), cast(0.0 as double), (a, x) -> a + x)"))
+
+  /** IVF-PQ probe over the at-rest layout: candidate generation reads
+    * codes only (m bytes/vector instead of 4·dim — a 32× narrower scan
+    * at 64-d float32), the (adc, vec_id)-ordered top k·refine rerank
+    * through a broadcast join-back onto the float column of the same
+    * pruned partitions. Bit-equal to the in-memory `search` (same
+    * trained model, same LUT arithmetic and association, same candidate
+    * cut and rerank ordering), so the SAME SQL twin grades both. */
+  def ivfpqCodedProbe(loaded: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nprobe: Int = NProbe, refine: Int = Refine): DataFrame = {
+    val s = loaded.sparkSession
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // per (query, probed bucket): the residual LUT, exactly as the
+    // in-memory kernel builds it (same tabulate order and arithmetic)
+    val probes = qRows.flatMap { case (qid, qv) =>
+      IvfIndex.nearestN(model.centroids, qv, nprobe).map { b =>
+        val ctr = model.centroids(b)
+        val qres = Array.tabulate(qv.length)(i => qv(i) - ctr(i))
+        val lut = Array.tabulate(model.cb.m, model.cb.books(0).length) { (sub, code) =>
+          val cc = model.cb.books(sub)(code)
+          var d = 0.0; var i = 0
+          while (i < model.cb.subDim) {
+            val df = qres(sub * model.cb.subDim + i) - cc(i); d += df * df; i += 1
+          }
+          d
+        }
+        (qid, b, lut.map(_.toSeq).toSeq)
+      }
+    }
+    val probedCentroids = probes.map(_._2).distinct.sorted.toSeq
+    import s.implicits._
+    val probeDf = probes.toSeq.toDF("qid", "centroid", "lut")
+
+    val nCand = k * refine
+    val aw = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = pqCodedCandidates(loaded, probeDf, probedCentroids)
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") <= nCand)
+      .select("qid", "vec_id")
+
+    val vecs = loaded.filter(col("centroid").isin(probedCentroids: _*))
+      .select(col("vec_id"), col("embedding"))
+    val scored = broadcast(cand)
+      .join(vecs, "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+      .withColumn("score", graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "score", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  def ivfpqCoded(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val model = trainModel(IvfIndex.trainSample(emb))
+    lastCodedModel = model
+    graft.Mat.withScratchDirs("ivfpq_coded") { case Seq(out) =>
+      writeCodedPqLayout(emb, model, out)
+      graft.Mat.detach(ivfpqCodedProbe(s.read.parquet(out),
+        emb.filter(col("vec_id") < VectorSearch.NQueries), model, VectorSearch.K))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ivfpq_search" -> (ivfpqSearch _))
+    Map("ivfpq_search" -> (ivfpqSearch _),
+        "ivfpq_coded" -> (ivfpqCoded _))
 
   // ------------------------------------------------------------ oracle
   @volatile private var lastModel: Model = _
+  @volatile private var lastCodedModel: Model = _
 
   /** Full-pipeline SQL twin from this run's trained model literals:
     * route (argmin over centroid distances), residual, encode (argmin
@@ -240,7 +350,12 @@ object IvfPq {
        |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
   }
 
-  def oracles: Map[String, String] =
-    if (lastModel == null) Map.empty
-    else Map("ivfpq_search" -> ivfpqSql(lastModel))
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    if (lastModel != null) m += "ivfpq_search" -> ivfpqSql(lastModel)
+    // the coded probe is bit-equal to the in-memory pipeline from the
+    // same model, so the same full-pipeline twin grades it
+    if (lastCodedModel != null) m += "ivfpq_coded" -> ivfpqSql(lastCodedModel)
+    m.result()
+  }
 }

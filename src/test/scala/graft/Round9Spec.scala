@@ -94,4 +94,98 @@ class Round9Spec extends SparkTestBase {
       .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
     assert(viaDict.filter(_._2 > 0) == chainAgg, "dictionary-join encode diverged from chain encode")
   }
+
+  test("ivfpq_coded: at-rest coded probe == in-memory ivfpq_search; candidate scan prunes partitions, never reads the float column") {
+    import graft.operators.{IvfPq, VectorSearch}
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < VectorSearch.NQueries)
+    val model = IvfPq.trainModel(IvfIndex.trainSample(emb))
+    graft.Mat.withScratchDirs("pq_coded_spec") { case Seq(dir) =>
+      IvfPq.writeCodedPqLayout(emb, model, dir)
+      val loaded = spark.read.parquet(dir)
+      val a = IvfPq.ivfpqCodedProbe(loaded, q, model, VectorSearch.K)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      val b = IvfPq.search(emb, q, VectorSearch.K, model)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(a.nonEmpty && a == b,
+        s"coded != in-memory; first diff: ${a.zip(b).find(p => p._1 != p._2)}")
+
+      // stage-1 plan: explicit partition predicate; the LAYOUT scan
+      // reads (vec_id, codes) only — the embedding column never decodes
+      val probeDf = Seq((0L, 0, Seq.fill(model.cb.m)(Seq.fill(16)(0.0))))
+        .toDF("qid", "centroid", "lut")
+      val plan = IvfPq.pqCodedCandidates(loaded, probeDf, Seq(0, 1))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("centroid"),
+        plan.take(800))
+      val layoutScans = plan.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("pq_coded_spec"))
+        .toList
+      assert(layoutScans.nonEmpty, plan.take(1200))
+      layoutScans.foreach { l =>
+        assert(l.contains("codes") && !l.contains("embedding"), l)
+      }
+    }
+  }
+
+  test("bm25: self-match ranks first; a planted near-copy outranks unrelated docs") {
+    import graft.operators.Bm25
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),   // near-copy of 0
+      (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven twelve"),
+      (4L, "alpha one seven unique thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val out = Bm25.bm25TopN(docs, 5)
+      .filter($"qid" === 0L)
+      .orderBy($"rank")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out.head == 0L, s"self-match not rank 1: $out")
+    assert(out.indexOf(1L) == 1, s"near-copy not rank 2: $out")
+    // docs sharing no term never appear
+    assert(!out.contains(2L) && !out.contains(3L), out.toString)
+  }
+
+  test("bm25: rarer shared terms score higher than corpus-wide terms (idf ordering)") {
+    import graft.operators.Bm25
+    // 'common' appears in every doc (idf 0); 'rare' in exactly two.
+    val docs = Seq(
+      (0L, "common rare filler1 filler2"),
+      (1L, "common rare fillerA fillerB"),
+      (2L, "common x1 x2 x3"),
+      (3L, "common y1 y2 y3"))
+      .toDF("doc_id", "text")
+    val scores = Bm25.bm25TopN(docs, 4).filter($"qid" === 0L)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    // doc 1 shares common+rare; docs 2,3 share only the idf-0 'common'
+    assert(scores(1L) > scores(2L) && scores(1L) > scores(3L), scores.toString)
+  }
+
+  test("hybrid_rrf: a doc found by both systems outranks equal-rank single-system docs") {
+    import graft.operators.Bm25
+    // build the fused frame by hand through the same rrf arithmetic
+    val vec = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)).toDF("qid", "id", "vec_rank")
+    val bm = Seq((0L, 10L, 3), (0L, 13L, 1), (0L, 14L, 2)).toDF("qid", "id", "bm25_rank")
+    val fused = vec.join(bm, Seq("qid", "id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"coalesce(1.0D / (${Bm25.RrfK} + vec_rank), 0.0D) + coalesce(1.0D / (${Bm25.RrfK} + bm25_rank), 0.0D)"))
+      .orderBy(desc("rrf"), $"id")
+      .select("id").as[Long].collect().toSeq
+    // id 10: vec rank 1 + bm rank 3 — two lists beat any single list
+    assert(fused.head == 10L, fused.toString)
+    // singles order among themselves by their one rank
+    assert(fused.indexOf(13L) < fused.indexOf(14L), fused.toString)
+  }
+
+  test("hybrid_rrf on testdata: every query's fused head is the self-match; ranks consistent with inputs") {
+    import graft.operators.Bm25
+    val out = Bm25.hybridRrf(spark, sfDir)
+    val heads = out.filter($"rank" === 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSeq
+    // self-match is rank 1 in BOTH systems → rrf 2/(60+1), unbeatable
+    assert(heads.nonEmpty && heads.forall(p => p._1 == p._2), heads.toString)
+    val bad = out.filter($"vec_rank".isNull && $"bm25_rank".isNull).count()
+    assert(bad == 0, "a fused row lost both source ranks")
+  }
 }
