@@ -312,6 +312,65 @@ object ScaleProbe {
       }
     }
 
+    // At-rest IVF-PQ coded index (round 9): m-byte residual codes
+    // persisted in the centroid-partitioned layout, ADC candidate scan
+    // reads (vec_id, codes) only, rerank joins back to floats.
+    // In-memory twin for the delta.
+    if (wanted("pqcodedrest")) {
+      val sample = corpus.selectExpr("cast(embedding as array<double>)")
+        .limit(100000).collect().map(_.getSeq[Double](0).toArray)
+      val mdl = graft.operators.IvfPq.trainModel(sample, nlist = 64)
+      graft.Mat.withScratchDirs("pqcodedrest") { case Seq(dir) =>
+        time("pqcodedrest layout WRITE (assign + residual-PQ encode, partitionBy centroid)")(
+          graft.operators.IvfPq.writeCodedPqLayout(corpus, mdl, dir))
+        val loaded = spark.read.parquet(dir)
+        for (pass <- 1 to 2) { // first pair is JIT/IO warmup
+          time(s"pqcodedrest AT-REST probe pass$pass (nlist=64, probe 4, refine 4), 16 queries")(
+            graft.operators.IvfPq.ivfpqCodedProbe(loaded, queries, mdl, 10).count())
+          time(s"pqcodedrest IN-MEMORY twin pass$pass (same params)")(
+            graft.operators.IvfPq.search(corpus, queries, 10, mdl).count())
+        }
+      }
+    }
+
+    // BM25 + RRF hybrid at ~40x the sf0.1 corpus: 200k docs x 100
+    // tokens = 20M tokens of zipf-ish vocabulary (hash mod 50k), 10
+    // query docs. The corpus-sized stages are the tokenize/tf pass and
+    // the postings join; everything else is broadcast.
+    if (wanted("bm25")) {
+      val nDocs = 200000L
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(expr(
+          """transform(sequence(0, 99), j ->
+            |  concat('w', pmod(hash(id * 131 + j * 7), 50000)))""".stripMargin),
+          " ").as("text"))
+        .repartition(64).localCheckpoint(true)
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Bm25.bm25TopN(docs, 10).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] bm25 ONE-SHOT pass$pass: 200k docs / 20M tokens, top-10 x 10 queries: " +
+          f"$s%.2f s ($rows rows, ${nDocs * 100 / s / 1e6}%.1f M tokens/s)")
+      }
+      // build-once / query-many: the at-rest postings layout
+      graft.Mat.withScratchDirs("bm25_postings") { case Seq(dir) =>
+        val t0 = System.nanoTime()
+        graft.operators.Bm25.writePostingsLayout(docs, dir)
+        println(f"[scale] bm25 postings BUILD (tokenize once, tf/dl/df/tot at rest): " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val qterms = spark.read.parquet(s"$dir/tf")
+          .filter(col("doc_id") < 10)
+          .select(col("doc_id").as("qid"), col("word"))
+          .localCheckpoint(true) // query side: tiny, pre-resolved
+        for (pass <- 1 to 2) {
+          val t1 = System.nanoTime()
+          val rows = graft.operators.Bm25.bm25OverPostings(spark, dir, qterms, 10).count()
+          println(f"[scale] bm25 SERVE pass$pass over postings: " +
+            f"${(System.nanoTime() - t1) / 1e9}%.2f s ($rows rows)")
+        }
+      }
+    }
+
     // Adaptive block size: at 64-d auto resolves to the measured 512;
     // the case that needs adaptivity is HIGH dimension, where a fixed
     // 512-row block stages megabytes and falls out of L2. Interleaved

@@ -162,6 +162,23 @@ class Round9Spec extends SparkTestBase {
     assert(scores(1L) > scores(2L) && scores(1L) > scores(3L), scores.toString)
   }
 
+  test("bm25 over the at-rest postings layout == one-shot bm25TopN, bit-equal") {
+    import graft.operators.Bm25
+    val docs = Tables.load(spark, sfDir, "documents")
+    val oneShot = Bm25.bm25TopN(docs, Bm25.K).orderBy("qid", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    graft.Mat.withScratchDirs("bm25_spec") { case Seq(dir) =>
+      Bm25.writePostingsLayout(docs, dir)
+      val qterms = spark.read.parquet(s"$dir/tf")
+        .filter($"doc_id" < Bm25.NQueriesB)
+        .select($"doc_id".as("qid"), $"word")
+      val served = Bm25.bm25OverPostings(spark, dir, qterms, Bm25.K)
+        .orderBy("qid", "rank").as[(Long, Long, Long, Int)].collect().toSeq
+      assert(served.nonEmpty && served == oneShot,
+        s"postings serve diverged; first diff: ${served.zip(oneShot).find(p => p._1 != p._2)}")
+    }
+  }
+
   test("hybrid_rrf: a doc found by both systems outranks equal-rank single-system docs") {
     import graft.operators.Bm25
     // build the fused frame by hand through the same rrf arithmetic
