@@ -53,6 +53,63 @@ object BinaryColumns {
   def sampleFramesStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
     (0 until n).map(i => payload :+ (i & 0xff).toByte)
 
+  /** Codec-aware frame sampling, shared by BOTH extraction paths (so
+    * the batched == row-at-a-time equality holds for every payload
+    * kind): MJPEG-AVI containers demux for real, anything else goes
+    * through the stub. The engine owns sampling either way — the
+    * decoder only ever sees per-frame payloads. */
+  def sampleFramesFor(meta: MediaMeta, payload: Array[Byte], n: Int): Seq[Array[Byte]] =
+    if (meta.codec == "mjpeg") AviMjpeg.sampleFrames(payload, n)
+    else sampleFramesStub(payload, n)
+
+  /** Minimal RIFF/AVI MJPEG demuxer, pure JVM: walks the container's
+    * chunk tree and returns the compressed frame payloads ('##dc' /
+    * '##db' chunks — JPEG bytes for MJPG streams) in stream order.
+    * Covers the standard MJPEG-in-AVI layout cameras and ffmpeg write;
+    * inter-frame codecs (H.264 & co) still route through DECODERS.md's
+    * ffmpeg/JavaCV integration path. Reference behavior:
+    * video_embedder.py:82-113 (extract_frames via cv2.VideoCapture). */
+  object AviMjpeg {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def frames(avi: Array[Byte]): Array[Array[Byte]] = {
+      require(avi.length >= 12 && fourcc(avi, 0) == "RIFF" &&
+        fourcc(avi, 8) == "AVI ", "not a RIFF/AVI payload")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fourcc(avi, o)
+          val sz = le32(avi, o + 4)
+          val body = o + 8
+          if (sz < 0 || body + sz > end) return // truncated/corrupt: stop
+          if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
+          else if ((id.endsWith("dc") || id.endsWith("db")) && sz > 0)
+            out += java.util.Arrays.copyOfRange(avi, body, body + sz)
+          o = body + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, avi.length)
+      out.toArray
+    }
+
+    /** Uniform sampling, the reference rule (extract_frames: keep every
+      * interval-th frame, stop at the frame budget). */
+    def sampleFrames(avi: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val fs = frames(avi)
+      if (fs.isEmpty) Seq(avi) // no frame chunks: treat container as one unit
+      else {
+        val interval = math.max(1, fs.length / n)
+        fs.indices.collect { case i if i % interval == 0 => fs(i) }
+          .take(n).toSeq
+      }
+    }
+  }
+
   /** Batched feature extraction: the real Spark surface. Partitions map
     * to executor-local batches (the reference's batch_embed,
     * image_embedder.py); nothing is collected to the driver. */
@@ -63,8 +120,9 @@ object BinaryColumns {
       it.map { r =>
         val feat = r.meta.modality match {
           case "video" =>
-            // frame-sample then mean-pool frame features
-            val frames = sampleFramesStub(r.payload, 4).map(decodeStub(_))
+            // frame-sample (real demux for mjpeg containers) then
+            // mean-pool frame features
+            val frames = sampleFramesFor(r.meta, r.payload, 4).map(decodeStub(_))
             val pooled = Array.tabulate(FeatureDim)(i => frames.map(_(i)).sum / frames.length)
             val n = math.sqrt(pooled.map(x => x.toDouble * x).sum)
             pooled.map(x => (x / n).toFloat)
@@ -134,7 +192,10 @@ object BinaryColumns {
     override def decodeBatch(modality: String,
                              payloads: Array[Array[Byte]]): Array[Array[Float]] =
       modality match {
-        case "image" => payloads.map(decodeImage)
+        // "video" payloads are per-frame JPEGs (the engine demuxes and
+        // samples upstream) — same pixel path as images, exactly how the
+        // reference's video embedder reuses its image embedder per frame
+        case "image" | "video" => payloads.map(decodeImage)
         case m => StubDecoder.decodeBatch(m, payloads)
       }
 
@@ -303,10 +364,15 @@ object BinaryColumns {
     }
   }
 
-  /** The most-real pure-JVM decoder: image and audio decode actual
-    * codec payloads (PNG via ImageIO, WAV via javax.sound); video
-    * stays stubbed (the JDK has no demuxer — see DECODERS.md for the
-    * ffmpeg/JavaCV integration path). The graded default. */
+  /** The all-real pure-JVM decoder: image and audio decode actual
+    * codec payloads (PNG/JPEG via ImageIO, WAV via javax.sound), and
+    * video frames — demuxed from MJPEG-AVI containers by [[AviMjpeg]]
+    * upstream, per the contract (the ENGINE owns frame sampling) —
+    * are JPEG payloads decoded through the same image path, exactly
+    * the reference's architecture (video_embedder.py embeds sampled
+    * frames with its image embedder, then mean-pools). Inter-frame
+    * codecs still need DECODERS.md's ffmpeg/JavaCV path. The graded
+    * default. */
   object JdkDecoder extends MediaDecoder {
     override def name: String = "jdk"
     override def decodeBatch(modality: String,
@@ -314,6 +380,7 @@ object BinaryColumns {
       modality match {
         case "image" => ImageIoDecoder.decodeBatch(modality, payloads)
         case "audio" => AudioIoDecoder.decodeBatch(modality, payloads)
+        case "video" => ImageIoDecoder.decodeBatch(modality, payloads)
         case m => StubDecoder.decodeBatch(m, payloads)
       }
   }
@@ -370,6 +437,58 @@ object BinaryColumns {
     out.toByteArray
   }
 
+  /** Deterministic synthetic AVI: a REAL RIFF/AVI-MJPEG container (the
+    * layout every camera and `ffmpeg -c:v mjpeg` writes) whose frames
+    * are seed-derived JPEGs from the JDK encoder — gives the video
+    * modality genuine container+codec bytes without external data. */
+  def makeAvi(seed: Long, w: Int = 64, h: Int = 48, nFrames: Int = 8,
+              fps: Int = 10): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+
+    val jpegs: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val m = TextHash.mix64(
+            seed ^ ((f.toLong * h + y) * w + x) * TextHash.Golden)
+          img.setRGB(x, y, (m & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bo)
+      bo.toByteArray
+    }
+
+    val avih = chunk("avih", le32(1000000 / fps) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh", "vids".getBytes ++ "MJPG".getBytes ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++
+      le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ "MJPG".getBytes ++ le32(w * h * 3) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.map(chunk("00dc", _)).reduce(_ ++ _))
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
+  }
+
   /** One decode unit: a payload plus where its feature lands (row slot,
     * and for video the frame index to pool over). */
   private final case class Unit4(rowIdx: Int, frame: Int, modality: String,
@@ -393,7 +512,7 @@ object BinaryColumns {
         val units = rows.iterator.zipWithIndex.flatMap { case (r, ri) =>
           r.meta.modality match {
             case "video" =>
-              sampleFramesStub(r.payload, 4).iterator.zipWithIndex.map {
+              sampleFramesFor(r.meta, r.payload, 4).iterator.zipWithIndex.map {
                 case (f, fi) => Unit4(ri, fi, "video", f)
               }
             case "image" =>
@@ -428,11 +547,11 @@ object BinaryColumns {
   }
 
   /** Synthesize a deterministic media table from the documents table —
-    * exercises the full pipeline against the shipped testdata. Image
-    * rows carry REAL encoded PNG bytes (seeded from the doc id, JDK
-    * PNG writer) so the image path decodes actual codec payloads;
-    * audio/video rows carry utf8 text bytes for the stub (no JDK codec
-    * for those modalities). */
+    * exercises the full pipeline against the shipped testdata. Every
+    * modality carries REAL codec bytes seeded from the doc id: PNG
+    * (JDK image writer), WAV (JDK audio writer), and MJPEG-AVI (JDK
+    * JPEG frames in a hand-built RIFF container), so all three decode
+    * paths parse actual containers/codecs. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.load(spark, dir, "documents")
@@ -443,15 +562,15 @@ object BinaryColumns {
         val payload = modality match {
           case "image" => makePng(id)
           case "audio" => makeWav(id)
-          case _ => text.getBytes("UTF-8")
+          case _ => makeAvi(id)
         }
         val codec = modality match {
-          case "image" => "png"; case "audio" => "wav"; case _ => "stub"
+          case "image" => "png"; case "audio" => "wav"; case _ => "mjpeg"
         }
         MediaRow(id,
-          MediaMeta(modality, if (modality == "image") 64 else 640,
-            if (modality == "image") 48 else 480,
-            if (modality == "audio") 200L else text.length.toLong * 10L,
+          MediaMeta(modality, if (modality == "audio") 0 else 64,
+            if (modality == "audio") 0 else 48,
+            if (modality == "audio") 200L else 800L, // ms (8 frames @ 10 fps)
             codec),
           payload)
       }
@@ -460,12 +579,13 @@ object BinaryColumns {
   /** Query-surface form: media features as a DataFrame compatible with
     * the k-NN operators (media_id, modality, embedding). Graded
     * (multimodal_embed) through the batched columnar decode contract
-    * with REAL codec decode on images (PNG via ImageIO: decode +
-    * bicubic resize + CLIP normalization) and audio (WAV via
-    * javax.sound: decode + mono + resample + mel-band log-
-    * spectrogram); video remains stubbed — MultimodalSpec proves the
-    * contract equals the row-at-a-time path and is invariant to batch
-    * boundaries for every decoder. */
+    * with REAL codec decode on all three modalities: images (PNG via
+    * ImageIO: decode + bicubic resize + CLIP normalization), audio
+    * (WAV via javax.sound: decode + mono + resample + mel-band log-
+    * spectrogram), and video (MJPEG-AVI demuxed by AviMjpeg, sampled
+    * frames JPEG-decoded through the image path, mean-pooled) —
+    * MultimodalSpec proves the contract equals the row-at-a-time path
+    * and is invariant to batch boundaries for every decoder. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // decode is embarrassingly parallel and CPU-bound: spread it over

@@ -188,7 +188,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(n - 1.0) < 1e-5)
   }
 
-  test("JdkDecoder (graded default): batch-size and partitioning invariance; image+audio are real, video stubbed") {
+  test("JdkDecoder (graded default): batch-size and partitioning invariance; image, audio AND video all on real decode paths") {
     val media = BinaryColumns.mediaFromDocuments(spark, sfDir)
     def key(rows: Array[BinaryColumns.MediaFeature]) =
       rows.sortBy(_.media_id).map(r => (r.media_id, r.modality, r.embedding.toSeq)).toSeq
@@ -208,7 +208,62 @@ class MultimodalSpec extends SparkTestBase {
     def m(rows: Seq[(Long, String, Seq[Float])], mod: String) = rows.filter(_._2 == mod)
     assert(m(want, "image") != m(stub, "image"), "image not on the real path")
     assert(m(want, "audio") != m(stub, "audio"), "audio not on the real path")
-    assert(m(want, "video") == m(stub, "video"), "video should remain stubbed")
+    assert(m(want, "video") != m(stub, "video"), "video not on the real path")
+    // video features are unit-norm real pixel math, not hash fingerprints
+    m(want, "video").take(5).foreach { case (_, _, e) =>
+      val n = math.sqrt(e.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+  }
+
+  test("AviMjpeg: the hand-built container demuxes to its frames; sampling follows the every-interval rule") {
+    val avi = BinaryColumns.makeAvi(42L, nFrames = 8)
+    val frames = BinaryColumns.AviMjpeg.frames(avi)
+    assert(frames.length == 8)
+    // every frame is a decodable JPEG
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 64 && img.getHeight == 48)
+    }
+    // interval sampling: 8 frames, budget 4 -> indices 0,2,4,6
+    val sampled = BinaryColumns.AviMjpeg.sampleFrames(avi, 4)
+    assert(sampled.length == 4)
+    assert(sampled.map(_.toSeq) ==
+      Seq(0, 2, 4, 6).map(frames(_).toSeq), "sampling is not every-interval")
+    // budget >= frame count keeps every frame
+    assert(BinaryColumns.AviMjpeg.sampleFrames(avi, 100).length == 8)
+    // corrupt/truncated container: no crash, best-effort frames
+    val trunc = java.util.Arrays.copyOf(avi, avi.length - 200)
+    assert(BinaryColumns.AviMjpeg.frames(trunc).length <= 8)
+  }
+
+  test("video decode is real pixel math: a constant-frame AVI pools to its single frame's image feature") {
+    import graft.multimodal.BinaryColumns.{AviMjpeg, ImageIoDecoder}
+    // hand-build an AVI whose 4 frames are IDENTICAL JPEGs: the mean
+    // pool of equal frame features is that feature (up to float sum
+    // rounding), which must equal decoding the frame as an image
+    val one = BinaryColumns.makeAvi(7L, nFrames = 1)
+    val frame = AviMjpeg.frames(one).head
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      Array.fill(4)(chunk("00dc", frame)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ movi
+    val avi4 = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    import spark.implicits._
+    val media = Seq(BinaryColumns.MediaRow(1L,
+      BinaryColumns.MediaMeta("video", 64, 48, 400L, "mjpeg"), avi4)).toDS()
+    val pooled = BinaryColumns.extractFeaturesBatched(
+      media, BinaryColumns.JdkDecoder).collect().head.embedding
+    val single = ImageIoDecoder.decodeImage(frame)
+    assert(pooled.length == single.length)
+    pooled.zip(single).foreach { case (p, s) =>
+      assert(math.abs(p - s) < 1e-5, s"pooled $p vs single-frame $s")
+    }
   }
 
   test("decoder is pluggable: decode calls arrive as dense same-modality batches") {
