@@ -152,6 +152,13 @@ object Bm25 {
       .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
     val vec = Knn.topK(emb, emb.filter(col("vec_id") < NQueriesB), TopN, Knn.Cosine)
       .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
+    fuseRrf(vec, bm)
+  }
+
+  /** RRF fusion of a dense rank list (qid, id, vec_rank) with a sparse
+    * rank list (qid, id, bm25_rank) — shared by the batch and streaming
+    * hybrid queries so their arithmetic is identical by construction. */
+  def fuseRrf(vec: DataFrame, bm: DataFrame): DataFrame = {
     val fused = vec.join(bm, Seq("qid", "id"), "full_outer")
       .withColumn("rrf", expr(
         s"coalesce(1.0D / ($RrfK + vec_rank), 0.0D) + coalesce(1.0D / ($RrfK + bm25_rank), 0.0D)"))

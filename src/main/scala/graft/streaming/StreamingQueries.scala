@@ -462,6 +462,93 @@ object StreamingQueries {
     }
   }
 
+  /** Sparse BM25 serve over the at-rest postings layout: an arriving
+    * query's distinct terms explode to (qid, word) and equi-join the
+    * static postings on `word` (the stream side is q·|terms| rows —
+    * broadcast, so the postings are probed in place); static dl joins
+    * on doc_id, corpus totals ride as literals (index metadata loaded
+    * once at serve start), and the per-(query, doc) integer contrib
+    * sums + top-N happen in a keyed stateful emit. A query's evidence
+    * is complete within its trigger (its terms arrive together), so
+    * each emission is final and the union equals batch bm25TopN. */
+  private[graft] def bm25Serve(tf: DataFrame, dl: DataFrame,
+      dfT: DataFrame, bigT: Long, bigN: Long, n: Int)(
+      ds: Dataset[(Long, Seq[String])]): DataFrame = {
+    import tf.sparkSession.implicits._
+    val terms = ds.toDF("qid", "words")
+      .select(col("qid"), explode(col("words")).as("word"))
+    val contribs = tf
+      .join(broadcast(terms), "word")
+      .join(broadcast(dfT), "word")
+      .join(dl, "doc_id")
+      .withColumn("idf_ppk", expr(s"((${bigN}L - df) * 1000) div df"))
+      .withColumn("contrib", expr(
+        s"(idf_ppk * (44 * tf * ${bigT}L)) div " +
+          s"(20 * tf * ${bigT}L + 6 * ${bigT}L + 18 * dl * ${bigN}L)"))
+      .select(col("qid"), col("doc_id"), col("contrib"))
+      .as[(Long, Long, Long)]
+    contribs.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], (Long, Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          // integer sums are order-independent, so merging per trigger
+          // into keyed state is exact even if a query's terms were ever
+          // split across triggers; emission happens per trigger with
+          // the current totals (final here: one trigger per query)
+          val sums = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.getOrElse(Map.empty).foreach { case (d, c) => sums(d) = c }
+          it.foreach { case (_, d, c) => sums(d) = sums.getOrElse(d, 0L) + c }
+          state.update(sums.toMap)
+          sums.toSeq.sortBy { case (d, sc) => (-sc, d) }.take(n)
+            .zipWithIndex.iterator
+            .map { case ((d, sc), i) => (qid, d, sc, i + 1) }
+      }.toDF("qid", "doc_id", "score", "rank")
+  }
+
+  /** Streaming HYBRID serve — the full production retrieval stack
+    * online: each arriving query carries its embedding AND its terms;
+    * the dense tier streams against the vector corpus (keyed top-N
+    * state, the stream_knn shape), the sparse tier streams against the
+    * at-rest BM25 postings layout (bm25Serve), and the two bounded
+    * rank lists fuse downstream through the SAME reciprocal-rank
+    * arithmetic as the batch operator (Bm25.fuseRrf) — so the result
+    * is bit-equal to batch hybrid_rrf and the SAME SQL twin grades
+    * both. */
+  def streamHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Bm25
+    val docs = Tables.load(s, dir, "documents")
+    val emb = Tables.load(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val qv = emb.filter(col("vec_id") < Bm25.NQueriesB)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    // distinct terms per query doc — the same token rule as the batch
+    // postings (split on \s+, empties kept), so qterms match tf's keys
+    val qt = docs.filter(col("doc_id") < Bm25.NQueriesB)
+      .select(col("doc_id"),
+        expr("array_distinct(split(trim(text), '\\\\s+'))"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    def half[A](xs: Array[A]): Seq[Seq[A]] =
+      xs.grouped(math.max(1, xs.length / 2)).map(_.toSeq).toSeq
+    val vecOut = drain(s, half(qv), "update", sinkName("stream_hybrid_vec"))(
+      knnServe(corpus, Bm25.TopN))
+      .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
+    graft.Mat.withScratchDirs("stream_hybrid_postings") { case Seq(idx) =>
+      Bm25.writePostingsLayout(docs, idx)
+      val tf = s.read.parquet(s"$idx/tf")
+      val dl = s.read.parquet(s"$idx/dl")
+      val dfT = s.read.parquet(s"$idx/df")
+      val tot = s.read.parquet(s"$idx/tot").collect().head
+      val bmOut = drain(s, half(qt), "append", sinkName("stream_hybrid_bm"))(
+        bm25Serve(tf, dl, dfT, tot.getLong(0), tot.getLong(1), Bm25.TopN))
+        .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
+      graft.Mat.detach(Bm25.fuseRrf(vecOut, bmOut))
+    }
+  }
+
   // ---------------------------------------------------------------- grading
   @volatile private var lastIngestCentroids: Array[Array[Double]] = _
   @volatile private var lastSinkCentroids: Array[Array[Double]] = _
@@ -487,7 +574,8 @@ object StreamingQueries {
     "stream_topk" -> (streamTopk _),
     "stream_dedup" -> (streamDedup _),
     "stream_mmr" -> (streamMmr _),
-    "stream_sink" -> (streamSink _))
+    "stream_sink" -> (streamSink _),
+    "stream_hybrid" -> (streamHybrid _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -498,6 +586,9 @@ object StreamingQueries {
     m += "stream_topk" -> VectorSearch.knnCosineSql
     m += "stream_dedup" -> Dedup.dedupMinhashLshSql
     m += "stream_mmr" -> Mmr.mmrRerankSql
+    // streaming == batch hybrid bit-equal (shared fusion arithmetic),
+    // so the batch twin grades the streamed serve too
+    m += "stream_hybrid" -> graft.operators.Bm25.hybridRrfSql
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
     if (lastStreamIvfCodedCentroids != null)

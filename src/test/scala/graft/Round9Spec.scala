@@ -195,6 +195,19 @@ class Round9Spec extends SparkTestBase {
     assert(fused.indexOf(13L) < fused.indexOf(14L), fused.toString)
   }
 
+  test("stream_hybrid == batch hybrid_rrf, row for row") {
+    import graft.operators.Bm25
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    val batch = key(Bm25.hybridRrf(spark, sfDir))
+    val streamed = key(graft.streaming.StreamingQueries.streamHybrid(spark, sfDir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("hybrid_rrf on testdata: every query's fused head is the self-match; ranks consistent with inputs") {
     import graft.operators.Bm25
     val out = Bm25.hybridRrf(spark, sfDir)
