@@ -149,12 +149,25 @@ object IvfPq {
 
   // ---------------------------------------------- at-rest coded layout
 
+  /** Pack m ≤ 8 PQ codes (k ≤ 256 → 8 bits each) into ONE long,
+    * subspace 0 in the low byte. A FLAT parquet column decodes several
+    * times cheaper than a nested list<int>, and at m=8 the whole
+    * per-vector candidate payload is literally one 8-byte word — the
+    * same at-rest shape as the 1-bit sign-code layout one tier down. */
+  def packCodes(codes: Array[Int]): Long = {
+    require(codes.length <= 8, s"packCodes supports m<=8, got ${codes.length}")
+    var w = 0L; var s = 0
+    while (s < codes.length) { w |= (codes(s).toLong & 0xffL) << (8 * s); s += 1 }
+    w
+  }
+
   /** Write the centroid-partitioned IVF-PQ index layout: one routing
-    * pass assigns the bucket and encodes the residual PQ codes (m
-    * one-byte codes per vector — the only per-vector payload the
-    * candidate stage ever needs), written next to the embedding so the
-    * rerank stage can point-read the float column of the same pruned
-    * partitions. No shuffle beyond the partitioned write itself. */
+    * pass assigns the bucket and encodes the residual PQ codes — m
+    * one-byte codes packed into a single long (`code`), the only
+    * per-vector payload the candidate stage ever needs — written next
+    * to the embedding so the rerank stage can point-read the float
+    * column of the same pruned partitions. No shuffle beyond the
+    * partitioned write itself. */
   def writeCodedPqLayout(corpus: DataFrame, model: Model, dir: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -168,28 +181,30 @@ object IvfPq {
           val b = IvfIndex.nearest(mdl.centroids, v)
           val ctr = mdl.centroids(b)
           val res = Array.tabulate(v.length)(i => v(i) - ctr(i))
-          (id, ProductQuant.encode(mdl.cb, res).toSeq, vSeq, b)
+          (id, packCodes(ProductQuant.encode(mdl.cb, res)), vSeq, b)
         }
-      }.toDF("vec_id", "codes", "embedding", "centroid")
+      }.toDF("vec_id", "code", "embedding", "centroid")
       .write.partitionBy("centroid").mode("overwrite").parquet(dir)
   }
 
   /** Stage 1 over a loaded coded layout: the code-only ADC candidate
     * scan. probeDf carries one row per (query, probed bucket) WITH that
     * pair's residual ADC LUT ([m × k] doubles — query-sized, broadcast);
-    * the scan reads ONLY (vec_id, codes) inside the probed partitions
-    * and scores each candidate with m byte-indexed LUT lookups folded
-    * left-to-right in subspace order (codegen HOFs — the same
-    * association as the in-memory kernel and the SQL twin's unrolled
-    * sum). Exposed so the spec can pin the plan (PartitionFilters on
-    * centroid; ReadSchema without the embedding column). */
+    * the scan reads ONLY (vec_id, code) — one flat long per vector —
+    * inside the probed partitions, and scores each candidate with m
+    * shift-extracted LUT lookups folded left-to-right in subspace
+    * order (codegen HOFs — the same association as the in-memory
+    * kernel and the SQL twin's unrolled sum). Exposed so the spec can
+    * pin the plan (PartitionFilters on centroid; ReadSchema without
+    * the embedding column). */
   def pqCodedCandidates(loaded: DataFrame, probeDf: DataFrame,
       probedCentroids: Seq[Int]): DataFrame =
     loaded.filter(col("centroid").isin(probedCentroids: _*))
-      .select(col("vec_id"), col("codes"), col("centroid"))
+      .select(col("vec_id"), col("code"), col("centroid"))
       .join(broadcast(probeDf), "centroid")
       .withColumn("adc", expr(
-        "aggregate(transform(codes, (c, s) -> lut[s][c]), cast(0.0 as double), (a, x) -> a + x)"))
+        "aggregate(sequence(0, size(lut) - 1), cast(0.0 as double), " +
+          "(a, s) -> a + lut[s][int(shiftright(code, 8 * s) & 255)])"))
 
   /** IVF-PQ probe over the at-rest layout: candidate generation reads
     * codes only (m bytes/vector instead of 4·dim — a 32× narrower scan

@@ -123,9 +123,19 @@ class Round9Spec extends SparkTestBase {
         .toList
       assert(layoutScans.nonEmpty, plan.take(1200))
       layoutScans.foreach { l =>
-        assert(l.contains("codes") && !l.contains("embedding"), l)
+        assert(l.contains("code") && !l.contains("embedding"), l)
       }
     }
+  }
+
+  test("packCodes round-trips every byte lane") {
+    import graft.operators.IvfPq
+    val codes = Array(0, 255, 15, 128, 1, 77, 254, 200)
+    val w = IvfPq.packCodes(codes)
+    (0 until 8).foreach { s =>
+      assert(((w >>> (8 * s)) & 0xffL).toInt == codes(s), s"lane $s")
+    }
+    assert(IvfPq.packCodes(Array(3)) == 3L)
   }
 
   test("bm25: self-match ranks first; a planted near-copy outranks unrelated docs") {
