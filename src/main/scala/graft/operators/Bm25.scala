@@ -171,6 +171,34 @@ object Bm25 {
       .orderBy("qid", "rank")
   }
 
+  /** Retrieval-mode comparison table (the hybrid family's analog of
+    * index_comparison): per query, how much the dense@10 and BM25@10
+    * lists overlap, and where each hybrid@10 hit came from (both
+    * source top-20 lists, dense-only, or bm25-only — read directly off
+    * the fused row's rank nullability). All integer counts — exact. */
+  def retrievalComparison(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val emb = Tables.load(s, dir, "embeddings")
+    val hy = hybridRrf(s, dir)
+    val d10 = Knn.topK(emb, emb.filter(col("vec_id") < NQueriesB), K, Knn.Cosine)
+      .select(col("qid"), col("vec_id").as("id"))
+    val b10 = bm25TopN(docs, K).select(col("qid"), col("doc_id").as("id"))
+    val ov = d10.join(b10, Seq("qid", "id"))
+      .groupBy("qid").agg(count(lit(1)).as("dense_bm25_overlap"))
+    hy.groupBy("qid").agg(
+        sum(when(col("vec_rank").isNotNull && col("bm25_rank").isNotNull, 1L)
+          .otherwise(0L)).as("hybrid_both"),
+        sum(when(col("vec_rank").isNotNull && col("bm25_rank").isNull, 1L)
+          .otherwise(0L)).as("hybrid_dense_only"),
+        sum(when(col("vec_rank").isNull && col("bm25_rank").isNotNull, 1L)
+          .otherwise(0L)).as("hybrid_bm25_only"))
+      .join(ov, Seq("qid"), "left")
+      .withColumn("dense_bm25_overlap", coalesce(col("dense_bm25_overlap"), lit(0L)))
+      .select(col("qid"), col("dense_bm25_overlap"), col("hybrid_both"),
+        col("hybrid_dense_only"), col("hybrid_bm25_only"))
+      .orderBy("qid")
+  }
+
   // ------------------------------------------------------------ oracles
 
   /** The integer-exact BM25 pipeline, top `n` per query, as a DuckDB CTE
@@ -226,11 +254,52 @@ object Bm25 {
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
   }
 
+  /** The same comparison derived inside one SQL statement: hybrid's
+    * fused CTEs re-derived from bm25Cte(TopN) + the exact-cosine rank
+    * CTE, per-query counts off rank nullability + a d10 ∩ b10 join. */
+  val retrievalComparisonSql: String = {
+    import graft.OracleSql
+    s"""WITH ${bm25Cte(TopN)},
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQueriesB),
+       |vs AS (SELECT q.qid, e.vec_id, ${OracleSql.cosine("q.qv", "e.embedding")} AS score
+       |       FROM q CROSS JOIN embeddings e),
+       |vec AS (SELECT qid, vec_id AS id, CAST(rnk AS INT) AS vec_rank FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY qid
+       |            ORDER BY score DESC, vec_id ASC) AS rnk FROM vs)
+       |        WHERE rnk <= $TopN),
+       |fused AS (SELECT coalesce(vec.qid, bm.qid) AS qid,
+       |                 coalesce(vec.id, bm.doc_id) AS id,
+       |                 vec.vec_rank AS vec_rank, bm."rank" AS bm25_rank,
+       |                 coalesce(1.0e0 / ($RrfK + vec.vec_rank), 0.0e0)
+       |                   + coalesce(1.0e0 / ($RrfK + bm."rank"), 0.0e0) AS rrf
+       |          FROM vec FULL OUTER JOIN bm
+       |            ON bm.qid = vec.qid AND bm.doc_id = vec.id),
+       |hy AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS rnk
+       |  FROM fused) WHERE rnk <= $K),
+       |d10 AS (SELECT qid, id FROM vec WHERE vec_rank <= $K),
+       |b10 AS (SELECT qid, doc_id AS id FROM bm WHERE "rank" <= $K),
+       |ov AS (SELECT d10.qid, CAST(count(*) AS BIGINT) AS dense_bm25_overlap
+       |       FROM d10 JOIN b10 ON b10.qid = d10.qid AND b10.id = d10.id
+       |       GROUP BY d10.qid),
+       |hp AS (SELECT qid,
+       |  CAST(sum(CASE WHEN vec_rank IS NOT NULL AND bm25_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hybrid_both,
+       |  CAST(sum(CASE WHEN vec_rank IS NOT NULL AND bm25_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS hybrid_dense_only,
+       |  CAST(sum(CASE WHEN vec_rank IS NULL AND bm25_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hybrid_bm25_only
+       |  FROM hy GROUP BY qid)
+       |SELECT hp.qid, coalesce(ov.dense_bm25_overlap, 0) AS dense_bm25_overlap,
+       |       hybrid_both, hybrid_dense_only, hybrid_bm25_only
+       |FROM hp LEFT JOIN ov ON ov.qid = hp.qid
+       |ORDER BY hp.qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_search" -> (bm25Search _),
-    "hybrid_rrf" -> (hybridRrf _))
+    "hybrid_rrf" -> (hybridRrf _),
+    "retrieval_comparison" -> (retrievalComparison _))
 
   val oracles: Map[String, String] = Map(
     "bm25_search" -> bm25SearchSql,
-    "hybrid_rrf" -> hybridRrfSql)
+    "hybrid_rrf" -> hybridRrfSql,
+    "retrieval_comparison" -> retrievalComparisonSql)
 }
