@@ -218,6 +218,21 @@ class Round9Spec extends SparkTestBase {
       s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("retrieval_comparison: hybrid provenance counts partition the 10 fused hits per query") {
+    import graft.operators.Bm25
+    val rows = Bm25.retrievalComparison(spark, sfDir)
+      .select("qid", "dense_bm25_overlap", "hybrid_both",
+        "hybrid_dense_only", "hybrid_bm25_only")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == (0L until 10L))
+    rows.foreach { case (q, ov, both, d, b) =>
+      assert(both + d + b == Bm25.K, s"qid=$q: provenance doesn't partition the top-10")
+      // the self-match is rank 1 in both systems, so 'both' >= 1
+      assert(both >= 1, s"qid=$q: self-match missing from both lists")
+      assert(ov >= 0 && ov <= Bm25.K)
+    }
+  }
+
   test("hybrid_rrf on testdata: every query's fused head is the self-match; ranks consistent with inputs") {
     import graft.operators.Bm25
     val out = Bm25.hybridRrf(spark, sfDir)
