@@ -168,7 +168,10 @@ object IvfPq {
     * to the embedding so the rerank stage can point-read the float
     * column of the same pruned partitions. No shuffle beyond the
     * partitioned write itself. */
-  def writeCodedPqLayout(corpus: DataFrame, model: Model, dir: String): Unit = {
+  /** The encode projection behind the layout write: (vec_id, packed
+    * code, embedding, centroid) — exposed so ingest-shaped appends and
+    * specs can route slices through the identical encode path. */
+  def encodePq(corpus: DataFrame, model: Model): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bm = spark.sparkContext.broadcast(model)
@@ -184,8 +187,11 @@ object IvfPq {
           (id, packCodes(ProductQuant.encode(mdl.cb, res)), vSeq, b)
         }
       }.toDF("vec_id", "code", "embedding", "centroid")
-      .write.partitionBy("centroid").mode("overwrite").parquet(dir)
   }
+
+  def writeCodedPqLayout(corpus: DataFrame, model: Model, dir: String): Unit =
+    encodePq(corpus, model)
+      .write.partitionBy("centroid").mode("overwrite").parquet(dir)
 
   /** Stage 1 over a loaded coded layout: the code-only ADC candidate
     * scan. probeDf carries one row per (query, probed bucket) WITH that

@@ -27,6 +27,40 @@ class ServeCompactionSpec extends SparkTestBase {
   private var sinkCtr = 0
   private def nextSink(): String = { sinkCtr += 1; s"r8_serve_$sinkCtr" }
 
+  test("PQ coded layout: probes racing compactIndex stay bit-equal; the compacted layout serves identically") {
+    import graft.operators.IvfPq
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = IvfPq.trainModel(IvfIndex.trainSample(emb))
+    val q = emb.filter($"vec_id" < 10)
+    def probe(dir: String): Seq[(Long, Long, Double, Int)] =
+      IvfPq.ivfpqCodedProbe(spark.read.parquet(dir), q, model, 10)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+    Mat.withScratchDirs("pq_live", "pq_compacted") { case Seq(live, compacted) =>
+      // ingest-shaped layout: three append generations per bucket
+      (0 until 3).foreach { r =>
+        IvfPq.encodePq(emb.filter($"vec_id" % 3 === r), model)
+          .write.partitionBy("centroid").mode("append").parquet(live)
+      }
+      val undisturbed = probe(live)
+      assert(undisturbed.nonEmpty)
+      // the race: compaction rewrites into a NEW directory (the only
+      // protocol safe with live readers) while probes keep serving the
+      // live layout — actual concurrent jobs on the same session
+      val compaction = Future(IvfIndex.compactIndex(spark, live, compacted))
+      val during = probe(live)
+      Await.result(compaction, Duration.Inf)
+      val afterSwap = probe(compacted)
+      assert(during == undisturbed, "probe racing compaction diverged")
+      assert(afterSwap == undisturbed, "compacted layout serves differently")
+      // compaction actually collapsed the generations: one file per bucket
+      val filesPerBucket = new java.io.File(compacted).listFiles()
+        .filter(_.getName.startsWith("centroid="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      assert(filesPerBucket.nonEmpty && filesPerBucket.forall(_ == 1),
+        s"buckets still fragmented: ${filesPerBucket.toSeq}")
+    }
+  }
+
   test("serve triggers racing compactIndex: results bit-equal throughout and after the swap") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val emb = Tables.load(spark, sfDir, "embeddings")
