@@ -127,6 +127,29 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$dir/tot")
   }
 
+  /** Merge sharded postings layouts (multi-writer ingest: each shard
+    * indexed its own disjoint slice of the corpus) into one — the
+    * sparse-index sibling of IVF's index_merge: shard tf tables union
+    * and rewrite (disjoint doc_ids make the union itself the merged
+    * postings; same-doc shards would groupBy-sum here), and dl / df /
+    * corpus totals REBUILD from the merged postings — aggregates over
+    * the postings table, never a corpus re-tokenize. */
+  def mergePostingsLayouts(spark: SparkSession, shardDirs: Seq[String],
+      dst: String): Unit = {
+    shardDirs.map(d => spark.read.parquet(s"$d/tf")).reduce(_ unionByName _)
+      .groupBy("doc_id", "word").agg(sum("tf").as("tf"))
+      .repartition(col("word"))
+      .write.mode("overwrite").parquet(s"$dst/tf")
+    val tf = spark.read.parquet(s"$dst/tf")
+    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$dst/dl")
+    tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dst/df")
+    spark.read.parquet(s"$dst/dl")
+      .agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"))
+      .write.mode("overwrite").parquet(s"$dst/tot")
+  }
+
   /** Serve BM25 from the postings layout: identical arithmetic to
     * bm25TopN (bit-equal results — Round9Spec pins it), but the only
     * corpus-sized input is the at-rest postings table, joined once

@@ -218,6 +218,26 @@ class Round9Spec extends SparkTestBase {
       s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("merged shard postings serve BM25 identically to the whole-corpus postings layout") {
+    import graft.operators.Bm25
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.Mat.withScratchDirs("bm25_whole", "bm25_sh0", "bm25_sh1", "bm25_merged") {
+      case Seq(whole, sh0, sh1, merged) =>
+        Bm25.writePostingsLayout(docs, whole)
+        Bm25.writePostingsLayout(docs.filter($"doc_id" % 2 === 0), sh0)
+        Bm25.writePostingsLayout(docs.filter($"doc_id" % 2 === 1), sh1)
+        Bm25.mergePostingsLayouts(spark, Seq(sh0, sh1), merged)
+        val qterms = spark.read.parquet(s"$whole/tf")
+          .filter($"doc_id" < Bm25.NQueriesB)
+          .select($"doc_id".as("qid"), $"word")
+        def serve(dir: String) =
+          Bm25.bm25OverPostings(spark, dir, qterms, Bm25.K)
+            .orderBy("qid", "rank").as[(Long, Long, Long, Int)].collect().toSeq
+        val a = serve(whole); val b = serve(merged)
+        assert(a.nonEmpty && a == b, "merged shards diverge from the whole-corpus index")
+    }
+  }
+
   test("retrieval_comparison: hybrid provenance counts partition the 10 fused hits per query") {
     import graft.operators.Bm25
     val rows = Bm25.retrievalComparison(spark, sfDir)
