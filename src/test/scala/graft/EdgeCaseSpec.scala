@@ -81,6 +81,45 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(pairs == Set((3L, 4L)), s"got $pairs")
   }
 
+  test("bm25 tolerates degenerate corpora: empty-text docs, a universal term, a single query doc") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    // corpus A: 'common' appears in EVERY doc -> idf exactly 0, so a
+    // doc sharing only 'common' scores exactly 0
+    val a = Seq(
+      (0L, "common alpha beta"),
+      (1L, "common alpha xyz"),
+      (2L, "common pqr stu"))
+      .toDF("doc_id", "text")
+    val outA = Bm25.bm25TopN(a, 10).filter($"qid" === 0L)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(outA(0L) == outA.values.max, "self-match not maximal")
+    assert(outA(1L) > 0L, "alpha (idf>0) should contribute")
+    assert(outA.getOrElse(2L, 0L) == 0L,
+      s"a universal term must contribute exactly 0, got ${outA.get(2L)}")
+    // corpus B: an empty-text doc (token set {''}) — pipeline doesn't
+    // crash and the empty doc matches nobody's query terms
+    val b = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha delta eps"),
+      (2L, ""))
+      .toDF("doc_id", "text")
+    val outB = Bm25.bm25TopN(b, 10).filter($"qid" === 0L)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(outB(0L) == outB.values.max)
+    assert(outB.getOrElse(2L, 0L) == 0L, "empty doc should match nothing")
+  }
+
+  test("rrf fusion with one empty side degrades to the other side's ranking") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    val vec = Seq((0L, 5L, 1), (0L, 6L, 2)).toDF("qid", "id", "vec_rank")
+    val bm = Seq.empty[(Long, Long, Int)].toDF("qid", "id", "bm25_rank")
+    val fused = Bm25.fuseRrf(vec, bm)
+      .select("id", "rank").as[(Long, Int)].collect().toSeq
+    assert(fused == Seq((5L, 1), (6L, 2)), fused.toString)
+  }
+
   test("winnow fingerprint count matches the distinct-window-minima formula") {
     import graft.functions.{TextHash, WinnowHashArr}
     import org.apache.spark.unsafe.types.UTF8String
