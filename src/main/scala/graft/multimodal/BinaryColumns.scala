@@ -86,7 +86,9 @@ object BinaryColumns {
           val id = fourcc(avi, o)
           val sz = le32(avi, o + 4)
           val body = o + 8
-          if (sz < 0 || body + sz > end) return // truncated/corrupt: stop
+          // bound check in Long: a corrupt chunk size near Int.MaxValue
+          // would wrap `body + sz` negative and slip past an Int guard
+          if (sz < 0 || body.toLong + sz > end) return // truncated/corrupt: stop
           if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
           else if ((id.endsWith("dc") || id.endsWith("db")) && sz > 0)
             out += java.util.Arrays.copyOfRange(avi, body, body + sz)
@@ -375,12 +377,39 @@ object BinaryColumns {
     * default. */
   object JdkDecoder extends MediaDecoder {
     override def name: String = "jdk"
+
+    /** JPEG (FFD8) / PNG magic — the two frame payload kinds the image
+      * path decodes. Cheap, deterministic, per-payload. */
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 8 && ((b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+        (b(0) == 0x89.toByte && b(1) == 0x50.toByte &&
+          b(2) == 0x4E.toByte && b(3) == 0x47.toByte))
+
     override def decodeBatch(modality: String,
                              payloads: Array[Array[Byte]]): Array[Array[Float]] =
       modality match {
         case "image" => ImageIoDecoder.decodeBatch(modality, payloads)
         case "audio" => AudioIoDecoder.decodeBatch(modality, payloads)
-        case "video" => ImageIoDecoder.decodeBatch(modality, payloads)
+        case "video" =>
+          // MJPEG-demuxed frames are JPEG payloads and decode for real;
+          // a non-mjpeg codec's stub-sampled raw chunks (external
+          // MediaRow sources — sampleFramesFor falls back to
+          // sampleFramesStub for them) are NOT image payloads, so they
+          // route to the stub per payload instead of failing the image
+          // path's decodable-image require. DECODERS.md names the
+          // ffmpeg/JavaCV path for real inter-frame codec decode.
+          // Pure per-payload dispatch — batch-shape invariant.
+          val out = new Array[Array[Float]](payloads.length)
+          val (img, other) = payloads.zipWithIndex.partition(p => looksLikeImage(p._1))
+          if (img.nonEmpty) {
+            val f = ImageIoDecoder.decodeBatch(modality, img.map(_._1))
+            var i = 0; while (i < img.length) { out(img(i)._2) = f(i); i += 1 }
+          }
+          if (other.nonEmpty) {
+            val f = StubDecoder.decodeBatch(modality, other.map(_._1))
+            var i = 0; while (i < other.length) { out(other(i)._2) = f(i); i += 1 }
+          }
+          out
         case m => StubDecoder.decodeBatch(m, payloads)
       }
   }

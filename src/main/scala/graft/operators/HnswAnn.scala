@@ -324,6 +324,19 @@ object HnswAnn {
       }.toDF("bucket", "ids", "vecs", "adj")
   }
 
+  /** Compact a multi-generation NSW shard layout (the file set
+    * incremental writes leave behind — one file per append per task)
+    * into one file per `files` target — the graph layout's sibling of
+    * IvfIndex.compactIndex. Content-identical rewrite into a NEW
+    * directory, the only rewrite protocol safe with live readers
+    * (an in-place rewrite would delete files under a running scan);
+    * the caller swaps serves to `dst` afterwards. Round10Spec races
+    * live NSW serves against this and pins bit-equality throughout. */
+  def compactShards(spark: SparkSession, src: String, dst: String,
+      files: Int = 1): Unit =
+    spark.read.parquet(src).repartition(files)
+      .write.mode("overwrite").parquet(dst)
+
   /** Flatten the shard table back to (bucket, vec_id, neighbor ids)
     * rows — a corpus-sized COLLECT used ONLY to stash the trained
     * adjacency as oracle SQL literals at graded SF (the literal set

@@ -96,6 +96,37 @@ object Mmr {
     rerank(emb, emb.filter(col("vec_id") < VectorSearch.NQueries))
   }
 
+  /** The reference's `strategy='combined'` rerank (reranker.py:119-135)
+    * is literally its MMR rerank pinned at λ=0.7; here the candidate
+    * pool is the hybrid dense+sparse top-K (the fused list both
+    * retrieval families feed), relevance = the rrf score, and the
+    * greedy diversity loop is the SAME select() as mmr_rerank. Pool
+    * rows whose id has no embedding drop before the loop (inner join)
+    * on both engines. */
+  val CombinedLambda = 0.7
+
+  def mmrCombined(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cands = Bm25.hybridRrf(s, dir)
+      .select(col("qid"), col("id").as("vec_id"), col("rrf"), col("rank"))
+      .join(emb.select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("emb")), "vec_id")
+      .select(col("qid"), col("vec_id"), col("rrf"), col("rank"), col("emb"))
+      .as[(Long, Long, Double, Int, Seq[Double])]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val sorted = it.toArray.sortBy(_._4) // hybrid rank order
+        val arr = sorted.map(t => (t._2, t._3, t._5.toArray))
+        select(arr, SelectK, CombinedLambda).zipWithIndex.map { case ((id, sc), i) =>
+          (qid, id, i + 1, sc)
+        }.iterator
+      }
+      .toDF("qid", "vec_id", "mmr_rank", "mmr_score")
+      .orderBy("qid", "mmr_rank")
+  }
+
   /** Bit-exact SQL twin of the greedy loop, UNROLLED: selection step t
     * is a CTE that anti-joins the already-selected set (s1..s_{t-1}),
     * scores λ·rel − (1−λ)·max(sim to selected), and keeps the
@@ -105,32 +136,31 @@ object Mmr {
     * reference's 1e-8 epsilon, and every reduction is the standard
     * unrolled left-assoc double sum. MATERIALIZED hints stop DuckDB
     * from re-inlining the shared CTEs once per unrolled step. */
-  val mmrRerankSql: String = {
+  /** The pairwise-sim CTE over `cand` (expects a `nrm` CTE of per-id
+    * norms to exist; carries the reference's 1e-8 epsilon). */
+  private def pairCte: String = {
     import graft.OracleSql
-    val nq = VectorSearch.NQueries
+    s"""pair AS MATERIALIZED (
+       |  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+       |    ${OracleSql.dot("ea.embedding", "eb.embedding")} / (na.nm * nb.nm + 1.0e-8) AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  JOIN nrm na ON na.vec_id = a.vec_id
+       |  JOIN nrm nb ON nb.vec_id = b.vec_id)""".stripMargin
+  }
+
+  /** The greedy loop UNROLLED over `cand`/`pair` CTEs, parameterized by
+    * the λ literals (passed as SQL text so the engine folds exactly the
+    * doubles Scala computes: for λ=0.5 both factors are the exact
+    * 0.5e0; for λ=0.7 the second factor must be written (1.0e0 - 0.7e0)
+    * to reproduce Scala's 1 - 0.7 rounding). Appends s1..sK and the
+    * final union select. */
+  private def greedyUnroll(lam: String, oneMinus: String): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH nrm AS MATERIALIZED (
-         |  SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
-         |  FROM embeddings),
-         |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
-         |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
-         |      WHERE e.vec_id < $nq),
-         |sc AS (SELECT q.qid, e.vec_id,
-         |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS rel
-         |       FROM q CROSS JOIN embeddings e JOIN nrm n ON e.vec_id = n.vec_id),
-         |cand AS MATERIALIZED (SELECT qid, vec_id, rel, rnk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rnk
-         |  FROM sc) WHERE rnk <= $CandidateK),
-         |pair AS MATERIALIZED (
-         |  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
-         |    ${OracleSql.dot("ea.embedding", "eb.embedding")} / (na.nm * nb.nm + 1.0e-8) AS sim
-         |  FROM cand a JOIN cand b ON a.qid = b.qid
-         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |  JOIN nrm na ON na.vec_id = a.vec_id
-         |  JOIN nrm nb ON nb.vec_id = b.vec_id),
-         |s1 AS MATERIALIZED (SELECT qid, vec_id, rnk, 0.5e0 * rel AS mmr_score
+      s""",
+         |s1 AS MATERIALIZED (SELECT qid, vec_id, rnk, $lam * rel AS mmr_score
          |  FROM cand WHERE rnk = 1)""".stripMargin)
     for (t <- 2 to SelectK) {
       val prevSels = (1 until t).map(i => s"SELECT qid, vec_id FROM s$i").mkString(" UNION ALL ")
@@ -138,7 +168,7 @@ object Mmr {
         s""",
            |sel$t AS MATERIALIZED ($prevSels),
            |sc$t AS (
-           |  SELECT c.qid, c.vec_id, c.rnk, 0.5e0 * c.rel - 0.5e0 * max(p.sim) AS mmr
+           |  SELECT c.qid, c.vec_id, c.rnk, $lam * c.rel - $oneMinus * max(p.sim) AS mmr
            |  FROM cand c
            |  LEFT JOIN sel$t x ON x.qid = c.qid AND x.vec_id = c.vec_id
            |  JOIN sel$t s ON s.qid = c.qid
@@ -160,7 +190,44 @@ object Mmr {
     sb.toString
   }
 
+  val mmrRerankSql: String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries
+    s"""WITH nrm AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |  FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE e.vec_id < $nq),
+       |sc AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS rel
+       |       FROM q CROSS JOIN embeddings e JOIN nrm n ON e.vec_id = n.vec_id),
+       |cand AS MATERIALIZED (SELECT qid, vec_id, rel, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $CandidateK),
+       |$pairCte""".stripMargin + greedyUnroll("0.5e0", "0.5e0")
+  }
+
+  /** mmr_combined's twin: the candidate pool is the hybrid fused top-K
+    * (Bm25.hybridCtes re-derives it), rel = rrf, candidates re-numbered
+    * densely in hybrid-rank order after the embedding inner join (the
+    * same order the Scala loop sorts by), then the identical unrolled
+    * greedy at λ=0.7. */
+  val mmrCombinedSql: String = {
+    import graft.OracleSql
+    s"""WITH ${Bm25.hybridCtes},
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |  FROM embeddings),
+       |cand AS MATERIALIZED (
+       |  SELECT hy.qid, hy.id AS vec_id, hy.rrf AS rel,
+       |         row_number() OVER (PARTITION BY hy.qid ORDER BY hy.rnk ASC) AS rnk
+       |  FROM hy JOIN embeddings e ON e.vec_id = hy.id),
+       |$pairCte""".stripMargin + greedyUnroll("0.7e0", "(1.0e0 - 0.7e0)")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("mmr_rerank" -> (mmrRerank _))
-  val oracles: Map[String, String] = Map("mmr_rerank" -> mmrRerankSql)
+    Map("mmr_rerank" -> (mmrRerank _), "mmr_combined" -> (mmrCombined _))
+  val oracles: Map[String, String] =
+    Map("mmr_rerank" -> mmrRerankSql, "mmr_combined" -> mmrCombinedSql)
 }

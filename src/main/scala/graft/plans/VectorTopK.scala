@@ -529,11 +529,6 @@ object VectorTopK {
            qidCol: String = "vec_id", qvecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     install(spark)
-    val qs = queries
-      .select(col(qidCol).cast("long"), col(qvecCol).cast(ArrayType(DoubleType)))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .toSeq
     val prepared = corpus.select(
       col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("embedding"))
@@ -542,19 +537,39 @@ object VectorTopK {
       case Knn.L2 => "l2"
       case Knn.Ip => "ip"
     }
-    // Oversized query sets chunk here, on the already-collected rows:
-    // each chunk is one plan-embedded corpus pass (bounded task memory).
-    val chunks = if (qs.isEmpty) Iterator(Seq.empty[(Long, Seq[Double])])
-                 else qs.grouped(Knn.MaxBroadcastQueries)
-    val partials = chunks.map { chunk =>
-      org.apache.spark.sql.graftshim.Shims.ofRows(spark,
+    val qProj = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast(ArrayType(DoubleType)))
+    def toPair(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getSeq[Double](1))
+    // One bounded chunk as a single plan-embedded corpus pass, ranked.
+    // Ranks are final per qid (a qid lives in exactly one chunk).
+    def ranked(chunk: Seq[(Long, Seq[Double])]): DataFrame = {
+      val node = org.apache.spark.sql.graftshim.Shims.ofRows(spark,
         VectorTopKNode(org.apache.spark.sql.graftshim.Shims.logicalPlan(prepared),
           chunk, k, metricName))
-    }.reduce(_.unionAll(_))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
-    partials.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("qid"), col("rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+      node.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+    // Probe the query-side size with ONE bounded job (limit, not a full
+    // collect): the overwhelmingly common serving case — a query batch
+    // under MaxBroadcastQueries — stays a single fully-lazy plan with
+    // exactly the old cost. An oversized query side (a caller passing a
+    // whole TABLE of queries) degrades gracefully instead of OOMing the
+    // driver: it streams through toLocalIterator in bounded chunks,
+    // each chunk runs to completion, and only its q·k ranked rows are
+    // retained — peak driver memory is one chunk of queries plus the
+    // bounded results, never the full query side.
+    val head = qProj.limit(Knn.MaxBroadcastQueries + 1).collect()
+    if (head.length <= Knn.MaxBroadcastQueries)
+      ranked(head.map(toPair).toSeq).orderBy(col("qid"), col("rank"))
+    else {
+      import scala.jdk.CollectionConverters._
+      val groups = qProj.toLocalIterator().asScala.map(toPair)
+        .grouped(Knn.MaxBroadcastQueries)
+      var acc = graft.Mat.detach(ranked(groups.next()))
+      while (groups.hasNext)
+        acc = acc.unionAll(graft.Mat.detach(ranked(groups.next())))
+      acc.orderBy(col("qid"), col("rank"))
+    }
   }
 }

@@ -468,9 +468,16 @@ object StreamingQueries {
     * broadcast, so the postings are probed in place); static dl joins
     * on doc_id, corpus totals ride as literals (index metadata loaded
     * once at serve start), and the per-(query, doc) integer contrib
-    * sums + top-N happen in a keyed stateful emit. A query's evidence
-    * is complete within its trigger (its terms arrive together), so
-    * each emission is final and the union equals batch bm25TopN. */
+    * sums + top-N happen in a keyed stateful emit. CONTRACT: a query's
+    * evidence is complete within its trigger (its terms arrive
+    * together), so each emission is final and the union equals batch
+    * bm25TopN. The contract is ASSERTED at the operator — a qid seen in
+    * a second trigger fails loudly (a silent partial+final duplicate
+    * pair of top-N lists would otherwise land in the sink); state is
+    * one 8-byte seen-marker per served query (a deployment serving an
+    * unbounded query stream adds a real trigger cadence + timeout to
+    * expire markers — with the harness's 0 ms trigger a registered
+    * timeout would busy-loop empty micro-batches). */
   private[graft] def bm25Serve(tf: DataFrame, dl: DataFrame,
       dfT: DataFrame, bigT: Long, bigN: Long, n: Int)(
       ds: Dataset[(Long, Seq[String])]): DataFrame = {
@@ -488,18 +495,26 @@ object StreamingQueries {
       .select(col("qid"), col("doc_id"), col("contrib"))
       .as[(Long, Long, Long)]
     contribs.groupByKey(_._1)
-      .flatMapGroupsWithState[Map[Long, Long], (Long, Long, Long, Int)](
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, Int)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (qid: Long, it: Iterator[(Long, Long, Long)],
-         state: GroupState[Map[Long, Long]]) =>
-          // integer sums are order-independent, so merging per trigger
-          // into keyed state is exact even if a query's terms were ever
-          // split across triggers; emission happens per trigger with
-          // the current totals (final here: one trigger per query)
+         state: GroupState[Boolean]) =>
+          require(!state.exists, s"bm25Serve: query $qid arrived in a " +
+            "second trigger — the serve contract is one trigger per query " +
+            "(a partial top-N would already have been emitted)")
+          state.update(true) // seen marker: one Boolean per served query.
+          // NoTimeout is deliberate: a registered processing-time
+          // timeout makes the engine run EMPTY micro-batches every
+          // trigger interval just to fire timeouts — with the default
+          // 0 ms trigger that is a busy loop. A deployment with an
+          // unbounded query stream sets a real trigger cadence and a
+          // timeout to expire these markers; at 8 bytes of state per
+          // query ever served, the marker outlives the old per-query
+          // doc-sum maps by orders of magnitude anyway.
+          // Integer contrib sums are order-independent longs, so the
+          // within-trigger fold is exact in any arrival order.
           val sums = scala.collection.mutable.HashMap.empty[Long, Long]
-          state.getOption.getOrElse(Map.empty).foreach { case (d, c) => sums(d) = c }
           it.foreach { case (_, d, c) => sums(d) = sums.getOrElse(d, 0L) + c }
-          state.update(sums.toMap)
           sums.toSeq.sortBy { case (d, sc) => (-sc, d) }.take(n)
             .zipWithIndex.iterator
             .map { case ((d, sc), i) => (qid, d, sc, i + 1) }

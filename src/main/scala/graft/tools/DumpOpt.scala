@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 object DumpOpt {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions","4").config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val name = args(0)
     val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

@@ -18,7 +18,7 @@ object ScaleProbe {
     def wanted(name: String): Boolean = only.isEmpty || only.exists(name.contains)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,274 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, HnswAnn, IvfIndex, Knn, Mmr}
+import graft.streaming.StreamingQueries
+
+/** Round 10: the graded BM25 family executes the at-rest serving plan
+  * (documents.text never scanned at serve), the postings write is
+  * hot-word-salted, the integer scoring carries a build-time Long-range
+  * certificate, the sparse index gains a streaming-ingest + live-merge
+  * race proof (the IVF layouts' ServeCompactionSpec, for postings), the
+  * NSW shard layout gains its own serve-vs-compaction race, mmr_combined
+  * (reranker.py:119-135) grades, and the dense custom plan degrades
+  * gracefully on oversized query sides. */
+class Round10Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private var sinkCtr = 0
+  private def nextSink(): String = { sinkCtr += 1; s"r10_sink_$sinkCtr" }
+
+  test("graded bm25_search plan reads only the postings layout — no documents scan at serve") {
+    val df = Bm25.bm25Search(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("documents"),
+      s"serve plan still scans the corpus:\n${plan.take(1200)}")
+    assert(plan.contains("graft_bm25_index"),
+      s"serve plan does not read the at-rest layout:\n${plan.take(1200)}")
+    // and the served result still equals the one-shot exactness twin
+    val served = df.collect().toSeq
+    val oneShot = Bm25.bm25TopN(Tables.load(spark, sfDir, "documents"), Bm25.K)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(served == oneShot, "served graded path diverged from the one-shot twin")
+  }
+
+  test("postings write splits a hot word across files — no single-task straggler; grades unchanged") {
+    // a stop word in EVERY doc: under repartition(word) its whole
+    // postings list (here 2000 rows; N rows at corpus scale) would land
+    // in one task/file
+    val docs = (0L until 2000L).map(i => (i, s"the w$i")).toDF("doc_id", "text")
+    Mat.withScratchDirs("bm25_skew") { case Seq(dir) =>
+      Bm25.writePostingsLayout(docs, dir, targetRows = 250)
+      val perFile = spark.read.parquet(s"$dir/tf").filter($"word" === "the")
+        .select(input_file_name().as("f")).groupBy("f").count()
+        .as[(String, Long)].collect()
+      assert(perFile.map(_._2).sum == 2000, s"postings lost rows: ${perFile.toSeq}")
+      assert(perFile.length >= 2, s"hot word not split: ${perFile.toSeq}")
+      // ceil(2000/250) = 8 salt groups of ~250; a file may collide a few
+      // groups but never the whole list
+      assert(perFile.map(_._2).max <= 1250, s"straggler file: ${perFile.toSeq}")
+      val qterms = spark.read.parquet(s"$dir/tf").filter($"doc_id" < Bm25.NQueriesB)
+        .select($"doc_id".as("qid"), $"word")
+      val served = Bm25.bm25OverPostings(spark, dir, qterms, Bm25.K)
+        .orderBy("qid", "rank").collect().toSeq
+      val oneShot = Bm25.bm25TopN(docs, Bm25.K).orderBy("qid", "rank").collect().toSeq
+      assert(served == oneShot, "salted layout changed served results")
+    }
+  }
+
+  test("BM25 Long-range certificate: realistic extremes pass, wrap-range extremes fail loudly") {
+    // sf1-shaped extremes (the documented analysis: idf_ppk ≤ 5e7,
+    // tf ≤ 100, T ≈ 2.7e7 → numerator ≈ 5.9e18, inside Int64)
+    Bm25.assertLongRangeSafe(maxIdfPpk = 50000000L, maxTf = 100L,
+      maxDl = 10000L, bigT = 27000000L, bigN = 50000L)
+    // a rare high-tf term in a much larger corpus: numerator wraps —
+    // must throw, not silently corrupt scores
+    intercept[IllegalArgumentException] {
+      Bm25.assertLongRangeSafe(maxIdfPpk = 50000000L, maxTf = 1000L,
+        maxDl = 1000000L, bigT = 27000000000L, bigN = 5000000L)
+    }
+    // denominator-side wrap is caught independently
+    intercept[IllegalArgumentException] {
+      Bm25.assertLongRangeSafe(maxIdfPpk = 1L, maxTf = 1L,
+        maxDl = 100000000000L, bigT = 1000L, bigN = 100000000000L)
+    }
+  }
+
+  test("streaming postings ingest + background merge race: BM25 serves bit-equal throughout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+    val expected = Bm25.bm25TopN(docs, Bm25.K).orderBy("qid", "rank").collect().toSeq
+    Mat.withScratchDirs("bm25_ingest", "bm25_merged") { case Seq(root, merged) =>
+      // docs ARRIVE as a stream; each trigger's batch indexes into its
+      // own shard layout (multi-writer ingest, stream_sink's shape
+      // composed with the postings build)
+      val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+      val chunks = rows.grouped(math.max(1, rows.length / 3)).map(_.toSeq).toSeq
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDS().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Bm25.writePostingsLayout(batch, s"$root/shard_$id")
+        }
+        .option("checkpointLocation", s"$root/_ckpt").start()
+      try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      val shardDirs = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("shard_")).map(_.toString).toSeq.sorted
+      assert(shardDirs.length >= 3, s"expected >=3 ingest shards, got $shardDirs")
+
+      // live view between merges: serve the shard-union directly
+      val qterms = shardDirs.map(d => spark.read.parquet(s"$d/tf"))
+        .reduce(_ unionByName _)
+        .filter($"doc_id" < Bm25.NQueriesB).select($"doc_id".as("qid"), $"word")
+      def serveShards(): Seq[org.apache.spark.sql.Row] =
+        Bm25.bm25OverShardLayouts(spark, shardDirs, qterms, Bm25.K)
+          .orderBy("qid", "rank").collect().toSeq
+      val undisturbed = serveShards()
+      assert(undisturbed == expected, "shard-union serve != whole-corpus one-shot")
+
+      // a background merge folds the shards into one layout while serves
+      // keep reading the immutable shard generation — actual concurrent
+      // jobs on the same session (the only safe rewrite protocol: merge
+      // writes a NEW directory, the caller swaps afterwards)
+      val mergeJob = Future { Bm25.mergePostingsLayouts(spark, shardDirs, merged) }
+      val during = serveShards()
+      Await.result(mergeJob, Duration(180, "s"))
+      assert(during == expected, "serve racing the merge diverged")
+
+      // post-swap: serves move to the merged layout, still bit-equal
+      val after = Bm25.bm25OverPostings(spark, merged, qterms, Bm25.K)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(after == expected, "merged layout serves differently")
+    }
+  }
+
+  test("NSW serve racing shard-layout compaction: bit-equal throughout and after the swap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), HnswAnn.NList, 10)
+    val assigned = IvfIndex.assign(emb, centroids)
+    val qs = emb.filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val chunks = qs.grouped(math.max(1, qs.length / 3)).map(_.toSeq).toSeq
+
+    def runServe(shards: DataFrame, beforeTrigger: Int => Unit = _ => ())
+        : Seq[(Long, Long, Double, Int)] = {
+      val input = MemoryStream[(Long, Seq[Double])]
+      val name = nextSink()
+      val q = StreamingQueries.nswServe(shards, emb, centroids, HnswAnn.NProbe, 5)(
+        input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try chunks.zipWithIndex.foreach { case (c, i) =>
+        beforeTrigger(i); input.addData(c: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[(Long, Long, Double, Int)]
+        .collect().sortBy(t => (t._1, t._4)).toSeq
+    }
+
+    def parquetFiles(rootDir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(rootDir))
+    }
+
+    Mat.withScratchDirs("nsw_live", "nsw_compacted") { case Seq(live, compacted) =>
+      // ingest-shaped shard table: three append generations (the graph
+      // build is deterministic per bucket, so rewrites preserve content)
+      (0 until 3).foreach { i =>
+        HnswAnn.nswShards(assigned).filter(pmod($"bucket", lit(3)) === i)
+          .write.mode("append").parquet(live)
+      }
+      val quiet = runServe(spark.read.parquet(live))
+      assert(quiet.nonEmpty && quiet.map(_._1).distinct.length == qs.length)
+
+      @volatile var compactJob: Future[Unit] = null
+      val racing = runServe(spark.read.parquet(live), beforeTrigger = { i =>
+        if (i == 1) {
+          compactJob = Future { HnswAnn.compactShards(spark, live, compacted) }
+          assert(!compactJob.isCompleted, "compaction finished before any trigger raced it")
+        }
+      })
+      Await.result(compactJob, Duration(180, "s"))
+      assert(racing == quiet, "NSW serve drifted while compaction raced the layout")
+
+      val swapped = runServe(spark.read.parquet(compacted))
+      assert(swapped == quiet, "serve from the compacted shard layout differs")
+      assert(parquetFiles(compacted) < parquetFiles(live),
+        s"compaction did not reduce files: ${parquetFiles(compacted)} vs ${parquetFiles(live)}")
+    }
+  }
+
+  test("mmr_combined: greedy λ=0.7 reorder of the hybrid pool — first pick rank 1, pool preserved") {
+    val out = Mmr.mmrCombined(spark, sfDir)
+      .as[(Long, Long, Int, Double)].collect().toList.groupBy(_._1)
+    val emb = Tables.load(spark, sfDir, "embeddings").select($"vec_id").as[Long].collect().toSet
+    val pool = Bm25.hybridRrf(spark, sfDir)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Int)].collect().toList
+      .filter(t => emb(t._2)) // candidates need an embedding on both engines
+      .groupBy(_._1)
+    assert(out.keySet == pool.keySet)
+    out.foreach { case (qid, sel) =>
+      val cand = pool(qid)
+      // the selection is a permutation of the (embedding-backed) pool
+      assert(sel.map(_._2).toSet == cand.map(_._2).toSet,
+        s"qid=$qid: selection is not the candidate pool")
+      assert(sel.map(_._3).sorted.toSeq == (1 to cand.length),
+        s"qid=$qid: mmr ranks not dense")
+      // first pick = top hybrid-ranked candidate (reranker.py:87)
+      val first = sel.minBy(_._3)
+      assert(first._2 == cand.minBy(_._3)._2, s"qid=$qid: first pick not hybrid rank 1")
+    }
+    // determinism: a second run is identical
+    val again = Mmr.mmrCombined(spark, sfDir)
+      .as[(Long, Long, Int, Double)].collect().toList.groupBy(_._1)
+    assert(again == out)
+  }
+
+  test("video decode fallback: non-mjpeg payloads route to the stub per payload, mixed batches split") {
+    import graft.multimodal.BinaryColumns._
+    // a real MJPEG-AVI frame next to a raw (non-image) chunk in ONE batch
+    val avi = makeAvi(seed = 7L)
+    val jpeg = AviMjpeg.frames(avi).head
+    val raw = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val out = JdkDecoder.decodeBatch("video", Array(jpeg, raw))
+    assert(out.length == 2 && out.forall(_.length == FeatureDim))
+    // per-payload dispatch: each half equals its dedicated decoder
+    assert(out(0).toSeq == ImageIoDecoder.decodeBatch("video", Array(jpeg))(0).toSeq)
+    assert(out(1).toSeq == StubDecoder.decodeBatch("video", Array(raw))(0).toSeq)
+  }
+
+  test("AVI walker: a corrupt chunk size near Int.MaxValue stops gracefully instead of slicing") {
+    import graft.multimodal.BinaryColumns.AviMjpeg
+    val avi = graft.multimodal.BinaryColumns.makeAvi(seed = 3L)
+    // corrupt the first movi-chunk size to 0x7ffffff0: body + sz wraps
+    // negative in Int — the Long-domain guard must stop the walk, not
+    // throw from Arrays.copyOfRange
+    val good = AviMjpeg.frames(avi)
+    assert(good.nonEmpty)
+    val corrupt = avi.clone()
+    // find the first '00dc' chunk and blow up its size field
+    var i = 12
+    var found = -1
+    while (found < 0 && i < corrupt.length - 8) {
+      if (corrupt(i) == '0' && corrupt(i + 1) == '0' &&
+          corrupt(i + 2) == 'd' && corrupt(i + 3) == 'c') found = i
+      i += 1
+    }
+    assert(found > 0, "no frame chunk in synthetic AVI")
+    corrupt(found + 4) = 0xF0.toByte; corrupt(found + 5) = 0xFF.toByte
+    corrupt(found + 6) = 0xFF.toByte; corrupt(found + 7) = 0x7F.toByte
+    val frames = AviMjpeg.frames(corrupt) // must not throw
+    assert(frames.length < good.length, "corrupt chunk should truncate the walk")
+  }
+
+  test("oversized query side: grouped-iteration custom plan == chunked broadcast knn, bit-equal") {
+    val n = Knn.MaxBroadcastQueries + 1000 // forces the >1-chunk driver path
+    def table(rows: Long): DataFrame = spark.range(rows).select(
+      $"id".as("vec_id"),
+      expr("array(cast(id % 7 + 1 as double), cast(id % 5 + 1 as double), " +
+        "cast(id % 3 + 1 as double))").as("embedding"))
+    val corpus = table(200)
+    val queries = table(n)
+    val custom = graft.plans.VectorTopK.topK(corpus, queries, 3)
+      .select("qid", "vec_id", "score", "rank").collect().toSeq
+    assert(custom.length == n * 3)
+    // independent reference: the Dataset formulation, chunked by hand
+    val half = (n / 2) + 1
+    val ref = Seq(queries.filter($"vec_id" < half), queries.filter($"vec_id" >= half))
+      .map(q => Knn.topKMapPartitions(corpus, q, 3, Knn.Cosine)
+        .select("qid", "vec_id", "score", "rank"))
+      .reduce(_ unionAll _).collect().toSeq
+    assert(custom.sortBy(r => (r.getLong(0), r.getInt(3))) ==
+      ref.sortBy(r => (r.getLong(0), r.getInt(3))),
+      "grouped-iteration path diverged from chunked broadcast knn")
+  }
+}
