@@ -315,10 +315,21 @@ object Bm25 {
     * the fused row's rank nullability). All integer counts — exact. */
   def retrievalComparison(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val hy = hybridRrf(s, dir)
-    val d10 = Knn.topK(emb, emb.filter(col("vec_id") < NQueriesB), K, Knn.Cosine)
-      .select(col("qid"), col("vec_id").as("id"))
-    val b10 = bm25TopNServed(s, dir, K).select(col("qid"), col("doc_id").as("id"))
+    // Both source lists compute ONCE (detached: 10 queries × top-20 —
+    // trivially driver-sized) and everything derives from them: the
+    // fusion consumes the top-20s, the overlap counts their top-10
+    // PREFIXES (rank ≤ K filter — identical by construction to an
+    // independent top-K run, and exactly how the SQL twin derives
+    // d10/b10 from its vec/bm CTEs). The round-9 shape re-derived both
+    // @10 lists and the whole fused pipeline a second time.
+    val bm = graft.Mat.detach(bm25TopNServed(s, dir, TopN)
+      .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank")))
+    val vec = graft.Mat.detach(
+      Knn.topK(emb, emb.filter(col("vec_id") < NQueriesB), TopN, Knn.Cosine)
+        .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank")))
+    val hy = fuseRrf(vec, bm)
+    val d10 = vec.filter(col("vec_rank") <= K).select("qid", "id")
+    val b10 = bm.filter(col("bm25_rank") <= K).select("qid", "id")
     val ov = d10.join(b10, Seq("qid", "id"))
       .groupBy("qid").agg(count(lit(1)).as("dense_bm25_overlap"))
     hy.groupBy("qid").agg(

@@ -284,6 +284,11 @@ object IvfPq {
   @volatile private var lastModel: Model = _
   @volatile private var lastCodedModel: Model = _
 
+  /** The full-pipeline twin for a caller-stashed model — the streaming
+    * coded serve grades against the identical oracle as the batch
+    * coded probe (same trained literals, same ADC + rerank replay). */
+  private[graft] def oracleFor(mdl: Model): String = ivfpqSql(mdl)
+
   /** Full-pipeline SQL twin from this run's trained model literals:
     * route (argmin over centroid distances), residual, encode (argmin
     * per subspace over residual-centroid distances), per-(query,bucket)

@@ -189,6 +189,100 @@ object StreamingQueries {
         .as[(Long, Long, Double)], r)
   }
 
+  /** Streaming serve over the PERSISTED PQ-CODE layout (ivfpq_coded's
+    * at-rest form served online — the m-bytes-per-vector ADC tier next
+    * to stream_ivf_coded's 1-bit tier): arriving queries route to
+    * nprobe buckets (the same codegen NearestCentroidsExpr), the
+    * per-trigger candidate scan equi-joins ONLY (vec_id, code,
+    * centroid) of the probed layout — the packed-long code word, never
+    * the float column — and ADC scores fold the m shift-extracted byte
+    * lanes against a per-task (query, bucket) residual-LUT cache (one
+    * LUT build per pair per task, the in-memory kernel's lutCache
+    * moved executor-side; identical tabulate order and left-to-right
+    * subspace association, so ADC values are bit-equal to the batch
+    * kernel). Keyed state keeps each query's bottom k·refine by
+    * (adc, id) — keyedTopK over the NEGATED distance realizes exactly
+    * the batch Window's (adc ASC, vec_id ASC) cut. */
+  private[graft] def pqCodedServe(codes: DataFrame,
+      model: graft.operators.IvfPq.Model, nprobe: Int, nCand: Int)(
+      ds: Dataset[(Long, Seq[Double])]): DataFrame = {
+    import codes.sparkSession.implicits._
+    val bm = codes.sparkSession.sparkContext.broadcast(model)
+    val routed = ds.toDF("qid", "qv").withColumn("centroid",
+      explode(org.apache.spark.sql.graftshim.Shims.column(
+        graft.operators.NearestCentroidsExpr(
+          org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
+          model.centroids, nprobe))))
+    val scored = codes.join(broadcast(routed), "centroid")
+      .select(col("qid"), col("vec_id"), col("code"), col("centroid"), col("qv"))
+      .as[(Long, Long, Long, Int, Seq[Double])]
+      .mapPartitions { it =>
+        val mdl = bm.value
+        val lutCache = scala.collection.mutable.HashMap
+          .empty[(Long, Int), Array[Array[Double]]]
+        it.map { case (qid, id, code, b, qvSeq) =>
+          val lut = lutCache.getOrElseUpdate((qid, b), {
+            val qv = qvSeq.toArray
+            val ctr = mdl.centroids(b)
+            val qres = Array.tabulate(qv.length)(i => qv(i) - ctr(i))
+            Array.tabulate(mdl.cb.m, mdl.cb.books(0).length) { (sub, c) =>
+              val cc = mdl.cb.books(sub)(c)
+              var d = 0.0; var i = 0
+              while (i < mdl.cb.subDim) {
+                val df = qres(sub * mdl.cb.subDim + i) - cc(i); d += df * df; i += 1
+              }
+              d
+            }
+          })
+          var d = 0.0; var s = 0
+          while (s < mdl.cb.m) { d += lut(s)(((code >>> (8 * s)) & 0xffL).toInt); s += 1 }
+          (qid, id, -d) // negate: keyedTopK keeps highest == lowest adc
+        }
+      }
+    keyedTopK(scored, nCand)
+  }
+
+  /** stream_pq_coded: the PQ-coded layout served online end-to-end —
+    * candidate generation streams (pqCodedServe), the q·R survivors
+    * rerank through the batch tier (broadcast join-back onto the float
+    * column of the same layout). Union of emissions == batch
+    * ivfpq_coded from the same deterministic model, so the SAME
+    * full-pipeline SQL twin grades both. */
+  def streamPqCoded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.IvfPq
+    val emb = Tables.load(s, dir, "embeddings")
+    val model = IvfPq.trainModel(IvfIndex.trainSample(emb))
+    lastStreamPqModel = model
+    val qs = emb.filter(col("vec_id") < VectorSearch.NQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val k = VectorSearch.K
+    val nCand = k * IvfPq.Refine
+    val chunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
+    graft.Mat.withScratchDirs("stream_pq_coded") { case Seq(idx) =>
+      IvfPq.writeCodedPqLayout(emb, model, idx)
+      val loaded = s.read.parquet(idx)
+      val codes = loaded.select(col("vec_id"), col("code"),
+        col("centroid").cast("int").as("centroid"))
+      val cands = drain(s, chunks, "update", sinkName("stream_pq_coded"))(
+        pqCodedServe(codes, model, IvfPq.NProbe, nCand))
+      val qv = emb.filter(col("vec_id") < VectorSearch.NQueries)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val vecs = loaded.select(col("vec_id"), col("embedding"))
+      val sw = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val out = broadcast(cands.select(col("qid"), col("vec_id")))
+        .join(vecs, "vec_id").join(broadcast(qv), "qid")
+        .withColumn("score",
+          graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+        .withColumn("rank", row_number().over(sw)).filter(col("rank") <= k)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+      graft.Mat.detach(out.orderBy("qid", "rank"))
+    }
+  }
+
   /** Streaming serve over the PERSISTED-CODE index layout
     * (ivf_binary_coded's at-rest form, served online): arriving
     * queries route to nprobe buckets, the per-trigger candidate scan
@@ -571,6 +665,7 @@ object StreamingQueries {
   @volatile private var lastStreamIvfCodedCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswAdj: Array[(Int, Long, Array[Long])] = _
+  @volatile private var lastStreamPqModel: graft.operators.IvfPq.Model = _
 
   private def ingestSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
@@ -590,7 +685,8 @@ object StreamingQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_mmr" -> (streamMmr _),
     "stream_sink" -> (streamSink _),
-    "stream_hybrid" -> (streamHybrid _))
+    "stream_hybrid" -> (streamHybrid _),
+    "stream_pq_coded" -> (streamPqCoded _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -609,6 +705,8 @@ object StreamingQueries {
     if (lastStreamIvfCodedCentroids != null)
       m += "stream_ivf_coded" -> graft.operators.BinaryQuant
         .ivfBinarySql(lastStreamIvfCodedCentroids)
+    if (lastStreamPqModel != null)
+      m += "stream_pq_coded" -> graft.operators.IvfPq.oracleFor(lastStreamPqModel)
     if (lastStreamNswCentroids != null && lastStreamNswAdj != null)
       m += "stream_nsw" -> graft.operators.HnswAnn.stashedOracle(
         lastStreamNswCentroids, lastStreamNswAdj)

@@ -213,6 +213,20 @@ class Round10Spec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("stream_pq_coded == batch ivfpq_coded, row-for-row") {
+    // both train the same deterministic model, so the streamed serve
+    // (routed candidate stream + keyed bottom-R state + batch rerank
+    // tier) must reproduce the batch coded probe exactly
+    val streamed = StreamingQueries.streamPqCoded(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val batch = graft.operators.IvfPq.queries("ivfpq_coded")(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed PQ-coded serve diverged; first diff: ${
+        streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("video decode fallback: non-mjpeg payloads route to the stub per payload, mixed batches split") {
     import graft.multimodal.BinaryColumns._
     // a real MJPEG-AVI frame next to a raw (non-image) chunk in ONE batch
