@@ -189,6 +189,47 @@ object StreamingQueries {
         .as[(Long, Long, Double)], r)
   }
 
+  /** Streaming SPARSE-index ingest — stream_sink's shape for the BM25
+    * postings layout: documents ARRIVE via writeStream/foreachBatch,
+    * each trigger indexes its batch into its own shard postings layout
+    * (writePostingsLayout — the multi-writer at-rest form; exactly-once
+    * per batch under the checkpointed foreachBatch contract), a merge
+    * folds the shards into one layout (aggregates over the postings
+    * tables, never a corpus re-tokenize), and the MERGED index serves
+    * the graded query. Output == batch bm25_search, graded by the SAME
+    * SQL twin — the whole ingest→merge→serve lifecycle sits on the
+    * correctness gate, mirroring how stream_sink grades the dense
+    * layout's write path. Round10Spec additionally races the merge
+    * against live shard-union serves. */
+  def streamBm25Ingest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Bm25
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.load(s, dir, "documents")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).map(_.toSeq).toSeq
+    graft.Mat.withScratchDirs("stream_bm25_shards", "stream_bm25_merged") {
+      case Seq(root, merged) =>
+        val input = MemoryStream[(Long, String)]
+        val q = input.toDS().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            Bm25.writePostingsLayout(batch, s"$root/shard_$id")
+          }
+          .option("checkpointLocation", s"$root/_ckpt").start()
+        try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        finally q.stop()
+        val shardDirs = new java.io.File(root).listFiles()
+          .filter(_.getName.startsWith("shard_")).map(_.toString).toSeq.sorted
+        Bm25.mergePostingsLayouts(s, shardDirs, merged)
+        val qterms = s.read.parquet(s"$merged/tf")
+          .filter(col("doc_id") < Bm25.NQueriesB)
+          .select(col("doc_id").as("qid"), col("word"))
+        graft.Mat.detach(
+          Bm25.bm25OverPostings(s, merged, qterms, Bm25.K).orderBy("qid", "rank"))
+    }
+  }
+
   /** Streaming serve over the PERSISTED PQ-CODE layout (ivfpq_coded's
     * at-rest form served online — the m-bytes-per-vector ADC tier next
     * to stream_ivf_coded's 1-bit tier): arriving queries route to
@@ -686,7 +727,8 @@ object StreamingQueries {
     "stream_mmr" -> (streamMmr _),
     "stream_sink" -> (streamSink _),
     "stream_hybrid" -> (streamHybrid _),
-    "stream_pq_coded" -> (streamPqCoded _))
+    "stream_pq_coded" -> (streamPqCoded _),
+    "stream_bm25_ingest" -> (streamBm25Ingest _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -700,6 +742,9 @@ object StreamingQueries {
     // streaming == batch hybrid bit-equal (shared fusion arithmetic),
     // so the batch twin grades the streamed serve too
     m += "stream_hybrid" -> graft.operators.Bm25.hybridRrfSql
+    // the streamed-ingest merged index serves exactly what the batch
+    // one-shot computes, so bm25_search's twin grades the write path
+    m += "stream_bm25_ingest" -> graft.operators.Bm25.bm25SearchSql
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
     if (lastStreamIvfCodedCentroids != null)
