@@ -597,6 +597,54 @@ object StreamingQueries {
     }
   }
 
+  /** Incremental GRAPH-index ingest — the NSW layout's write story:
+    * vectors STREAM into the centroid-partitioned at-rest layout (the
+    * stream_sink write path: parquet sink + checkpoint, exactly-once
+    * under recovery), the per-bucket NSW graphs REBUILD executor-side
+    * from the sunk layout (nswShards over the reloaded corpus — the
+    * deterministic vec_id-order insertion means the rebuild equals a
+    * whole-corpus build bit-exactly no matter how many triggers wrote
+    * the rows), and queries serve through the rebuilt shard table
+    * (nswServe). Graded by the SAME recursive-CTE beam-replay oracle
+    * as hnsw_search/stream_nsw, from this run's stashed build — the
+    * ingest→rebuild→serve lifecycle of a graph index sits on the
+    * correctness gate end to end. */
+  def streamNswIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.operators.HnswAnn
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), HnswAnn.NList, 10)
+    lastStreamNswIngestCentroids = centroids
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val qs = emb.filter(col("vec_id") < VectorSearch.NQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val qchunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
+    graft.Mat.withScratchDirs("nsw_ingest_corpus", "nsw_ingest_ckpt",
+      "nsw_ingest_idx") { case Seq(out, ckpt, idx) =>
+        // 1. ingest: vectors stream into the partitioned layout
+        val input = MemoryStream[(Long, Seq[Double])]
+        val q = IvfIndex.assign(input.toDF().toDF("vec_id", "embedding"), centroids)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .partitionBy("centroid").outputMode("append").start()
+        try split3(vecs).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        finally q.stop()
+        // 2. rebuild: per-bucket graphs from the sunk layout
+        val sunk = s.read.parquet(out).select(col("vec_id"), col("embedding"),
+          col("centroid").cast("int").as("centroid"))
+        HnswAnn.nswShards(sunk).write.mode("overwrite").parquet(idx)
+        val shards = s.read.parquet(idx)
+        lastStreamNswIngestAdj = HnswAnn.adjFromShards(shards)
+        // 3. serve through the rebuilt index
+        val served = drain(s, qchunks, "update", sinkName("stream_nsw_ingest"))(
+          nswServe(shards, emb, centroids, HnswAnn.NProbe, VectorSearch.K))
+        graft.Mat.detach(served.orderBy("qid", "rank"))
+    }
+  }
+
   /** Sparse BM25 serve over the at-rest postings layout: an arriving
     * query's distinct terms explode to (qid, word) and equi-join the
     * static postings on `word` (the stream side is q·|terms| rows —
@@ -707,6 +755,8 @@ object StreamingQueries {
   @volatile private var lastStreamNswCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswAdj: Array[(Int, Long, Array[Long])] = _
   @volatile private var lastStreamPqModel: graft.operators.IvfPq.Model = _
+  @volatile private var lastStreamNswIngestCentroids: Array[Array[Double]] = _
+  @volatile private var lastStreamNswIngestAdj: Array[(Int, Long, Array[Long])] = _
 
   private def ingestSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
@@ -728,7 +778,8 @@ object StreamingQueries {
     "stream_sink" -> (streamSink _),
     "stream_hybrid" -> (streamHybrid _),
     "stream_pq_coded" -> (streamPqCoded _),
-    "stream_bm25_ingest" -> (streamBm25Ingest _))
+    "stream_bm25_ingest" -> (streamBm25Ingest _),
+    "stream_nsw_ingest" -> (streamNswIngest _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -755,6 +806,9 @@ object StreamingQueries {
     if (lastStreamNswCentroids != null && lastStreamNswAdj != null)
       m += "stream_nsw" -> graft.operators.HnswAnn.stashedOracle(
         lastStreamNswCentroids, lastStreamNswAdj)
+    if (lastStreamNswIngestCentroids != null && lastStreamNswIngestAdj != null)
+      m += "stream_nsw_ingest" -> graft.operators.HnswAnn.stashedOracle(
+        lastStreamNswIngestCentroids, lastStreamNswIngestAdj)
     if (lastIngestCentroids != null) m += "stream_ingest" -> ingestSql(lastIngestCentroids)
     if (lastSinkCentroids != null) m += "stream_sink" -> ingestSql(lastSinkCentroids)
     m.result()
