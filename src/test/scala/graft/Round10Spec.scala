@@ -63,6 +63,28 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("online serve with driver-known terms: word filter pushed to the postings scan, bit-equal") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    Mat.withScratchDirs("bm25_terms") { case Seq(dir) =>
+      Bm25.writePostingsLayout(docs, dir)
+      // the online shape: queries arrive WITH their text — terms are a
+      // driver-side set (here: the same more-like-this term sets the
+      // graded query derives, so the two paths are comparable)
+      val queries = docs.filter($"doc_id" < Bm25.NQueriesB)
+        .select($"doc_id", expr("array_distinct(split(trim(text), '\\\\s+'))"))
+        .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+      val online = Bm25.bm25ServeTerms(spark, dir, queries, Bm25.K)
+      // the term set reaches the scan as a pushed data filter
+      val plan = online.queryExecution.sparkPlan.toString
+      assert(plan.contains("PushedFilters: [In(word") ||
+        plan.contains("PushedFilters: [IsNotNull(word), In(word"),
+        s"word-term filter not pushed:\n${plan.take(1200)}")
+      val got = online.orderBy("qid", "rank").collect().toSeq
+      val oneShot = Bm25.bm25TopN(docs, Bm25.K).orderBy("qid", "rank").collect().toSeq
+      assert(got == oneShot, "term-pushed serve diverged from the one-shot twin")
+    }
+  }
+
   test("BM25 Long-range certificate: realistic extremes pass, wrap-range extremes fail loudly") {
     // sf1-shaped extremes (the documented analysis: idf_ppk ≤ 5e7,
     // tf ≤ 100, T ≈ 2.7e7 → numerator ≈ 5.9e18, inside Int64)
