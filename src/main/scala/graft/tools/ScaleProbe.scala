@@ -368,6 +368,18 @@ object ScaleProbe {
           println(f"[scale] bm25 SERVE pass$pass over postings: " +
             f"${(System.nanoTime() - t1) / 1e9}%.2f s ($rows rows)")
         }
+        // the online short-query shape: terms known at the driver push
+        // into the word-sorted postings as an In filter — row-group
+        // stats prune the scan to the queried vocabulary slice
+        val shortQs = (0L until 16L).map(q => (q,
+          Seq(s"w${q * 997 % 50000}", s"w${q * 1499 % 50000}", s"w${q * 2003 % 50000}")))
+        for (pass <- 1 to 2) {
+          val t2 = System.nanoTime()
+          val rows = graft.operators.Bm25
+            .bm25ServeTerms(spark, dir, shortQs, 10).count()
+          println(f"[scale] bm25 SERVE pass$pass 16 short queries (3 terms, In-pushed, " +
+            f"row-group pruned): ${(System.nanoTime() - t2) / 1e9}%.2f s ($rows rows)")
+        }
       }
     }
 

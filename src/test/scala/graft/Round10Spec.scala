@@ -209,6 +209,54 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("PQ-coded streaming serve racing compactIndex: candidate emissions bit-equal throughout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.IvfPq
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val model = IvfPq.trainModel(IvfIndex.trainSample(emb))
+    val qs = emb.filter($"vec_id" < 12)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val chunks = qs.grouped(math.max(1, qs.length / 3)).map(_.toSeq).toSeq
+    val nCand = 5 * IvfPq.Refine
+
+    def runServe(codes: org.apache.spark.sql.DataFrame,
+        beforeTrigger: Int => Unit = _ => ()): Seq[(Long, Long, Double, Int)] = {
+      val input = MemoryStream[(Long, Seq[Double])]
+      val name = nextSink()
+      val q = StreamingQueries.pqCodedServe(codes, model, IvfPq.NProbe, nCand)(
+        input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try chunks.zipWithIndex.foreach { case (c, i) =>
+        beforeTrigger(i); input.addData(c: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[(Long, Long, Double, Int)]
+        .collect().sortBy(t => (t._1, t._4)).toSeq
+    }
+
+    Mat.withScratchDirs("pqs_live", "pqs_compacted") { case Seq(live, compacted) =>
+      (0 until 3).foreach { i =>
+        IvfPq.encodePq(emb.filter($"vec_id" % 3 === i), model)
+          .write.partitionBy("centroid").mode("append").parquet(live)
+      }
+      def codesOf(dir: String) = spark.read.parquet(dir)
+        .select($"vec_id", $"code", $"centroid".cast("int").as("centroid"))
+      val quiet = runServe(codesOf(live))
+      assert(quiet.nonEmpty && quiet.map(_._1).distinct.length == qs.length)
+      @volatile var compactJob: scala.concurrent.Future[Unit] = null
+      val racing = runServe(codesOf(live), beforeTrigger = { i =>
+        if (i == 1) {
+          compactJob = Future { IvfIndex.compactIndex(spark, live, compacted) }
+          assert(!compactJob.isCompleted, "compaction finished before any trigger raced it")
+        }
+      })
+      Await.result(compactJob, Duration(180, "s"))
+      assert(racing == quiet, "PQ streaming serve drifted while compaction raced the layout")
+      val swapped = runServe(codesOf(compacted))
+      assert(swapped == quiet, "serve from the compacted PQ layout differs")
+    }
+  }
+
   test("mmr_combined: greedy λ=0.7 reorder of the hybrid pool — first pick rank 1, pool preserved") {
     val out = Mmr.mmrCombined(spark, sfDir)
       .as[(Long, Long, Int, Double)].collect().toList.groupBy(_._1)
