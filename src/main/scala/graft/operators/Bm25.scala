@@ -89,17 +89,35 @@ object Bm25 {
   }
 
   /** The shared scoring tail: integer-exact contributions joined off
-    * the postings, summed per (query, doc), top `n` per query. */
-  private def scoreAndRank(tf: DataFrame, dl: DataFrame, dfT: DataFrame,
-      tot: DataFrame, qterms: DataFrame, n: Int): DataFrame = {
+    * the postings, summed per (query, doc), top `n` per query.
+    *
+    * `wide = true` selects the DECIMAL(38,0)-widened contrib — the
+    * fallback for corpora the Int64 build certificate rejects: the
+    * identical rational BM25 with every intermediate product carried
+    * in exact 38-digit decimal (the largest, idf_ppk·44·tf·T, stays
+    * within ~31 digits even 10⁶× past the certified range) and the
+    * integral quotient cast back to long — the per-term contrib is
+    * bounded by ~2.2·idf_ppk regardless of corpus size, so the score
+    * SUM stays an order-independent long exactly like the fast path.
+    * Round10Spec pins wide == integer inside the certified range and
+    * wide == BigInt reference beyond it. */
+  private[graft] def scoreAndRank(tf: DataFrame, dl: DataFrame, dfT: DataFrame,
+      tot: DataFrame, qterms: DataFrame, n: Int,
+      wide: Boolean = false): DataFrame = {
+    val contribExpr =
+      if (wide) expr(
+        "(cast(idf_ppk as decimal(38,0)) * (44 * cast(tf as decimal(38,0)) * big_t)) div " +
+          "(20 * cast(tf as decimal(38,0)) * big_t + 6 * cast(big_t as decimal(38,0)) + " +
+          "18 * cast(dl as decimal(38,0)) * big_n)")
+      else expr(
+        "(idf_ppk * (44 * tf * big_t)) div (20 * tf * big_t + 6 * big_t + 18 * dl * big_n)")
     val contrib = tf
       .join(broadcast(dfT), "word")
       .join(broadcast(qterms), "word")
       .crossJoin(broadcast(tot))
       .join(dl, "doc_id")
       .withColumn("idf_ppk", expr("((big_n - df) * 1000) div df"))
-      .withColumn("contrib", expr(
-        "(idf_ppk * (44 * tf * big_t)) div (20 * tf * big_t + 6 * big_t + 18 * dl * big_n)"))
+      .withColumn("contrib", contribExpr)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     contrib.groupBy("qid", "doc_id").agg(sum("contrib").as("score"))
       .withColumn("rank", row_number().over(w))
@@ -307,6 +325,18 @@ object Bm25 {
       spark.read.parquet(s"$dir/df"),
       spark.read.parquet(s"$dir/tot"),
       qterms, n)
+
+  /** The widened serve for corpora past the Int64 certificate (see
+    * scoreAndRank's `wide` doc): same layout, same rational scoring,
+    * DECIMAL(38,0) intermediates. */
+  def bm25OverPostingsWide(spark: SparkSession, dir: String,
+      qterms: DataFrame, n: Int): DataFrame =
+    scoreAndRank(
+      spark.read.parquet(s"$dir/tf"),
+      spark.read.parquet(s"$dir/dl"),
+      spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/tot"),
+      qterms, n, wide = true)
 
   /** RRF fusion of the BM25 top-20 (over documents) with the dense
     * cosine top-20 (over the id-aligned embeddings table): score =

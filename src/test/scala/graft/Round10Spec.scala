@@ -103,6 +103,50 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("DECIMAL-widened BM25: equals the integer path in range, equals BigInt truth beyond it") {
+    // inside the certified range: wide == integer, bit-equal
+    val docs = Tables.load(spark, sfDir, "documents")
+    Mat.withScratchDirs("bm25_wide") { case Seq(dir) =>
+      Bm25.writePostingsLayout(docs, dir)
+      val qterms = spark.read.parquet(s"$dir/tf").filter($"doc_id" < Bm25.NQueriesB)
+        .select($"doc_id".as("qid"), $"word")
+      val narrow = Bm25.bm25OverPostings(spark, dir, qterms, Bm25.K)
+        .orderBy("qid", "rank").collect().toSeq
+      val wide = Bm25.bm25OverPostingsWide(spark, dir, qterms, Bm25.K)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(wide == narrow, "widened path diverged inside the certified range")
+    }
+    // beyond it: synthetic postings whose products wrap Int64 — the
+    // integer path would corrupt (which is why the certificate rejects
+    // them); the wide path must match an independent BigInt replay
+    val bigT = 30000000000L // 3e10 tokens: idf·44·tf·T ≈ 2.6e22 >> 2^63
+    val bigN = 1000000L
+    val tf = Seq((1L, "a", 2000L), (2L, "a", 1L), (2L, "b", 5000L), (3L, "b", 9000L))
+      .toDF("doc_id", "word", "tf")
+    val dl = Seq((1L, 40000L), (2L, 35000L), (3L, 90000L)).toDF("doc_id", "dl")
+    val dfT = Seq(("a", 2L), ("b", 2L)).toDF("word", "df")
+    val tot = Seq((bigT, bigN)).toDF("big_t", "big_n")
+    val qterms = Seq((0L, "a"), (0L, "b")).toDF("qid", "word")
+    val got = Bm25.scoreAndRank(tf, dl, dfT, tot, qterms, 3, wide = true)
+      .select($"qid", $"doc_id", $"score").as[(Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    def contrib(tfv: Long, dlv: Long, dfv: Long): Long = {
+      val idf = BigInt(bigN - dfv) * 1000 / dfv
+      (idf * 44 * tfv * bigT /
+        (BigInt(20) * tfv * bigT + BigInt(6) * bigT + BigInt(18) * dlv * bigN)).toLong
+    }
+    val want = Seq(
+      (0L, 1L, contrib(2000, 40000, 2)),
+      (0L, 2L, contrib(1, 35000, 2) + contrib(5000, 35000, 2)),
+      (0L, 3L, contrib(9000, 90000, 2)))
+    assert(got == want, s"wide path != BigInt truth: got $got want $want")
+    // and the certificate indeed rejects these extremes
+    intercept[IllegalArgumentException] {
+      Bm25.assertLongRangeSafe(maxIdfPpk = (bigN - 2) * 1000 / 2, maxTf = 9000L,
+        maxDl = 90000L, bigT = bigT, bigN = bigN)
+    }
+  }
+
   test("streaming postings ingest + background merge race: BM25 serves bit-equal throughout") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Tables.load(spark, sfDir, "documents")
