@@ -158,6 +158,21 @@ object Bm25 {
   def bm25Search(s: SparkSession, dir: String): DataFrame =
     bm25TopNServed(s, dir, K).orderBy("qid", "rank")
 
+  /** The graded WIDENED tier: same shared layout, same query-term
+    * derivation, but the serve executes the DECIMAL(38,0) plan —
+    * graded against a HUGEINT (int128) DuckDB twin. On the in-range
+    * graded corpus both reduce to the narrow path's integers, which
+    * is the point: the grade certifies the widened plan computes the
+    * true values (the same way knn_fp16 grades an alternate arithmetic
+    * tier). */
+  def bm25SearchWide(s: SparkSession, dir: String): DataFrame = {
+    val idx = layoutFor(s, dir)
+    val qterms = s.read.parquet(s"$idx/tf")
+      .filter(col("doc_id") < NQueriesB)
+      .select(col("doc_id").as("qid"), col("word"))
+    bm25OverPostingsWide(s, idx, qterms, K).orderBy("qid", "rank")
+  }
+
   /** Long-range certificate for the integer-exact scoring arithmetic:
     * every product the contrib expression forms must fit Int64. Checked
     * against the ACTUAL corpus extremes at index-build time (BigInt
@@ -410,7 +425,18 @@ object Bm25 {
 
   /** The integer-exact BM25 pipeline, top `n` per query, as a DuckDB CTE
     * body (shared by both graded twins). */
-  private def bm25Cte(n: Int): String =
+  /** `wide = true` computes the contrib in DuckDB HUGEINT (int128) —
+    * the twin of the engine's DECIMAL(38,0)-widened path; on an
+    * in-range corpus both reduce to the same integers as the narrow
+    * arithmetic, which is exactly what the grade certifies. */
+  private def bm25CteW(n: Int, wide: Boolean): String = {
+    val ctbExpr =
+      if (wide)
+        """CAST((CAST(((big_n - df) * 1000) // df AS HUGEINT) * (44 * CAST(tf AS HUGEINT) * big_t))
+          |            // (20 * CAST(tf AS HUGEINT) * big_t + 6 * CAST(big_t AS HUGEINT) + 18 * CAST(dl AS HUGEINT) * big_n) AS BIGINT) AS contrib""".stripMargin
+      else
+        """((((big_n - df) * 1000) // df) * (44 * tf * big_t))
+          |            // (20 * tf * big_t + 6 * big_t + 18 * dl * big_n) AS contrib""".stripMargin
     s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |        FROM documents),
        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
@@ -420,8 +446,7 @@ object Bm25 {
        |               CAST(count(DISTINCT doc_id) AS BIGINT) AS big_n FROM tok),
        |qterms AS (SELECT DISTINCT doc_id AS qid, word FROM tok WHERE doc_id < $NQueriesB),
        |ctb AS (SELECT q.qid, tf.doc_id,
-       |          ((((big_n - df) * 1000) // df) * (44 * tf * big_t))
-       |            // (20 * tf * big_t + 6 * big_t + 18 * dl * big_n) AS contrib
+       |          $ctbExpr
        |        FROM tf
        |        JOIN dfr ON dfr.word = tf.word
        |        JOIN qterms q ON q.word = tf.word
@@ -433,9 +458,16 @@ object Bm25 {
        |                  ORDER BY sum(contrib) DESC, doc_id ASC) AS rnk
        |         FROM ctb GROUP BY qid, doc_id)
        |       WHERE rnk <= $n)""".stripMargin
+  }
+
+  private def bm25Cte(n: Int): String = bm25CteW(n, wide = false)
 
   val bm25SearchSql: String =
     s"""WITH ${bm25Cte(K)}
+       |SELECT qid, doc_id, score, "rank" FROM bm ORDER BY qid, "rank"""".stripMargin
+
+  val bm25SearchWideSql: String =
+    s"""WITH ${bm25CteW(K, wide = true)}
        |SELECT qid, doc_id, score, "rank" FROM bm ORDER BY qid, "rank"""".stripMargin
 
   val hybridRrfSql: String =
@@ -491,11 +523,13 @@ object Bm25 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_search" -> (bm25Search _),
+    "bm25_wide" -> (bm25SearchWide _),
     "hybrid_rrf" -> (hybridRrf _),
     "retrieval_comparison" -> (retrievalComparison _))
 
   val oracles: Map[String, String] = Map(
     "bm25_search" -> bm25SearchSql,
+    "bm25_wide" -> bm25SearchWideSql,
     "hybrid_rrf" -> hybridRrfSql,
     "retrieval_comparison" -> retrievalComparisonSql)
 }
