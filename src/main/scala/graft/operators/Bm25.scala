@@ -58,6 +58,10 @@ object Bm25 {
     * postings list exceeds this salts into ceil(df/target) write tasks
     * (mirrors IvfIndex.MergeTargetRows for the dense layouts). */
   val PostingsTargetRows = 500000L
+  /** Graded deletion set: non-query docs with doc_id ≡ DeleteRem (mod
+    * DeleteMod) — deterministic, re-derivable in the SQL twin. */
+  val DeleteMod = 5
+  val DeleteRem = 3
 
   /** Per-(query, doc) BM25 scores over the corpus, top `n` per query.
     * Query = the distinct terms of each query document (the
@@ -353,6 +357,112 @@ object Bm25 {
       spark.read.parquet(s"$dir/tot"),
       qterms, n, wide = true)
 
+  // ------------------------------------------------------- deletion
+
+  /** Tombstone-aware BM25 serve — merge-on-read deletion for the
+    * sparse index (the sibling of the dense side's index_delete /
+    * index_merge_delete; the reference supports removal only on its
+    * dense index, vector_index.py:212 `remove_vectors` — a keyword
+    * tier needs the same lifecycle). The at-rest postings are NEVER
+    * rewritten on delete: the deleted doc_ids join in as a broadcast
+    * tombstone set, live postings come off a broadcast ANTI join
+    * inside the postings scan (no shuffle added to the corpus-sized
+    * path), and every corpus statistic the scoring needs adjusts by a
+    * DELETION-SIZED aggregate — df decrements by the dead postings'
+    * per-word counts, dl rows drop, corpus totals subtract the dead
+    * docs' lengths. At 100 TB a delete batch costs two broadcast-join
+    * scans of the postings and some vocabulary-sized arithmetic —
+    * never a re-tokenize, never a layout rewrite (that's compaction's
+    * job, below, and serves are bit-equal either side of it). */
+  def bm25OverPostingsDeleted(spark: SparkSession, dir: String,
+      del: DataFrame, qterms: DataFrame, n: Int): DataFrame = {
+    val delB = broadcast(del.select(col("doc_id")).distinct())
+    val tf = spark.read.parquet(s"$dir/tf")
+    val dl = spark.read.parquet(s"$dir/dl")
+    val tfLive = tf.join(delB, Seq("doc_id"), "left_anti")
+    val dlLive = dl.join(delB, Seq("doc_id"), "left_anti")
+    // per-word df decrement = the dead postings' (doc, word) pair count
+    val dfDec = tf.join(delB, Seq("doc_id"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("dec"))
+    val dfAdj = spark.read.parquet(s"$dir/df")
+      .join(dfDec, Seq("word"), "left")
+      .select(col("word"),
+        (col("df") - coalesce(col("dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val totDead = dl.join(delB, Seq("doc_id"), "left_semi")
+      .agg(coalesce(sum("dl"), lit(0L)).as("t_dec"),
+        count(lit(1)).as("n_dec"))
+    val totAdj = spark.read.parquet(s"$dir/tot")
+      .crossJoin(broadcast(totDead))
+      .select((col("big_t") - col("t_dec")).as("big_t"),
+        (col("big_n") - col("n_dec")).as("big_n"))
+    scoreAndRank(tfLive, dlLive, dfAdj, totAdj, qterms, n)
+  }
+
+  /** Append a batch of deleted doc_ids to the layout's tombstone table
+    * (`dir/del`) — delete batches accumulate until compaction folds
+    * them into the files. */
+  def writeTombstones(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/del")
+
+  /** The layout's accumulated tombstones (empty frame if none). */
+  def readTombstones(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/del").exists())
+      spark.read.parquet(s"$dir/del").select(col("doc_id"))
+    else {
+      import spark.implicits._
+      Seq.empty[Long].toDF("doc_id")
+    }
+
+  /** Serve honoring the layout's own tombstone table. */
+  def bm25OverPostingsLive(spark: SparkSession, dir: String,
+      qterms: DataFrame, n: Int): DataFrame =
+    bm25OverPostingsDeleted(spark, dir, readTombstones(spark, dir), qterms, n)
+
+  /** Fold the tombstones into the files: rewrite the layout at `dst`
+    * minus the deleted docs (anti-join on the postings — never a
+    * corpus re-tokenize; df/dl/totals REBUILD from the surviving
+    * postings, so compaction cannot drift from merge-on-read), with
+    * the same salted-by-word tf write and Long-range certificate as
+    * the original build. Serves are bit-equal before/after (the
+    * merge-on-read adjustments compute exactly the rebuilt tables). */
+  def compactTombstones(spark: SparkSession, src: String, dst: String,
+      targetRows: Long = PostingsTargetRows): Unit = {
+    val delB = broadcast(readTombstones(spark, src).distinct())
+    val tf = spark.read.parquet(s"$src/tf")
+      .join(delB, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      writeTfSalted(tf, dfT, targetRows, s"$dst/tf")
+      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.mode("overwrite").parquet(s"$dst/dl")
+      dfT.write.mode("overwrite").parquet(s"$dst/df")
+      spark.read.parquet(s"$dst/dl")
+        .agg(coalesce(sum("dl"), lit(0L)).as("big_t"), count(lit(1)).as("big_n"))
+        .write.mode("overwrite").parquet(s"$dst/tot")
+      certifyRange(spark, dst)
+    } finally tf.unpersist()
+  }
+
+  /** The graded deletion query: the SHARED layout serves with the
+    * deterministic tombstone set (doc_id ≡ 3 mod 5, query docs kept
+    * live) merged on read — results equal a from-scratch index over
+    * the surviving corpus, which is exactly what the SQL twin
+    * computes. The tombstone-FILE + compaction lifecycle is spec'd in
+    * Round10Spec (write → serve → compact → serve, bit-equal). */
+  def bm25SearchDeleted(s: SparkSession, dir: String): DataFrame = {
+    val idx = layoutFor(s, dir)
+    val del = s.read.parquet(s"$idx/dl")
+      .filter(col("doc_id") % DeleteMod === DeleteRem &&
+        col("doc_id") >= NQueriesB)
+      .select("doc_id")
+    val qterms = s.read.parquet(s"$idx/tf")
+      .filter(col("doc_id") < NQueriesB)
+      .select(col("doc_id").as("qid"), col("word"))
+    bm25OverPostingsDeleted(s, idx, del, qterms, K).orderBy("qid", "rank")
+  }
+
   /** RRF fusion of the BM25 top-20 (over documents) with the dense
     * cosine top-20 (over the id-aligned embeddings table): score =
     * 1/(60+r_vec) + 1/(60+r_bm25), absent-from-a-list contributes 0.
@@ -429,7 +539,8 @@ object Bm25 {
     * the twin of the engine's DECIMAL(38,0)-widened path; on an
     * in-range corpus both reduce to the same integers as the narrow
     * arithmetic, which is exactly what the grade certifies. */
-  private def bm25CteW(n: Int, wide: Boolean): String = {
+  private def bm25CteW(n: Int, wide: Boolean,
+      docsWhere: String = "TRUE"): String = {
     val ctbExpr =
       if (wide)
         """CAST((CAST(((big_n - df) * 1000) // df AS HUGEINT) * (44 * CAST(tf AS HUGEINT) * big_t))
@@ -438,7 +549,7 @@ object Bm25 {
         """((((big_n - df) * 1000) // df) * (44 * tf * big_t))
           |            // (20 * tf * big_t + 6 * big_t + 18 * dl * big_n) AS contrib""".stripMargin
     s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-       |        FROM documents),
+       |        FROM documents WHERE $docsWhere),
        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
        |dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -468,6 +579,14 @@ object Bm25 {
 
   val bm25SearchWideSql: String =
     s"""WITH ${bm25CteW(K, wide = true)}
+       |SELECT qid, doc_id, score, "rank" FROM bm ORDER BY qid, "rank"""".stripMargin
+
+  /** The deletion twin: a from-scratch BM25 over the SURVIVING corpus
+    * — df/dl/totals all re-derive from the filtered documents, which
+    * is exactly what the merge-on-read adjustments must reproduce. */
+  val bm25DeleteSql: String =
+    s"""WITH ${bm25CteW(K, wide = false,
+         docsWhere = s"NOT (doc_id % $DeleteMod = $DeleteRem AND doc_id >= $NQueriesB)")}
        |SELECT qid, doc_id, score, "rank" FROM bm ORDER BY qid, "rank"""".stripMargin
 
   val hybridRrfSql: String =
@@ -524,12 +643,14 @@ object Bm25 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_search" -> (bm25Search _),
     "bm25_wide" -> (bm25SearchWide _),
+    "bm25_delete" -> (bm25SearchDeleted _),
     "hybrid_rrf" -> (hybridRrf _),
     "retrieval_comparison" -> (retrievalComparison _))
 
   val oracles: Map[String, String] = Map(
     "bm25_search" -> bm25SearchSql,
     "bm25_wide" -> bm25SearchWideSql,
+    "bm25_delete" -> bm25DeleteSql,
     "hybrid_rrf" -> hybridRrfSql,
     "retrieval_comparison" -> retrievalComparisonSql)
 }

@@ -399,4 +399,79 @@ class Round10Spec extends SparkTestBase {
       ref.sortBy(r => (r.getLong(0), r.getInt(3))),
       "grouped-iteration path diverged from chunked broadcast knn")
   }
+
+  test("sparse-index delete lifecycle: accumulated tombstones serve == from-scratch " +
+      "index over survivors; compaction bit-equal; layout untouched until compaction") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    Mat.withScratchDirs("bm25_full", "bm25_cmp", "bm25_surv") {
+      case Seq(full, cmp, surv) =>
+        Bm25.writePostingsLayout(docs, full)
+        val tfFiles = new java.io.File(s"$full/tf").list().sorted.toSeq
+        // two delete BATCHES accumulate in the tombstone table
+        val b1 = docs.filter($"doc_id" % 5 === 3 && $"doc_id" >= Bm25.NQueriesB)
+          .select("doc_id")
+        val b2 = docs.filter($"doc_id" % 11 === 4 && $"doc_id" >= Bm25.NQueriesB)
+          .select("doc_id")
+        Bm25.writeTombstones(spark, full, b1)
+        Bm25.writeTombstones(spark, full, b2)
+        val del = b1.unionByName(b2).distinct()
+        val qterms = spark.read.parquet(s"$full/tf")
+          .filter($"doc_id" < Bm25.NQueriesB)
+          .select($"doc_id".as("qid"), $"word")
+        val served = Bm25.bm25OverPostingsLive(spark, full, qterms, Bm25.K)
+          .orderBy("qid", "rank").collect().toSeq
+        // ground truth: a from-scratch index over the surviving corpus —
+        // the merge-on-read df/dl/totals adjustments must reproduce it
+        Bm25.writePostingsLayout(docs.join(del, Seq("doc_id"), "left_anti"), surv)
+        val truth = Bm25.bm25OverPostings(spark, surv, qterms, Bm25.K)
+          .orderBy("qid", "rank").collect().toSeq
+        assert(served == truth, "merge-on-read serve diverged from a rebuilt index")
+        // deletes never rewrite the at-rest postings (merge-on-read only)
+        assert(new java.io.File(s"$full/tf").list().sorted.toSeq == tfFiles,
+          "delete batch rewrote the postings files")
+        // compaction folds the tombstones into the files; serves bit-equal
+        Bm25.compactTombstones(spark, full, cmp)
+        assert(!new java.io.File(s"$cmp/del").exists(),
+          "compacted layout still carries a tombstone table")
+        val after = Bm25.bm25OverPostingsLive(spark, cmp, qterms, Bm25.K)
+          .orderBy("qid", "rank").collect().toSeq
+        assert(after == served, "serve changed across compaction")
+    }
+  }
+
+  test("multivector maxsim: self doc ranks first; scores bit-equal a driver-side replay") {
+    import graft.operators.MultiVector
+    val out = MultiVector.maxsim(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.filter(_._4 == 1).foreach { case (qid, docId, _, _) =>
+      assert(docId == qid, s"query $qid's best doc is $docId, not itself")
+    }
+    // independent replay: same kernels in plain Scala (CosineSimD's
+    // left-to-right accumulation, written-order slot-max sum), full
+    // sort + tie-break on the driver
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byDoc = emb.groupBy(_._1 / MultiVector.Slots)
+    val expected = (0L until MultiVector.NQDocs).flatMap { qid =>
+      val qtoks = byDoc(qid).sortBy(_._1).map(_._2) // slot order
+      byDoc.toSeq.map { case (docId, toks) =>
+        val maxes = qtoks.map(q => toks.map(t => cos(q, t._2)).max)
+        (qid, docId, maxes.reduceLeft(_ + _)) // ((m0+m1)+m2)+m3
+      }.sortBy { case (_, d, s) => (-s, d) }
+        .take(MultiVector.K).zipWithIndex
+        .map { case ((q, d, s), i) => (q, d, s, i + 1) }
+    }
+    assert(out.sortBy(r => (r._1, r._4)).toSeq == expected.sortBy(r => (r._1, r._4)),
+      "distributed maxsim diverged from the driver replay")
+  }
 }
