@@ -45,8 +45,13 @@ object MultiVector {
   val K = 10      // final list length
 
   /** Exact MaxSim top-K per query doc over the slot-grouped corpus. */
-  def maxsim(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.load(s, dir, "embeddings")
+  def maxsim(s: SparkSession, dir: String): DataFrame =
+    maxsimOverEmb(Tables.load(s, dir, "embeddings"))
+
+  /** The same pipeline over any (vec_id, embedding) frame — shared by
+    * the graded query and the ScaleProbe throughput datapoint. */
+  def maxsimOverEmb(emb: DataFrame): DataFrame = {
+    val tok = emb
       .select(expr(s"vec_id div $Slots").as("doc_id"),
         pmod(col("vec_id"), lit(Slots)).cast("int").as("slot"),
         col("embedding"))

@@ -759,6 +759,72 @@ object StreamingQueries {
   @volatile private var lastStreamNswIngestCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswIngestAdj: Array[(Int, Long, Array[Long])] = _
 
+  /** Streaming late-interaction serve — multivector_maxsim online:
+    * each arriving query carries its FULL slot-ordered token set in one
+    * row (the one-trigger-per-query serve contract, enforced like
+    * bm25Serve's), the stream-static join computes one codegen cosine
+    * per (corpus token, query slot) — Slots columns, corpus scanned
+    * once per trigger — and the keyed stateful emit folds per-doc slot
+    * maxima (a transient within-trigger map, doc-candidate-sized like
+    * bm25Serve's contrib sums; state keeps only an 8-byte seen marker)
+    * then sums them in WRITTEN order and emits the final top-K — the
+    * same max/sum/tie arithmetic as the batch operator, so streaming
+    * == batch bit-equal and the SAME SQL twin grades both. */
+  def streamMaxsim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MultiVector
+    val tok = Tables.load(s, dir, "embeddings")
+      .select(expr(s"vec_id div ${MultiVector.Slots}").as("doc_id"),
+        pmod(col("vec_id"), lit(MultiVector.Slots)).cast("int").as("slot"),
+        col("embedding"))
+    val qs: Seq[(Long, Seq[Seq[Double]])] = tok
+      .filter(col("doc_id") < MultiVector.NQDocs)
+      .select(col("doc_id"), col("slot"), col("embedding").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, rows) => (q, rows.sortBy(_._2).map(_._3).toSeq) }
+    val chunks = qs.grouped(math.max(1, qs.length / 2)).map(_.toSeq).toSeq
+    val out = drain(s, chunks, "append", sinkName("stream_maxsim")) { ds =>
+      val cosCols = (0 until MultiVector.Slots).map(i =>
+        graft.functions.VectorOps.cosineSim(
+          element_at(col("qtoks"), i + 1), col("embedding")).as(s"c$i"))
+      val scored = ds.toDF("qid", "qtoks").crossJoin(tok)
+        .select(col("qid") +: col("doc_id") +: cosCols: _*)
+        .as[(Long, Long, Double, Double, Double, Double)]
+      scored.groupByKey(_._1)
+        .flatMapGroupsWithState[Boolean, (Long, Long, Double, Int)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (qid: Long, it: Iterator[(Long, Long, Double, Double, Double, Double)],
+           state: GroupState[Boolean]) =>
+            require(!state.exists, s"stream_maxsim: query $qid arrived in a " +
+              "second trigger — the serve contract is one trigger per query")
+            state.update(true)
+            // per-doc slot maxima: max is order-independent, so the fold
+            // is exact in any arrival order (the batch operator's
+            // conditional-max columns compute the same doubles)
+            val m = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+            it.foreach { case (_, d, c0, c1, c2, c3) =>
+              val a = m.getOrElseUpdate(d,
+                Array.fill(MultiVector.Slots)(Double.NegativeInfinity))
+              if (c0 > a(0)) a(0) = c0
+              if (c1 > a(1)) a(1) = c1
+              if (c2 > a(2)) a(2) = c2
+              if (c3 > a(3)) a(3) = c3
+            }
+            val h = new graft.plans.TopKPrim(MultiVector.K)
+            m.foreach { case (d, a) =>
+              h.offer(((a(0) + a(1)) + a(2)) + a(3), d) // written-order sum
+            }
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+            h.foreach((sc, d) => buf += ((sc, d)))
+            buf.sortBy { case (sc, d) => (-sc, d) }
+              .zipWithIndex.iterator
+              .map { case ((sc, d), i) => (qid, d, sc, i + 1) }
+        }.toDF("qid", "doc_id", "score", "rank")
+    }
+    out.orderBy("qid", "rank")
+  }
+
   private def ingestSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
        |           FROM embeddings)
@@ -780,7 +846,8 @@ object StreamingQueries {
     "stream_hybrid" -> (streamHybrid _),
     "stream_pq_coded" -> (streamPqCoded _),
     "stream_bm25_ingest" -> (streamBm25Ingest _),
-    "stream_nsw_ingest" -> (streamNswIngest _))
+    "stream_nsw_ingest" -> (streamNswIngest _),
+    "stream_maxsim" -> (streamMaxsim _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -797,6 +864,8 @@ object StreamingQueries {
     // the streamed-ingest merged index serves exactly what the batch
     // one-shot computes, so bm25_search's twin grades the write path
     m += "stream_bm25_ingest" -> graft.operators.Bm25.bm25SearchSql
+    // streaming == batch maxsim bit-equal (same max/sum/tie arithmetic)
+    m += "stream_maxsim" -> graft.operators.MultiVector.maxsimSql
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
     if (lastStreamIvfCodedCentroids != null)

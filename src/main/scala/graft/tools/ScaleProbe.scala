@@ -404,6 +404,52 @@ object ScaleProbe {
       spark.conf.unset("spark.graft.topk.block")
     }
 
+    // Late-interaction MaxSim over the same corpus read as token
+    // groups (n/4 docs x 4 token vectors, 3 query docs = 12 broadcast
+    // query tokens): one corpus scan, 12 codegen cosines per token
+    // row, one (qid, doc)-keyed aggregate.
+    time("multivector maxsim (n/4 docs x 4 slots, 3 query docs)")(
+      graft.operators.MultiVector.maxsimOverEmb(corpus).count())
+
+    // Sparse-index deletion: merge-on-read serve overhead vs the plain
+    // postings serve, then compaction cost and the compacted serve.
+    if (wanted("bm25del")) {
+      val nDocs = 200000L
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(expr(
+          """transform(sequence(0, 99), j ->
+            |  concat('w', pmod(hash(id * 131 + j * 7), 50000)))""".stripMargin),
+          " ").as("text"))
+        .repartition(64).localCheckpoint(true)
+      graft.Mat.withScratchDirs("bm25del_idx", "bm25del_cmp") { case Seq(dir, cmp) =>
+        graft.operators.Bm25.writePostingsLayout(docs, dir)
+        val qterms = spark.read.parquet(s"$dir/tf")
+          .filter(col("doc_id") < 10)
+          .select(col("doc_id").as("qid"), col("word")).localCheckpoint(true)
+        // tombstone 1% of docs (the realistic takedown-batch shape)
+        graft.operators.Bm25.writeTombstones(spark, dir,
+          docs.filter(col("doc_id") % 100 === 37 && col("doc_id") >= 10)
+            .select("doc_id"))
+        for (pass <- 1 to 2) {
+          val t0 = System.nanoTime()
+          graft.operators.Bm25.bm25OverPostings(spark, dir, qterms, 10).count()
+          val plain = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          graft.operators.Bm25.bm25OverPostingsLive(spark, dir, qterms, 10).count()
+          val mor = (System.nanoTime() - t1) / 1e9
+          println(f"[scale] bm25del pass$pass serve plain $plain%.2f s vs " +
+            f"merge-on-read (1%% tombstoned) $mor%.2f s")
+        }
+        val t2 = System.nanoTime()
+        graft.operators.Bm25.compactTombstones(spark, dir, cmp)
+        println(f"[scale] bm25del COMPACT (anti-join rewrite + stats rebuild): " +
+          f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+        val t3 = System.nanoTime()
+        graft.operators.Bm25.bm25OverPostingsLive(spark, cmp, qterms, 10).count()
+        println(f"[scale] bm25del serve post-compaction: ${(System.nanoTime() - t3) / 1e9}%.2f s")
+      }
+    }
+
     time("PQ-ADC adaptive refine (m=8, k=16, alpha 0.25, cap k*8)")({
       val sample = corpus.selectExpr("cast(embedding as array<double>)")
         .limit(100000).collect().map(_.getSeq[Double](0).toArray)

@@ -474,4 +474,13 @@ class Round10Spec extends SparkTestBase {
     assert(out.sortBy(r => (r._1, r._4)).toSeq == expected.sortBy(r => (r._1, r._4)),
       "distributed maxsim diverged from the driver replay")
   }
+
+  test("streaming maxsim == batch multivector_maxsim row-for-row") {
+    import graft.operators.MultiVector
+    val streamed = StreamingQueries.streamMaxsim(spark, sfDir)
+      .select("qid", "doc_id", "score", "rank").collect().toSeq
+    val batch = MultiVector.maxsim(spark, sfDir)
+      .select("qid", "doc_id", "score", "rank").collect().toSeq
+    assert(streamed == batch, "streamed maxsim diverged from batch")
+  }
 }
