@@ -43,6 +43,8 @@ object MultiVector {
   val Slots = 4   // token vectors per document
   val NQDocs = 3  // query docs: doc_id < 3 (12 query token vectors)
   val K = 10      // final list length
+  val NList = 16  // IVF cells over the TOKEN vectors (routed variant)
+  val NProbe = 4  // probed cells per query token
 
   /** Exact MaxSim top-K per query doc over the slot-grouped corpus. */
   def maxsim(s: SparkSession, dir: String): DataFrame =
@@ -58,13 +60,19 @@ object MultiVector {
     val qtok = tok.filter(col("doc_id") < NQDocs)
       .select(col("doc_id").as("qid"), col("slot").as("qslot"),
         col("embedding").as("qv"))
-    val pairs = tok.crossJoin(broadcast(qtok))
-      .withColumn("c",
-        graft.functions.VectorOps.cosineSim(col("qv"), col("embedding")))
     // one aggregate does both reductions: max over the doc's token
     // vectors per query slot (each qslot's max lands in its own
     // conditional-max column), then the score adds the slot maxima in
     // written order — no second shuffle
+    scoreTail(tok.crossJoin(broadcast(qtok))
+      .withColumn("c",
+        graft.functions.VectorOps.cosineSim(col("qv"), col("embedding"))))
+  }
+
+  /** The scoring tail shared by the exact and routed variants: per-
+    * (qid, doc) conditional slot maxima in ONE aggregate, written-order
+    * sum, (score DESC, doc_id ASC) top-K. */
+  private def scoreTail(pairs: DataFrame): DataFrame = {
     val slotMax = pairs.groupBy("qid", "doc_id").agg(
       max(when(col("qslot") === 0, col("c"))).as("m0"),
       max(when(col("qslot") === 1, col("c"))).as("m1"),
@@ -78,6 +86,49 @@ object MultiVector {
       .select(col("qid"), col("doc_id"), col("score"),
         col("rank").cast("int").as("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** IVF-ROUTED MaxSim — the ANN scale path in front of the same
+    * scoring tail: centroids train over the TOKEN vectors (one cell
+    * granularity for every doc's tokens), each query token routes to
+    * its NProbe nearest cells (the codegen NearestCentroidsExpr, the
+    * same routing the IVF serving paths use), the CANDIDATE DOC set is
+    * every doc with at least one token in a probed cell (a broadcast
+    * equi-join on centroid — the corpus-wide cross join never forms),
+    * and the exact late-interaction score computes only over the
+    * candidates (full token sets — scores of surviving docs are
+    * IDENTICAL to the exact operator's, the routing only prunes).
+    * At 100 TB the scan touches O(probed cells) of a centroid-
+    * partitioned token layout instead of the corpus. Deterministic
+    * end to end (md5-ordered training sample, dist/index tie-breaks),
+    * so the twin replays routing + candidates + scoring from the
+    * stashed centroid literals — oracle-checked bit-exact. */
+  @volatile private var lastCentroids: Array[Array[Double]] = _
+  def maxsimIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shims
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(
+      IvfIndex.trainSample(emb), NList, 10)
+    lastCentroids = centroids
+    val tok = IvfIndex.assign(emb, centroids)
+      .select(expr(s"vec_id div $Slots").as("doc_id"),
+        pmod(col("vec_id"), lit(Slots)).cast("int").as("slot"),
+        col("embedding"), col("centroid"))
+    val qtok = tok.filter(col("doc_id") < NQDocs)
+      .select(col("doc_id").as("qid"), col("slot").as("qslot"),
+        col("embedding").as("qv"))
+    val routed = qtok.withColumn("centroid",
+        explode(Shims.column(NearestCentroidsExpr(
+          Shims.expression(col("qv")), centroids, NProbe))))
+      .select("qid", "centroid").distinct()
+    val cands = tok.join(broadcast(routed), "centroid")
+      .select("qid", "doc_id").distinct()
+    val pairs = cands
+      .join(tok.select(col("doc_id"), col("embedding")), "doc_id")
+      .join(broadcast(qtok), "qid")
+      .withColumn("c",
+        graft.functions.VectorOps.cosineSim(col("qv"), col("embedding")))
+    scoreTail(pairs)
   }
 
   val maxsimSql: String =
@@ -100,9 +151,54 @@ object MultiVector {
        |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multivector_maxsim" -> (maxsim _))
+  /** The routed twin replays the whole pipeline from the stashed
+    * centroid literals: per-token probe sets (dist ASC, index ASC ties
+    * — the NearestCentroidsExpr contract the IVF family's twins
+    * already pin), candidate docs from the probed cells, exact MaxSim
+    * over the candidates only. */
+  private def maxsimIvfSql(centroids: Array[Array[Double]]): String = {
+    val nlist = centroids.length
+    s"""WITH tokb AS MATERIALIZED (
+       |  SELECT vec_id, vec_id // $Slots AS doc_id, vec_id % $Slots AS slot, embedding,
+       |         ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a AS (SELECT doc_id, slot, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM tokb),
+       |pe AS (SELECT doc_id AS qid, slot AS qslot, unnest(dl) AS dist,
+       |              unnest(range(0, $nlist)) AS c
+       |       FROM tokb WHERE doc_id < $NQDocs),
+       |pr AS (SELECT DISTINCT qid, c FROM (
+       |   SELECT qid, c, row_number() OVER (PARTITION BY qid, qslot
+       |     ORDER BY dist ASC, c ASC) AS rn FROM pe) WHERE rn <= $NProbe),
+       |cand AS (SELECT DISTINCT pr.qid, a.doc_id FROM pr JOIN a ON a.centroid = pr.c),
+       |q AS (SELECT doc_id AS qid, slot AS qslot, embedding AS qv
+       |      FROM tokb WHERE doc_id < $NQDocs),
+       |p AS (SELECT cand.qid, q.qslot, t.doc_id,
+       |        ${OracleSql.cosine("q.qv", "t.embedding")} AS c
+       |      FROM cand JOIN tokb t ON t.doc_id = cand.doc_id
+       |      JOIN q ON q.qid = cand.qid),
+       |m AS (SELECT qid, doc_id,
+       |        max(CASE WHEN qslot = 0 THEN c END) AS m0,
+       |        max(CASE WHEN qslot = 1 THEN c END) AS m1,
+       |        max(CASE WHEN qslot = 2 THEN c END) AS m2,
+       |        max(CASE WHEN qslot = 3 THEN c END) AS m3
+       |      FROM p GROUP BY qid, doc_id),
+       |sc AS (SELECT qid, doc_id, m0 + m1 + m2 + m3 AS score FROM m)
+       |SELECT qid, doc_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
 
-  val oracles: Map[String, String] = Map(
-    "multivector_maxsim" -> maxsimSql)
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multivector_maxsim" -> (maxsim _),
+    "multivector_maxsim_ivf" -> (maxsimIvf _))
+
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    m += "multivector_maxsim" -> maxsimSql
+    if (lastCentroids != null)
+      m += "multivector_maxsim_ivf" -> maxsimIvfSql(lastCentroids)
+    m.result()
+  }
 }

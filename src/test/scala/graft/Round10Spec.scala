@@ -483,4 +483,24 @@ class Round10Spec extends SparkTestBase {
       .select("qid", "doc_id", "score", "rank").collect().toSeq
     assert(streamed == batch, "streamed maxsim diverged from batch")
   }
+
+  test("routed maxsim only prunes: self-match rank 1; intersecting docs score " +
+      "identically to the exact operator") {
+    import graft.operators.MultiVector
+    val routed = MultiVector.maxsimIvf(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val exact = MultiVector.maxsim(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(routed.nonEmpty)
+    routed.filter(_._4 == 1).foreach { case (qid, docId, _, _) =>
+      assert(docId == qid, s"routed query $qid's best doc is $docId, not itself")
+    }
+    val common = routed.filter { case (q, d, _, _) => exact.contains((q, d)) }
+    assert(common.nonEmpty, "routed and exact top-K lists share no docs")
+    common.foreach { case (q, d, s, _) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(exact((q, d))),
+        s"routing changed the score of ($q, $d): $s vs ${exact((q, d))}")
+    }
+  }
 }
