@@ -151,6 +151,58 @@ object MultiVector {
        |    ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
+  /** The multi-vector family's AT-REST form — the token index
+    * persisted as a centroid-partitioned layout (index_save_load's
+    * shape for token vectors): the assigned tokens WRITE once
+    * partitioned by centroid, the candidate stage serves from the
+    * RELOADED layout with the probed cells as an explicit
+    * `centroid IN (…)` filter — partition pruning, only probed
+    * directories read (spec-pinned PartitionFilters) — and candidate
+    * docs' full token sets join back by doc_id (candidate-bounded,
+    * the only non-pruned read) into the same exact scoring tail.
+    * Routing is driver-side nearestN over the tiny query-token set
+    * (the indexSaveLoad probe idiom — identical tie-breaks to
+    * NearestCentroidsExpr), so the layout serve computes EXACTLY what
+    * the in-memory routed operator computes and the SAME stashed-
+    * centroid twin grades both. */
+  @volatile private var lastLayoutCentroids: Array[Array[Double]] = _
+  def maxsimLayout(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(
+      IvfIndex.trainSample(emb), NList, 10)
+    lastLayoutCentroids = centroids
+    graft.Mat.withScratchDirs("maxsim_layout") { case Seq(out) =>
+      IvfIndex.assign(emb, centroids)
+        .write.partitionBy("centroid").mode("overwrite").parquet(out)
+      val loaded = s.read.parquet(out).select(col("vec_id"),
+        expr(s"vec_id div $Slots").as("doc_id"),
+        pmod(col("vec_id"), lit(Slots)).cast("int").as("slot"),
+        col("embedding"), col("centroid").cast("int").as("centroid"))
+      val qRows = loaded.filter(col("doc_id") < NQDocs)
+        .select(col("doc_id"), col("slot"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val probePairs = qRows.flatMap { case (qid, _, qv) =>
+        IvfIndex.nearestN(centroids, qv, NProbe).map(c => (qid, c))
+      }.distinct.toSeq
+      val probed = probePairs.map(_._2).distinct.sorted
+      val probeDf = s.createDataFrame(
+        s.sparkContext.parallelize(probePairs, 1)).toDF("qid", "centroid")
+      // candidate stage: ONLY the probed partitions of the layout
+      val cands = loaded.filter(col("centroid").isin(probed.map(Int.box): _*))
+        .join(broadcast(probeDf), "centroid")
+        .select("qid", "doc_id").distinct()
+      val qtok = loaded.filter(col("doc_id") < NQDocs)
+        .select(col("doc_id").as("qid"), col("slot").as("qslot"),
+          col("embedding").as("qv"))
+      val pairs = cands
+        .join(loaded.select(col("doc_id"), col("embedding")), "doc_id")
+        .join(broadcast(qtok), "qid")
+        .withColumn("c",
+          graft.functions.VectorOps.cosineSim(col("qv"), col("embedding")))
+      graft.Mat.detach(scoreTail(pairs))
+    }
+  }
+
   /** The routed twin replays the whole pipeline from the stashed
     * centroid literals: per-token probe sets (dist ASC, index ASC ties
     * — the NearestCentroidsExpr contract the IVF family's twins
@@ -192,13 +244,16 @@ object MultiVector {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multivector_maxsim" -> (maxsim _),
-    "multivector_maxsim_ivf" -> (maxsimIvf _))
+    "multivector_maxsim_ivf" -> (maxsimIvf _),
+    "multivector_maxsim_layout" -> (maxsimLayout _))
 
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
     m += "multivector_maxsim" -> maxsimSql
     if (lastCentroids != null)
       m += "multivector_maxsim_ivf" -> maxsimIvfSql(lastCentroids)
+    if (lastLayoutCentroids != null)
+      m += "multivector_maxsim_layout" -> maxsimIvfSql(lastLayoutCentroids)
     m.result()
   }
 }

@@ -503,4 +503,28 @@ class Round10Spec extends SparkTestBase {
         s"routing changed the score of ($q, $d): $s vs ${exact((q, d))}")
     }
   }
+
+  test("maxsim layout serve == in-memory routed maxsim; candidate scan prunes to probed partitions") {
+    import graft.operators.MultiVector
+    val fromLayout = MultiVector.maxsimLayout(spark, sfDir)
+      .select("qid", "doc_id", "score", "rank").collect().toSeq
+    val inMem = MultiVector.maxsimIvf(spark, sfDir)
+      .select("qid", "doc_id", "score", "rank").collect().toSeq
+    assert(fromLayout == inMem,
+      "at-rest layout serve diverged from the in-memory routed operator")
+    // plan pin: the candidate stage's layout scan carries an explicit
+    // centroid PartitionFilters (probed directories only)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = graft.operators.IvfIndex.trainCentroids(
+      graft.operators.IvfIndex.trainSample(emb), MultiVector.NList, 10)
+    Mat.withScratchDirs("maxsim_plan") { case Seq(out) =>
+      graft.operators.IvfIndex.assign(emb, centroids)
+        .write.partitionBy("centroid").mode("overwrite").parquet(out)
+      val plan = spark.read.parquet(out)
+        .filter($"centroid".cast("int").isin(0, 1))
+        .select("vec_id").queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("centroid"),
+        s"probed-cell filter did not prune partitions:\n${plan.take(800)}")
+    }
+  }
 }
