@@ -504,6 +504,32 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("sparse-index serves race a background tombstone compaction: bit-equal " +
+      "throughout and after the swap") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    Mat.withScratchDirs("bm25_delrace", "bm25_delrace_cmp") { case Seq(src, cmp) =>
+      Bm25.writePostingsLayout(docs, src)
+      Bm25.writeTombstones(spark, src,
+        docs.filter($"doc_id" % 5 === 3 && $"doc_id" >= Bm25.NQueriesB)
+          .select("doc_id"))
+      val qterms = spark.read.parquet(s"$src/tf")
+        .filter($"doc_id" < Bm25.NQueriesB)
+        .select($"doc_id".as("qid"), $"word")
+      def serve(dir: String) =
+        Bm25.bm25OverPostingsLive(spark, dir, qterms, Bm25.K)
+          .orderBy("qid", "rank").collect().toSeq
+      val expected = serve(src)
+      // compaction writes a NEW directory while serves keep merging the
+      // immutable src generation on read — the same swap protocol as
+      // the dense layouts' races
+      val compactJob = Future { Bm25.compactTombstones(spark, src, cmp) }
+      val during = serve(src)
+      Await.result(compactJob, Duration(180, "s"))
+      assert(during == expected, "serve racing the tombstone compaction diverged")
+      assert(serve(cmp) == expected, "compacted layout serves differently")
+    }
+  }
+
   test("maxsim layout serve == in-memory routed maxsim; candidate scan prunes to probed partitions") {
     import graft.operators.MultiVector
     val fromLayout = MultiVector.maxsimLayout(spark, sfDir)
