@@ -51,22 +51,54 @@ object MultiVector {
     maxsimOverEmb(Tables.load(s, dir, "embeddings"))
 
   /** The same pipeline over any (vec_id, embedding) frame — shared by
-    * the graded query and the ScaleProbe throughput datapoint. */
+    * the graded query and the ScaleProbe throughput datapoint.
+    *
+    * Plan: the query-token set is driver-bounded (NQDocs × Slots rows
+    * — the knn broadcast-query regime), so instead of exploding the
+    * corpus 12× through a nested-loop join, every (query doc, slot)
+    * pair becomes a LITERAL cosine column over ONE corpus-token scan
+    * (the centroid-literal idiom: the tiny side rides the codegen
+    * expression, not a join). The aggregate then groups by doc_id
+    * alone — q·Slots conditional maxes wide, corpus-token rows tall,
+    * partial-agg collapsed map-side — and per-query score rows unfold
+    * AFTER the aggregate from an inline array (no re-aggregation per
+    * query). Same cosine kernel, same max sets, same written-order
+    * slot sum → bit-equal to the pairs formulation (streaming keeps
+    * the generic pairs shape; Round10Spec pins streaming == batch). */
   def maxsimOverEmb(emb: DataFrame): DataFrame = {
     val tok = emb
       .select(expr(s"vec_id div $Slots").as("doc_id"),
         pmod(col("vec_id"), lit(Slots)).cast("int").as("slot"),
         col("embedding"))
-    val qtok = tok.filter(col("doc_id") < NQDocs)
-      .select(col("doc_id").as("qid"), col("slot").as("qslot"),
-        col("embedding").as("qv"))
-    // one aggregate does both reductions: max over the doc's token
-    // vectors per query slot (each qslot's max lands in its own
-    // conditional-max column), then the score adds the slot maxima in
-    // written order — no second shuffle
-    scoreTail(tok.crossJoin(broadcast(qtok))
-      .withColumn("c",
-        graft.functions.VectorOps.cosineSim(col("qv"), col("embedding"))))
+    val qRows = tok.filter(col("doc_id") < NQDocs)
+      .select(col("doc_id"), col("slot"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    val qids = qRows.map(_._1).distinct
+    val cosCols = qRows.map { case (q, s0, qv) =>
+      graft.functions.VectorOps.cosineSim(typedLit(qv), col("embedding"))
+        .as(s"c_${q}_$s0")
+    }
+    val agg = tok.select(col("doc_id") +: cosCols: _*)
+      .groupBy("doc_id")
+      .agg(qRows.head match { case (q, s0, _) => max(col(s"c_${q}_$s0")).as(s"m_${q}_$s0") },
+        qRows.tail.map { case (q, s0, _) => max(col(s"c_${q}_$s0")).as(s"m_${q}_$s0") }: _*)
+    // unfold per-query score rows from the one aggregate (written-order
+    // slot sum per query, left-assoc like the pairs formulation)
+    val scored = agg.select(col("doc_id"), explode(array(qids.map { q =>
+      val slots = qRows.filter(_._1 == q).map(_._2)
+      val sum = slots.map(s0 => col(s"m_${q}_$s0")).reduceLeft(_ + _)
+      struct(lit(q).as("qid"), sum.as("score"))
+    }: _*)).as("qs"))
+      .select(col("qs.qid").as("qid"), col("doc_id"), col("qs.score").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("doc_id"), col("score"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("qid", "rank")
   }
 
   /** The scoring tail shared by the exact and routed variants: per-
