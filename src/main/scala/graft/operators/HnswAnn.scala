@@ -324,6 +324,31 @@ object HnswAnn {
       }.toDF("bucket", "ids", "vecs", "adj")
   }
 
+  /** Incremental maintenance of the at-rest NSW shard table — the
+    * append path that does NOT rebuild the whole layout: an ingest
+    * batch touches a subset of buckets, and only THOSE buckets'
+    * graphs rebuild (from the centroid-partitioned corpus layout,
+    * read partition-pruned to the touched cells); every untouched
+    * bucket's shard row carries over byte-for-byte without being
+    * read, let alone rebuilt. Deterministic vec_id-order insertion
+    * makes a touched bucket's rebuild from its full (old + new) row
+    * set bit-equal to the whole-corpus build's shard — so the
+    * incrementally maintained table IS the rebuilt table (spec'd),
+    * at O(touched buckets) cost instead of O(corpus). At 100 TB an
+    * append that lands in 50 of 50k cells rebuilds 0.1% of the
+    * index. */
+  def incrementalShards(spark: SparkSession, corpusLayoutDir: String,
+      oldShards: DataFrame, touched: Seq[Int]): DataFrame = {
+    val touchedBoxed = touched.map(Int.box)
+    val rebuilt = nswShards(
+      spark.read.parquet(corpusLayoutDir)
+        .filter(col("centroid").isin(touchedBoxed: _*)) // PartitionFilters
+        .select(col("vec_id"), col("embedding"),
+          col("centroid").cast("int").as("centroid")))
+    oldShards.filter(!col("bucket").isin(touchedBoxed: _*))
+      .unionByName(rebuilt)
+  }
+
   /** Compact a multi-generation NSW shard layout (the file set
     * incremental writes leave behind — one file per append per task)
     * into one file per `files` target — the graph layout's sibling of

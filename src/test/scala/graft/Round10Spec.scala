@@ -530,6 +530,42 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("incremental NSW maintenance: touched buckets rebuild bit-equal to a whole " +
+      "rebuild; untouched shard rows carry over unchanged") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), HnswAnn.NList, 10)
+    val batch = emb.filter($"vec_id" % 17 === 5)
+    val base = emb.filter($"vec_id" % 17 =!= 5)
+    Mat.withScratchDirs("nsw_incr_layout") { case Seq(out) =>
+      IvfIndex.assign(base, centroids)
+        .write.mode("append").partitionBy("centroid").parquet(out)
+      val shards0 = HnswAnn.nswShards(
+        spark.read.parquet(out).select($"vec_id", $"embedding",
+          $"centroid".cast("int").as("centroid")))
+      shards0.cache().count()
+      val assignedBatch = IvfIndex.assign(batch, centroids)
+      assignedBatch.write.mode("append").partitionBy("centroid").parquet(out)
+      val touched = assignedBatch.select("centroid").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      assert(touched.nonEmpty && touched.length < HnswAnn.NList,
+        s"batch should touch a strict subset of buckets, touched $touched")
+      val incr = HnswAnn.incrementalShards(spark, out, shards0, touched)
+      val full = HnswAnn.nswShards(
+        spark.read.parquet(out).select($"vec_id", $"embedding",
+          $"centroid".cast("int").as("centroid")))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getSeq[Long](1),
+          r.getSeq[Double](2), r.getSeq[Seq[Long]](3))).sortBy(_._1).toSeq
+      assert(rows(incr) == rows(full),
+        "incrementally maintained shard table != whole-corpus rebuild")
+      // untouched buckets: the incremental table's rows ARE gen-0's rows
+      val before = rows(shards0).filterNot(r => touched.contains(r._1))
+      val after = rows(incr).filterNot(r => touched.contains(r._1))
+      assert(after == before, "untouched shard rows changed under incremental fold")
+      shards0.unpersist()
+    }
+  }
+
   test("maxsim layout serve == in-memory routed maxsim; candidate scan prunes to probed partitions") {
     import graft.operators.MultiVector
     val fromLayout = MultiVector.maxsimLayout(spark, sfDir)
