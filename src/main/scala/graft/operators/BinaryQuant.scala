@@ -364,7 +364,7 @@ object BinaryQuant {
 
   /** Byte-blocked ±q sum — same parenthesization as asymLut/asymScore:
     * groups of 8 terms (j-ascending inside), groups folded b-ascending. */
-  private def asymSql(q: String, e: String, dim: Int = OracleSql.Dim): String =
+  private[graft] def asymSql(q: String, e: String, dim: Int = OracleSql.Dim): String =
     (0 until (dim + 7) / 8).map { b =>
       (8 * b + 1 to math.min(8 * b + 8, dim)).map { i =>
         s"(CASE WHEN CAST($e[$i] AS DOUBLE) >= 0 THEN CAST($q[$i] AS DOUBLE) ELSE -CAST($q[$i] AS DOUBLE) END)"

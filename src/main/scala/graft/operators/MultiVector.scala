@@ -235,6 +235,86 @@ object MultiVector {
     }
   }
 
+  /** SIGN-CODED MaxSim — the 1-bit candidate tier in front of the
+    * exact rerank (knn_binary_asym's shape for late interaction,
+    * completing the family's tier ladder next to the dense stack's
+    * float/int8/sign/PQ progression): the CODED pass scores every
+    * (query token, doc token) pair with the asymmetric ±q sum — the
+    * corpus side contributes ONLY ITS SIGN BITS (8 bytes/vector at
+    * rest), the query values ride as literals, byte-blocked
+    * accumulation identical to the LUT serving kernel — aggregated
+    * into a coded MaxSim per (query, doc) by the same slot-max +
+    * written-order-sum tail; the top CodedR docs per query by
+    * (coded DESC, doc ASC) then rerank through the EXACT cosine
+    * MaxSim, top-K by (score DESC, doc ASC). One corpus-token scan
+    * computes both tiers' columns (the coded columns for everything,
+    * the float columns only consumed for candidate docs). At 100 TB
+    * the candidate pass reads 8-byte codes instead of 4·dim floats —
+    * 32× narrower at 64-d — exactly the asym tier's economics.
+    * Deterministic throughout, so the twin replays both tiers (the
+    * byte-blocked asym sum unrolled term-for-term — the
+    * knn_binary_asym pairing) — oracle-checked bit-exact. */
+  val CodedR = 2 * K // candidate docs per query from the coded tier
+  def maxsimCoded(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val tok = emb
+      .select(expr(s"vec_id div $Slots").as("doc_id"),
+        pmod(col("vec_id"), lit(Slots)).cast("int").as("slot"),
+        col("embedding"))
+    val qRows = tok.filter(col("doc_id") < NQDocs)
+      .select(col("doc_id"), col("slot"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    val qids = qRows.map(_._1).distinct
+    def slotSum(pfx: String, q: Long): org.apache.spark.sql.Column =
+      qRows.filter(_._1 == q).map(_._2)
+        .map(s0 => col(s"${pfx}_${q}_$s0")).reduceLeft(_ + _)
+    // coded tier: asym columns over the whole corpus-token scan
+    val asymCols = qRows.map { case (q, s0, qv) =>
+      graft.functions.VectorOps.asymSignDot(col("embedding"), typedLit(qv))
+        .as(s"a_${q}_$s0")
+    }
+    val codedAgg = tok.select(col("doc_id") +: asymCols: _*)
+      .groupBy("doc_id")
+      .agg(qRows.head match { case (q, s0, _) =>
+          max(col(s"a_${q}_$s0")).as(s"am_${q}_$s0") },
+        qRows.tail.map { case (q, s0, _) =>
+          max(col(s"a_${q}_$s0")).as(s"am_${q}_$s0") }: _*)
+    val coded = codedAgg.select(col("doc_id"), explode(array(qids.map { q =>
+        struct(lit(q).as("qid"), slotSum("am", q).as("coded"))
+      }: _*)).as("qs"))
+      .select(col("qs.qid").as("qid"), col("doc_id"), col("qs.coded").as("coded"))
+    val wc = Window.partitionBy("qid").orderBy(col("coded").desc, col("doc_id").asc)
+    val cand = coded.withColumn("ar", row_number().over(wc))
+      .filter(col("ar") <= CodedR).drop("ar")
+    // exact rerank: float MaxSim only over candidate docs
+    val candDocs = cand.select("doc_id").distinct()
+    val cosCols = qRows.map { case (q, s0, qv) =>
+      graft.functions.VectorOps.cosineSim(typedLit(qv), col("embedding"))
+        .as(s"c_${q}_$s0")
+    }
+    val exactAgg = tok.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id") +: cosCols: _*)
+      .groupBy("doc_id")
+      .agg(qRows.head match { case (q, s0, _) =>
+          max(col(s"c_${q}_$s0")).as(s"m_${q}_$s0") },
+        qRows.tail.map { case (q, s0, _) =>
+          max(col(s"c_${q}_$s0")).as(s"m_${q}_$s0") }: _*)
+    val exact = exactAgg.select(col("doc_id"), explode(array(qids.map { q =>
+        struct(lit(q).as("qid"), slotSum("m", q).as("score"))
+      }: _*)).as("qs"))
+      .select(col("qs.qid").as("qid"), col("doc_id"), col("qs.score").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    cand.join(exact, Seq("qid", "doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("doc_id"), col("coded"), col("score"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** The routed twin replays the whole pipeline from the stashed
     * centroid literals: per-token probe sets (dist ASC, index ASC ties
     * — the NearestCentroidsExpr contract the IVF family's twins
@@ -274,14 +354,46 @@ object MultiVector {
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Both tiers replayed in one statement: byte-blocked asym sums and
+    * exact cosines per (query token, doc token), slot maxes +
+    * written-order sums per (query, doc), the CodedR candidate cut by
+    * (coded DESC, doc ASC), exact-rank the survivors. */
+  val maxsimCodedSql: String = {
+    val sumCase = (pfx: String, v: String) => (0 until Slots)
+      .map(i => s"max(CASE WHEN qslot = $i THEN $v END) AS $pfx$i").mkString(",\n        ")
+    val sum4 = (pfx: String) => (0 until Slots).map(i => s"$pfx$i").mkString(" + ")
+    s"""WITH tok AS (SELECT vec_id // $Slots AS doc_id, vec_id % $Slots AS slot,
+       |                    embedding FROM embeddings),
+       |q AS (SELECT doc_id AS qid, slot AS qslot, embedding AS qv
+       |      FROM tok WHERE doc_id < $NQDocs),
+       |p AS (SELECT q.qid, q.qslot, t.doc_id,
+       |        ${BinaryQuant.asymSql("q.qv", "t.embedding")} AS a,
+       |        ${OracleSql.cosine("q.qv", "t.embedding")} AS c
+       |      FROM q CROSS JOIN tok t),
+       |m AS (SELECT qid, doc_id,
+       |        ${sumCase("am", "a")},
+       |        ${sumCase("m", "c")}
+       |      FROM p GROUP BY qid, doc_id),
+       |sc AS (SELECT qid, doc_id, ${sum4("am")} AS coded, ${sum4("m")} AS score FROM m),
+       |cand AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY coded DESC, doc_id ASC) AS ar FROM sc)
+       |SELECT qid, doc_id, coded, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT qid, doc_id, coded, score, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM cand WHERE ar <= $CodedR)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multivector_maxsim" -> (maxsim _),
     "multivector_maxsim_ivf" -> (maxsimIvf _),
-    "multivector_maxsim_layout" -> (maxsimLayout _))
+    "multivector_maxsim_layout" -> (maxsimLayout _),
+    "multivector_maxsim_coded" -> (maxsimCoded _))
 
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
     m += "multivector_maxsim" -> maxsimSql
+    m += "multivector_maxsim_coded" -> maxsimCodedSql
     if (lastCentroids != null)
       m += "multivector_maxsim_ivf" -> maxsimIvfSql(lastCentroids)
     if (lastLayoutCentroids != null)
