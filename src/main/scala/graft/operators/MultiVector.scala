@@ -255,8 +255,10 @@ object MultiVector {
     * byte-blocked asym sum unrolled term-for-term — the
     * knn_binary_asym pairing) — oracle-checked bit-exact. */
   val CodedR = 2 * K // candidate docs per query from the coded tier
-  def maxsimCoded(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
+  def maxsimCoded(s: SparkSession, dir: String): DataFrame =
+    maxsimCodedOverEmb(Tables.load(s, dir, "embeddings"))
+
+  def maxsimCodedOverEmb(emb: DataFrame): DataFrame = {
     val tok = emb
       .select(expr(s"vec_id div $Slots").as("doc_id"),
         pmod(col("vec_id"), lit(Slots)).cast("int").as("slot"),

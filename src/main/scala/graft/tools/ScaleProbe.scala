@@ -410,6 +410,8 @@ object ScaleProbe {
     // row, one (qid, doc)-keyed aggregate.
     time("multivector maxsim (n/4 docs x 4 slots, 3 query docs)")(
       graft.operators.MultiVector.maxsimOverEmb(corpus).count())
+    time("multivector maxsim CODED tier (sign-bit candidates + exact rerank)")(
+      graft.operators.MultiVector.maxsimCodedOverEmb(corpus).count())
 
     // Sparse-index deletion: merge-on-read serve overhead vs the plain
     // postings serve, then compaction cost and the compacted serve.
