@@ -356,6 +356,103 @@ object MultiVector {
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
   }
 
+  /** MaxSim vs the MEAN-POOLED single-vector baseline — the eval table
+    * that motivates late interaction (the comparison every ColBERT
+    * paper leads with): pooling a doc's token vectors into one mean
+    * vector loses token-level alignment; this op quantifies how far
+    * the two retrieval modes diverge on the same corpus. Pooled doc
+    * vector = elementwise ((e0+e1)+e2)+e3)/4 over the slot vectors
+    * (written-order adds inside a codegen transform HOF — exactly
+    * re-derivable), pooled kNN top-K by cosine, and the output is the
+    * per-query integer overlap of maxsim@K with pooled@K plus a
+    * top-1-agreement flag — all integer counts, exact. Restricted on
+    * both sides to full-arity docs (cnt = Slots), so a ragged tail
+    * doc can never null a pooled vector. */
+  def pooledCompare(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val tok = emb
+      .select(expr(s"vec_id div $Slots").as("doc_id"),
+        pmod(col("vec_id"), lit(Slots)).cast("int").as("slot"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val pooled = tok.groupBy("doc_id")
+      .agg(max(when(col("slot") === 0, col("embedding"))).as("e0"),
+        max(when(col("slot") === 1, col("embedding"))).as("e1"),
+        max(when(col("slot") === 2, col("embedding"))).as("e2"),
+        max(when(col("slot") === 3, col("embedding"))).as("e3"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") === Slots)
+      .select(col("doc_id"), expr(
+        """transform(e0, (x, i) ->
+          |  (((x + element_at(e1, i + 1)) + element_at(e2, i + 1))
+          |    + element_at(e3, i + 1)) / 4.0D)""".stripMargin).as("pv"))
+    val qp = pooled.filter(col("doc_id") < NQDocs)
+      .select(col("doc_id").as("qid"), col("pv").as("qpv"))
+    val wp = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    val pooledTop = pooled.crossJoin(broadcast(qp))
+      .withColumn("score",
+        graft.functions.VectorOps.cosineSim(col("qpv"), col("pv")))
+      .withColumn("rank", row_number().over(wp))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val mvTop = maxsimOverEmb(emb).select(col("qid"), col("doc_id"), col("rank"))
+    val ov = mvTop.join(pooledTop.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"))
+      .groupBy("qid").agg(count(lit(1)).as("overlap"))
+    val t1 = mvTop.filter(col("rank") === 1)
+      .select(col("qid"), col("doc_id").as("mv1"))
+      .join(pooledTop.filter(col("rank") === 1)
+        .select(col("qid"), col("doc_id").as("pl1")), "qid")
+      .select(col("qid"),
+        when(col("mv1") === col("pl1"), 1L).otherwise(0L).as("top1_agree"))
+    ov.join(t1, "qid")
+      .select(col("qid"), col("overlap"), col("top1_agree"))
+      .orderBy("qid")
+  }
+
+  val pooledCompareSql: String =
+    s"""WITH tok AS (SELECT vec_id // $Slots AS doc_id, vec_id % $Slots AS slot,
+       |                    embedding FROM embeddings),
+       |q AS (SELECT doc_id AS qid, slot AS qslot, embedding AS qv
+       |      FROM tok WHERE doc_id < $NQDocs),
+       |p AS (SELECT q.qid, q.qslot, t.doc_id,
+       |        ${OracleSql.cosine("q.qv", "t.embedding")} AS c
+       |      FROM q CROSS JOIN tok t),
+       |m AS (SELECT qid, doc_id,
+       |        max(CASE WHEN qslot = 0 THEN c END) AS m0,
+       |        max(CASE WHEN qslot = 1 THEN c END) AS m1,
+       |        max(CASE WHEN qslot = 2 THEN c END) AS m2,
+       |        max(CASE WHEN qslot = 3 THEN c END) AS m3
+       |      FROM p GROUP BY qid, doc_id),
+       |mv AS (SELECT qid, doc_id, rnk FROM (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY m0 + m1 + m2 + m3 DESC, doc_id ASC) AS rnk FROM m)
+       |  WHERE rnk <= $K),
+       |pool AS (SELECT doc_id,
+       |        max(CASE WHEN slot = 0 THEN embedding END) AS e0,
+       |        max(CASE WHEN slot = 1 THEN embedding END) AS e1,
+       |        max(CASE WHEN slot = 2 THEN embedding END) AS e2,
+       |        max(CASE WHEN slot = 3 THEN embedding END) AS e3,
+       |        count(*) AS cnt
+       |      FROM tok GROUP BY doc_id),
+       |pv AS (SELECT doc_id, list_transform(range(1, ${OracleSql.Dim} + 1), i ->
+       |        (((CAST(e0[i] AS DOUBLE) + CAST(e1[i] AS DOUBLE))
+       |          + CAST(e2[i] AS DOUBLE)) + CAST(e3[i] AS DOUBLE)) / 4.0e0) AS pv
+       |      FROM pool WHERE cnt = $Slots),
+       |pl AS (SELECT qid, doc_id, rnk FROM (
+       |  SELECT qp.doc_id AS qid, dp.doc_id, row_number() OVER (PARTITION BY qp.doc_id
+       |    ORDER BY ${OracleSql.cosine("qp.pv", "dp.pv")} DESC, dp.doc_id ASC) AS rnk
+       |  FROM pv qp CROSS JOIN pv dp WHERE qp.doc_id < $NQDocs)
+       |  WHERE rnk <= $K),
+       |ov AS (SELECT mv.qid, CAST(count(*) AS BIGINT) AS overlap
+       |       FROM mv JOIN pl ON pl.qid = mv.qid AND pl.doc_id = mv.doc_id
+       |       GROUP BY mv.qid),
+       |t1 AS (SELECT a.qid,
+       |         CAST(CASE WHEN a.doc_id = b.doc_id THEN 1 ELSE 0 END AS BIGINT) AS top1_agree
+       |       FROM (SELECT qid, doc_id FROM mv WHERE rnk = 1) a
+       |       JOIN (SELECT qid, doc_id FROM pl WHERE rnk = 1) b ON b.qid = a.qid)
+       |SELECT ov.qid, ov.overlap, t1.top1_agree
+       |FROM ov JOIN t1 ON t1.qid = ov.qid
+       |ORDER BY ov.qid""".stripMargin
+
   /** Both tiers replayed in one statement: byte-blocked asym sums and
     * exact cosines per (query token, doc token), slot maxes +
     * written-order sums per (query, doc), the CodedR candidate cut by
@@ -390,12 +487,14 @@ object MultiVector {
     "multivector_maxsim" -> (maxsim _),
     "multivector_maxsim_ivf" -> (maxsimIvf _),
     "multivector_maxsim_layout" -> (maxsimLayout _),
-    "multivector_maxsim_coded" -> (maxsimCoded _))
+    "multivector_maxsim_coded" -> (maxsimCoded _),
+    "multivector_pooled_compare" -> (pooledCompare _))
 
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
     m += "multivector_maxsim" -> maxsimSql
     m += "multivector_maxsim_coded" -> maxsimCodedSql
+    m += "multivector_pooled_compare" -> pooledCompareSql
     if (lastCentroids != null)
       m += "multivector_maxsim_ivf" -> maxsimIvfSql(lastCentroids)
     if (lastLayoutCentroids != null)
