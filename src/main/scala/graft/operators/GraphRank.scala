@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.OracleSql
+
+/** PageRank over the exact k-NN similarity graph — graph centrality
+  * for data curation (Page et al. 1999).
+  *
+  * Training-data pipelines use centrality over similarity/citation
+  * graphs to pick canonical documents out of near-dup clusters and to
+  * propagate quality signals; the reference has no graph analytics at
+  * all. This runs the classic damped PageRank over the engine's own
+  * `knn_graph` edges (every vector's exact top-K cosine neighbors —
+  * out-degree exactly K for every node) as iterative DataFrame joins —
+  * the Pregel-as-DataFrame loop: per iteration one join of the edge
+  * table against the rank table plus one dst-keyed aggregate, shuffle
+  * bounded by |edges| = n·K. At 100 TB both sides pre-partition by id
+  * so the per-iteration exchange reuses one partitioning.
+  *
+  * Bit-exactness: FIXED-POINT integer arithmetic end to end (the
+  * text_tfidf discipline) — ranks are longs scaled by 10¹²,
+  * contribution = r div K (long division), damping applied as
+  * (85·Σ) div 100 with the base term (15·10¹²) div (100·n) — sums of
+  * longs are order-independent, so every iteration is exactly
+  * reproducible and the twin unrolls all T iterations as CTEs over
+  * the same edge derivation. */
+object GraphRank {
+  val T = 5                       // fixed iteration count
+  val Scale = 1000000000000L      // 10^12 fixed-point scale
+  private val G = VectorSearch.K  // out-degree: the knn_graph fan-out
+
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    // the graded knn_graph edge set, computed once (n·K rows)
+    val edges = graft.Mat.detach(VectorSearch.knnGraph(s, dir)
+      .select(col("qid").as("src"), col("vec_id").as("dst")))
+    val nodes = graft.Mat.detach(edges.select(col("src").as("id")).distinct())
+    val n = nodes.count()
+    val base = (15L * Scale) / (100L * n)
+    var r = nodes.withColumn("r", lit(Scale / n))
+    for (_ <- 1 to T) {
+      val insum = edges.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr(s"r div $G").as("c"))
+        .groupBy("dst").agg(sum("c").as("insum"))
+      r = nodes.join(insum.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(insum, 0L)) div 100")).as("r"))
+    }
+    r.select(col("id").as("vec_id"), col("r").as("pr_scaled"))
+      .orderBy("vec_id")
+  }
+
+  /** The twin: edges re-derived exactly as knnGraphSql derives them,
+    * then every iteration unrolled — same integer arithmetic. */
+  val pagerankSql: String = {
+    val k = VectorSearch.K
+    val iters = (1 to T).map { i =>
+      s"""c$i AS (SELECT g.dst, r${i - 1}.r // $G AS c
+         |        FROM g JOIN r${i - 1} ON r${i - 1}.id = g.src),
+         |s$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS insum FROM c$i GROUP BY dst),
+         |r$i AS (SELECT r${i - 1}.id,
+         |          (15 * ${Scale}::BIGINT) // (100 * nc.c)
+         |            + (85 * COALESCE(s$i.insum, 0)) // 100 AS r
+         |        FROM r${i - 1} CROSS JOIN nc
+         |        LEFT JOIN s$i ON s$i.dst = r${i - 1}.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |            FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id),
+       |sc AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+       |      WHERE e.vec_id <> q.qid),
+       |g AS (SELECT qid AS src, vec_id AS dst FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= $k),
+       |nc AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS c FROM g),
+       |r0 AS (SELECT DISTINCT src AS id, ${Scale}::BIGINT // nc.c AS r
+       |       FROM g CROSS JOIN nc),
+       |$iters
+       |SELECT id AS vec_id, r AS pr_scaled FROM r$T ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql)
+}

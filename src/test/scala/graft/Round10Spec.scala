@@ -530,6 +530,31 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("pagerank over the knn graph: mass conserved up to floor loss; floor respected; " +
+      "in-degree drives rank") {
+    import graft.operators.GraphRank
+    val out = GraphRank.pagerank(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = out.length
+    assert(n > 0)
+    val base = (15L * GraphRank.Scale) / (100L * n)
+    assert(out.forall(_._2 >= base), "a node fell below the damping floor")
+    val total = out.map(_._2).sum
+    assert(total <= GraphRank.Scale && total >= (GraphRank.Scale * 9) / 10,
+      s"mass not conserved within floor loss: $total of ${GraphRank.Scale}")
+    // the most-cited node (max in-degree in the edge set) must outrank
+    // an uncited node (one with zero in-edges), if both exist
+    val edges = graft.operators.VectorSearch.knnGraph(spark, sfDir)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val indeg = edges.groupBy(_._2).view.mapValues(_.length).toMap
+    val pr = out.toMap
+    val top = indeg.maxBy(_._2)._1
+    val uncited = out.map(_._1).filterNot(indeg.contains)
+    uncited.headOption.foreach { z =>
+      assert(pr(top) > pr(z), "max-in-degree node does not outrank an uncited node")
+    }
+  }
+
   test("coded maxsim: self doc ranks first; rerank scores equal the exact operator's") {
     import graft.operators.MultiVector
     val codedOut = MultiVector.maxsimCoded(spark, sfDir)

@@ -51,7 +51,7 @@ class Round7Spec extends SparkTestBase {
       operators.Multiscale.queries, operators.BinaryQuant.queries,
       operators.DataMix.queries, operators.PipelineOps.queries,
       operators.Bpe.queries, operators.Bm25.queries,
-      operators.MultiVector.queries)
+      operators.MultiVector.queries, operators.GraphRank.queries)
     assert(maps.map(_.size).sum + 1 == SparkEntry.queries.size) // +1: multimodal_embed
   }
 
