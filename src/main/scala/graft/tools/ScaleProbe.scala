@@ -413,6 +413,20 @@ object ScaleProbe {
     time("multivector maxsim CODED tier (sign-bit candidates + exact rerank)")(
       graft.operators.MultiVector.maxsimCodedOverEmb(corpus).count())
 
+    // PageRank iteration loop at n nodes x 10 out-edges (hash-derived
+    // synthetic graph): 5 iterations of edge-rank join + dst aggregate.
+    if (wanted("pagerank")) {
+      val deg = 10
+      val edges = spark.range(n).select(col("id").as("src"),
+          explode(expr(s"transform(sequence(0, ${deg - 1}), j -> " +
+            s"pmod(hash(id * 31 + j * 7), ${n}L))")).as("dst"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      graft.operators.GraphRank.pagerankOverEdges(edges, deg).count()
+      println(f"[scale] pagerank 5 iters over ${n / 1e6}%.0fM nodes x $deg edges: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
     // Sparse-index deletion: merge-on-read serve overhead vs the plain
     // postings serve, then compaction cost and the compacted serve.
     if (wanted("bm25del")) {
