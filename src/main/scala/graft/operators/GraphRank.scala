@@ -72,8 +72,14 @@ object GraphRank {
   }
 
   /** The twin: edges re-derived exactly as knnGraphSql derives them,
-    * then every iteration unrolled — same integer arithmetic. */
-  val pagerankSql: String = {
+    * then every iteration unrolled — same integer arithmetic. The CTE
+    * chain is exposed separately so composing oracles (canonical-rank
+    * selection) can reuse the whole derivation. */
+  val pagerankSql: String =
+    s"""WITH $pagerankCtes
+       |SELECT id AS vec_id, r AS pr_scaled FROM r$T ORDER BY vec_id""".stripMargin
+
+  private[graft] lazy val pagerankCtes: String = {
     val k = VectorSearch.K
     val iters = (1 to T).map { i =>
       s"""c$i AS (SELECT g.dst, r${i - 1}.r // $G AS c
@@ -85,7 +91,7 @@ object GraphRank {
          |        FROM r${i - 1} CROSS JOIN nc
          |        LEFT JOIN s$i ON s$i.dst = r${i - 1}.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+    s"""nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
        |            FROM embeddings),
        |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
        |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id),
@@ -99,13 +105,66 @@ object GraphRank {
        |nc AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS c FROM g),
        |r0 AS (SELECT DISTINCT src AS id, ${Scale}::BIGINT // nc.c AS r
        |       FROM g CROSS JOIN nc),
-       |$iters
-       |SELECT id AS vec_id, r AS pr_scaled FROM r$T ORDER BY vec_id""".stripMargin
+       |$iters""".stripMargin
   }
 
+  /** Centrality-based canonical selection — what a curation pipeline
+    * DOES with the rank: inside each embedding-near-dup cluster
+    * (TextOps.dedupEmbedding pairs → Dedup.connectedComponents), keep
+    * the member with the highest similarity-graph PageRank (tie: lower
+    * id) as the canonical document, instead of the arbitrary min-id
+    * convention. Output per clustered vector: its component label,
+    * the centrality-chosen canonical, and its own scaled rank — all
+    * integer/exact, every stage already graded on its own (the pairs,
+    * the components, the rank), composed here into one statement on
+    * both engines. */
+  def canonicalRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.dedupEmbedding(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("canonical_id").as("comp"))
+    val pr = pagerank(s, dir)
+    val j = cc.join(pr, "vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("pr_scaled").desc, col("vec_id").asc)
+    val canon = j.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("comp"), col("vec_id").as("canonical_id"))
+    j.join(canon, "comp")
+      .select(col("vec_id"), col("comp"), col("canonical_id"), col("pr_scaled"))
+      .orderBy("vec_id")
+  }
+
+  val canonicalRankSql: String =
+    s"""WITH RECURSIVE $pagerankCtes,
+       |dp AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |       FROM embeddings a JOIN embeddings b
+       |         ON a.label = b.label AND a.vec_id < b.vec_id
+       |       JOIN nrm na ON na.vec_id = a.vec_id
+       |       JOIN nrm nb ON nb.vec_id = b.vec_id
+       |       WHERE ${OracleSql.dot("a.embedding", "b.embedding")}
+       |         / (na.nm * nb.nm) >= ${TextOps.NearDupTau}),
+       |ce AS (SELECT va AS src, vb AS dst FROM dp
+       |       UNION ALL SELECT vb, va FROM dp),
+       |cn AS (SELECT DISTINCT src AS id FROM ce),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM cn
+       |  UNION
+       |  SELECT e.dst, r2.comp FROM reach r2 JOIN ce e ON r2.id = e.src),
+       |cmp AS (SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM reach GROUP BY id),
+       |j AS (SELECT cmp.id, cmp.comp, r$T.r AS pr FROM cmp JOIN r$T ON r$T.id = cmp.id),
+       |can AS (SELECT comp, id AS canonical_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY comp
+       |    ORDER BY pr DESC, id ASC) AS rk FROM j) WHERE rk = 1)
+       |SELECT j.id AS vec_id, j.comp, can.canonical_id, j.pr AS pr_scaled
+       |FROM j JOIN can ON can.comp = j.comp
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pagerank _))
+    "graph_pagerank" -> (pagerank _),
+    "dedup_canonical_rank" -> (canonicalRank _))
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankSql)
+    "graph_pagerank" -> pagerankSql,
+    "dedup_canonical_rank" -> canonicalRankSql)
 }
