@@ -55,18 +55,23 @@ object GraphRank {
     val parts = rawEdges.sparkSession.sessionState.conf.numShufflePartitions
     val edges = rawEdges.repartition(parts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    // superstep checkpoints truncate the iteration lineage — essential
+    // at scale (each materialization job is paid back many times over),
+    // pure scheduling overhead on a small graph where a 5-deep plan
+    // executes in one job; cut over on edge count
+    val big = edges.count() > 1000000L
+    def step(df: DataFrame): DataFrame = if (big) df.localCheckpoint(true) else df
+    val nodes = step(edges.select(col("src").as("id")).distinct())
     val n = nodes.count()
     val base = (15L * Scale) / (100L * n)
-    var r = nodes.withColumn("r", lit(Scale / n)).localCheckpoint(true)
+    var r = step(nodes.withColumn("r", lit(Scale / n)))
     for (_ <- 1 to T) {
       val insum = edges.join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr(s"r div $outDeg").as("c"))
         .groupBy("dst").agg(sum("c").as("insum"))
-      r = nodes.join(insum.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      r = step(nodes.join(insum.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr("(85 * coalesce(insum, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
+          (lit(base) + expr("(85 * coalesce(insum, 0L)) div 100")).as("r")))
     }
     r.select(col("id"), col("r").as("pr_scaled"))
   }
