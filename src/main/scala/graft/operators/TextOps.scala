@@ -216,6 +216,75 @@ object TextOps {
   /** Posting-list document-frequency cap for dedup_ngram_jaccard. */
   val MaxPostingDf = 10000L
 
+  /** Exact τ-threshold n-gram Jaccard all-pairs via a PREFIX-FILTERED
+    * inverted index (the AllPairs / PPJoin prefix principle — Bayardo
+    * et al., WWW'07; Xiao et al., ICDE'08): the lossless scale path
+    * for the quadratic-pair-event shape dedup_ngram_jaccard carries.
+    *
+    * Order every doc's shingle set by GLOBAL rarity (df asc, hash asc
+    * — one total order both engines derive identically) and index only
+    * each doc's first `n − ⌈τ·n⌉ + 1` shingles. Prefix lemma: a pair
+    * with J ≥ τ has overlap o ≥ τ·max(|A|,|B|) (since the union is at
+    * least the larger set), and two sets whose overlap is ≥ α must
+    * share an element inside their first `size − α + 1` elements under
+    * any common total order — so every qualifying pair collides on
+    * some indexed prefix shingle, and candidate generation over the
+    * PREFIX postings alone misses nothing. The candidate pair set then
+    * verifies EXACTLY (one merge-pass Jaccard over the two sorted hash
+    * arrays — same integer inter/union as the quadratic form, same
+    * single IEEE division), so the result is bit-equal to the
+    * brute-force operator — the graded twin IS the quadratic oracle,
+    * making losslessness a gate property, not a comment.
+    *
+    * Scale shape: the shuffles are wordcount-shaped (postings, df,
+    * per-doc prefix rank) plus a candidate-bounded verify join; the
+    * prefix keeps only each doc's RAREST shingles, so stop-shingles
+    * (the df² pair-event melt that forces dedup_ngram_jaccard's lossy
+    * df cap) never enter the index — no cap, no recall loss. Pair
+    * events are Σ_shingle pdf·(pdf−1)/2 over PREFIX df, which tracks
+    * the true near-dup density rather than the token distribution; a
+    * corpus where that is still quadratic has quadratic OUTPUT. */
+  def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    jaccardPrefixPairs(Tables.load(s, dir, "documents")).orderBy("doc_a", "doc_b")
+
+  /** Shingle sets (sorted distinct hashes) of the ≥3-token docs. */
+  private[graft] def shingled(d0: DataFrame): DataFrame =
+    d0.filter(expr("size(filter(split(text, ' '), x -> x != '')) >= 3"))
+      .select(col("doc_id"), col("source"), Dedup.shingleHashes3(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+
+  /** Prefix-postings candidate pairs (exposed for pruning specs): every
+    * pair that shares an indexed PREFIX shingle within its source block
+    * — a superset of the τ-qualifying pairs by the prefix lemma. */
+  private[graft] def prefixCandidates(t: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posting = t.select(col("doc_id"), col("source"), col("n"), explode(col("sh")).as("shh"))
+    val dfT = posting.groupBy("source", "shh").agg(count(lit(1)).as("df"))
+    // τ = 1/2 ⟹ prefix length = n − ⌈n/2⌉ + 1 = (n div 2) + 1, all-integer
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shh").asc)
+    val prefix = posting.join(dfT, Seq("source", "shh"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= expr("(n div 2) + 1"))
+      .select("doc_id", "source", "shh")
+    prefix.alias("x").join(prefix.alias("y"),
+        col("x.shh") === col("y.shh") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.source").as("source"))
+      .distinct()
+  }
+
+  private[graft] def jaccardPrefixPairs(d0: DataFrame): DataFrame = {
+    val t = shingled(d0)
+    prefixCandidates(t)
+      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        graft.functions.JaccardOps.sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "source", "jaccard")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label (the LSH-blocked
     * variant at scale; exact within blocks here). */
   val NearDupTau = 0.4
@@ -564,6 +633,7 @@ object TextOps {
     "text_fingerprint" -> (textFingerprint _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
@@ -582,5 +652,8 @@ object TextOps {
     "text_fingerprint" -> textFingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    // the prefix-filtered operator grades against the QUADRATIC twin:
+    // the gate certifies the prefix candidate generation is lossless
+    "dedup_jaccard_prefix" -> dedupNgramJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Prefix-filtered exact set-similarity join (dedup_jaccard_prefix):
+  * losslessness against the brute-force operator, pruning power on a
+  * stop-shingle-skewed corpus, and the prefix lemma's edge shapes. */
+class PrefixJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("prefix-filtered all-pairs == quadratic operator, bit-equal (sf0.001)") {
+    val pfx = TextOps.dedupJaccardPrefix(spark, sfDir).collect().toSeq
+    val quad = TextOps.dedupNgramJaccard(spark, sfDir).collect().toSeq
+    assert(pfx == quad, s"prefix join diverged: ${pfx.size} vs ${quad.size} rows")
+    assert(pfx.nonEmpty, "gate corpus has no near-dup pairs — spec is vacuous")
+  }
+
+  test("stop-shingle corpus: prefix index prunes the df² pair-event melt, losslessly") {
+    // 40 docs all share one universal trigram ("aa bb cc") but are
+    // otherwise unique → every cross pair is J < 0.5; plus one planted
+    // near-identical pair (J ≥ 0.5). The full inverted index generates
+    // all 40·39/2 = 780 pair events off the stop shingle alone; the
+    // prefix index must stay near the true near-dup density.
+    val docs = (0 until 40).map { i =>
+      (i.toLong, "s", s"aa bb cc w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g")
+    } :+ (100L, "s", "aa bb cc w0a w0b w0c w0d w0e w0f w0g x")
+    val d = docs.toDF("doc_id", "source", "text")
+    val t = TextOps.shingled(d)
+    // full (uncapped) inverted-index pair events for comparison
+    val posting = t.select(col("doc_id"), col("source"), explode(col("sh")).as("shh"))
+    val fullPairs = posting.alias("x").join(posting.alias("y"),
+        col("x.shh") === col("y.shh") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val candPairs = TextOps.prefixCandidates(t).count()
+    assert(fullPairs >= 780L, s"stop shingle should pair everything: $fullPairs")
+    // the universal shingle never enters any doc's rarity prefix, so
+    // candidates collapse to pairs sharing a RARE shingle
+    assert(candPairs < fullPairs / 10,
+      s"prefix index did not prune the stop shingle: $candPairs vs $fullPairs")
+    // and the qualifying pair still survives
+    val res = TextOps.jaccardPrefixPairs(d).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 100L)),
+      s"lost or invented a pair: ${res.mkString(", ")}")
+  }
+
+  test("below-threshold pairs verify out; identical docs score exactly 1.0") {
+    val d = Seq(
+      (1L, "s", "p q r s t u v w"),          // J(1,2) = 1 (identical)
+      (2L, "s", "p q r s t u v w"),
+      (3L, "s", "p q r zz yy xx ww vv"),     // shares only 'p q r' with 1 → J < 0.5
+      (4L, "t", "p q r s t u v w")           // other source block — never paired
+    ).toDF("doc_id", "source", "text")
+    val res = TextOps.jaccardPrefixPairs(d).collect()
+    assert(res.length == 1 && res(0).getLong(0) == 1L && res(0).getLong(1) == 2L)
+    assert(res(0).getDouble(3) == 1.0)
+  }
+}
