@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Mergeable sketch profiling — the answers a 100 TB curation pipeline
+  * wants BEFORE it runs (how many distinct users/domains/shards, per
+  * slice) at a cost that never shuffles the distinct values themselves.
+  *
+  * `sketch_distinct_kmv`: KMV (k-minimum-values) distinct-count
+  * sketches (Bar-Yossef et al., RANDOM'02; Beyer et al., SIGMOD'07)
+  * per group: hash every member into [0, 2⁶³) off the md5_number_lower
+  * basis (the engine's cross-engine-reproducible hash discipline), keep
+  * the k smallest DISTINCT hashes per group via a bounded
+  * TypedImperativeAggregate (map-side partials of ≤k longs, associative
+  * merge — the same shape VectorAvgAgg gives Lloyd updates), estimate
+  * distinct = (k−1)·2⁶³ div h_k. Everything — the kept hashes, the
+  * k-th value, the estimate's integral division — is integer-exact, so
+  * the DuckDB twin reproduces the sketch AND its estimate
+  * digit-for-digit: a graded accuracy table (exact vs estimate side by
+  * side), not a tolerance check. Unlike count(DISTINCT …), the
+  * sketch's shuffle is k longs per group no matter the corpus size,
+  * and shard sketches merge losslessly (bottom-k of a union == merge
+  * of bottom-ks — SketchSpec pins it), which is what makes it the
+  * at-scale profiling primitive: profile each ingest shard, fold.
+  */
+object Sketches {
+  /** Sketch size: rel. error ~ 1/√(k−1) ≈ 12.7%. */
+  val K = 64
+
+  def sketchDistinctKmv(s: SparkSession, dir: String): DataFrame =
+    kmvTable(Tables.load(s, dir, "events")).orderBy("event_type")
+
+  private[graft] def kmvTable(ev: DataFrame): DataFrame = {
+    val h = ev.select(col("event_type"), col("user_id"),
+      shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+        concat(lit("kmv:"), col("user_id").cast("string"))), 1).as("h"))
+    h.groupBy("event_type")
+      .agg(graft.functions.KmvOps.kmvBottomK(col("h"), K).as("bk"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        size(col("bk")).cast("long").as("n_sketch"),
+        when(size(col("bk")) === K, element_at(col("bk"), K)).as("kth_hash"),
+        when(size(col("bk")) < K, size(col("bk")).cast("long"))
+          .otherwise(expr(
+            s"cast(${K - 1} as decimal(38,0)) * 9223372036854775808 div element_at(bk, $K)"))
+          .as("estimate"))
+  }
+
+  val sketchDistinctKmvSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |             CAST((md5_number_lower('kmv:' || user_id) >> 1) AS BIGINT) AS h
+       |           FROM events),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |       FROM events GROUP BY 1),
+       |sk AS (SELECT event_type,
+       |         CAST(count(*) FILTER (WHERE rn <= $K) AS BIGINT) AS n_sketch,
+       |         max(CASE WHEN rn = $K THEN h END) AS kth_hash
+       |       FROM r GROUP BY 1)
+       |SELECT ex.event_type, n_exact, n_sketch, kth_hash,
+       |  CASE WHEN n_sketch < $K THEN n_sketch
+       |       ELSE CAST((${K - 1}::HUGEINT * 9223372036854775808) // kth_hash AS BIGINT)
+       |  END AS estimate
+       |FROM ex JOIN sk USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_distinct_kmv" -> (sketchDistinctKmv _))
+  val oracles: Map[String, String] = Map(
+    "sketch_distinct_kmv" -> sketchDistinctKmvSql)
+}

@@ -51,7 +51,8 @@ class Round7Spec extends SparkTestBase {
       operators.Multiscale.queries, operators.BinaryQuant.queries,
       operators.DataMix.queries, operators.PipelineOps.queries,
       operators.Bpe.queries, operators.Bm25.queries,
-      operators.MultiVector.queries, operators.GraphRank.queries)
+      operators.MultiVector.queries, operators.GraphRank.queries,
+      operators.Sketches.queries)
     assert(maps.map(_.size).sum + 1 == SparkEntry.queries.size) // +1: multimodal_embed
   }
 
