@@ -48,6 +48,86 @@ object LayoutQueries {
       |FROM e, b WHERE day BETWEEN b.d0 AND b.d0 + 2
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Z-ORDER (Morton-interleaved) multi-dimensional layout for the
+    * events table — the at-rest clustering that makes BOTH
+    * `user_id`-sliced and time-sliced scans prune, where a single-column
+    * sort can only serve one (Morton 1966; the standard multi-dim
+    * data-skipping layout in modern lakehouse table formats).
+    *
+    * Both dimensions normalize to 8 bits by exact integer arithmetic
+    * against the corpus extremes (`(v − min)·256 div (span+1)` — one
+    * tiny aggregate, embedded as literals and re-derived by the twin),
+    * the two bytes bit-interleave into a 16-bit z-value with the
+    * classic spread-shift cascade (all shiftleft/&/| — whole-stage
+    * codegen, zero UDF), and the write range-partitions + sorts by z:
+    * every file then covers a small square of (user, time) space, so
+    * parquet min/max stats on the NATURAL columns prune 2-D slices —
+    * ZorderSpec pins per-file spans bounded in BOTH dims
+    * simultaneously vs a ts-sorted layout whose files span all users.
+    * The graded query reads a 2-D slice (middle user band × middle
+    * time band) back off the layout and must reproduce the raw-table
+    * aggregate INCLUDING a sum-of-z checksum — the Morton arithmetic
+    * itself grades bit-exactly. At 100 TB: z-write is one range
+    * exchange (same cost as any sorted write), and every mixed-
+    * predicate scan after it skips (1 − slice area) of the files. */
+  val Z0 = 64; val Z1 = 127       // graded user-band (u8 units)
+  val T0 = 96; val T1 = 191       // graded time-band (t8 units)
+
+  /** 8-bit Morton spread as an expression string: `shl` renders the
+    * engine's shift-left (Spark `shiftleft(x, n)`, DuckDB `(x << n)`). */
+  private def spread8(x: String, shl: (String, Int) => String): String = {
+    val a = s"((${shl(x, 4)} | $x) & 3855)"   // 0x0F0F
+    val b = s"((${shl(a, 2)} | $a) & 13107)"  // 0x3333
+    s"((${shl(b, 1)} | $b) & 21845)"          // 0x5555
+  }
+  private def sparkShl(x: String, n: Int) = s"shiftleft($x, $n)"
+  private def duckShl(x: String, n: Int) = s"($x << $n)"
+
+  /** The operator's Morton-interleave as a Spark SQL expression over
+    * two 8-bit column refs (shared with ZorderSpec). */
+  private[graft] def zorderExprSql(u8: String, t8: String): String =
+    s"(${spread8(u8, sparkShl)} | ${sparkShl(spread8(t8, sparkShl), 1)})"
+
+  def eventsZorder(s: SparkSession, dir: String): DataFrame =
+    graft.Mat.withScratchDirs("events_zorder") { case Seq(out) =>
+      val ev = Tables.load(s, dir, "events")
+      val r = ev.agg(min("ts"), max("ts"), min("user_id"), max("user_id")).first()
+      val (ts0, ts1, u0, u1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val u8 = s"(((user_id - $u0) * 256) div ${u1 - u0 + 1})"
+      val t8 = s"(((ts - ${ts0}L) * 256) div ${ts1 - ts0 + 1})"
+      val z = zorderExprSql("u8", "t8")
+      ev.withColumn("u8", expr(u8)).withColumn("t8", expr(t8))
+        .withColumn("z", expr(z))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+      graft.Mat.detach(
+        s.read.parquet(out)
+          .filter(col("u8").between(Z0, Z1) && col("t8").between(T0, T1))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_value_cents"),
+            sum(col("z")).as("sum_z"))
+          .orderBy("event_type"))
+    }
+
+  val eventsZorderSql: String = {
+    val u8 = "(((user_id - b.u0) * 256) // (b.u1 - b.u0 + 1))"
+    val t8 = "(((epoch_ns(ts) - b.ts0) * 256) // (b.ts1 - b.ts0 + 1))"
+    val z = s"(${spread8("u8", duckShl)} | ${duckShl(spread8("t8", duckShl), 1)})"
+    s"""WITH b AS (SELECT min(epoch_ns(ts)) AS ts0, max(epoch_ns(ts)) AS ts1,
+       |                  min(user_id) AS u0, max(user_id) AS u1 FROM events),
+       |e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc,
+       |             $u8 AS u8, $t8 AS t8
+       |      FROM events, b),
+       |ez AS (SELECT event_type, vc, u8, t8, $z AS z FROM e)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(vc) AS BIGINT) AS sum_value_cents,
+       |       CAST(sum(z) AS BIGINT) AS sum_z
+       |FROM ez WHERE u8 BETWEEN $Z0 AND $Z1 AND t8 BETWEEN $T0 AND $T1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DSv2 generated corpus, md5 basis, vec_id range pushed into the
     * generator; sampled components + full self-dot checksum per row. */
   val VecGenN = 2000
@@ -81,8 +161,10 @@ object LayoutQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_layout" -> (eventsLayout _),
+    "events_zorder" -> (eventsZorder _),
     "vectorgen_source" -> (vectorgenSource _))
   val oracles: Map[String, String] = Map(
     "events_layout" -> eventsLayoutSql,
+    "events_zorder" -> eventsZorderSql,
     "vectorgen_source" -> vectorgenSourceSql)
 }
