@@ -68,6 +68,38 @@ object Sketches {
        |FROM ex JOIN sk USING (event_type)
        |ORDER BY event_type""".stripMargin
 
+  /** The sketch columns alone (no n_exact) — the STREAMING twin's
+    * oracle: a live stream can keep the bounded sketch state forever,
+    * but an exact distinct count would grow state without bound, so
+    * the streamed operator deliberately carries only the sketch. */
+  val sketchKmvStreamSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |             CAST((md5_number_lower('kmv:' || user_id) >> 1) AS BIGINT) AS h
+       |           FROM events),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |sk AS (SELECT event_type,
+       |         CAST(count(*) FILTER (WHERE rn <= $K) AS BIGINT) AS n_sketch,
+       |         max(CASE WHEN rn = $K THEN h END) AS kth_hash
+       |       FROM r GROUP BY 1)
+       |SELECT event_type, n_sketch, kth_hash,
+       |  CASE WHEN n_sketch < $K THEN n_sketch
+       |       ELSE CAST((${K - 1}::HUGEINT * 9223372036854775808) // kth_hash AS BIGINT)
+       |  END AS estimate
+       |FROM sk ORDER BY event_type""".stripMargin
+
+  /** Sketch-table projection off a bottom-k column (shared by the batch
+    * and streaming operators so the estimate arithmetic is identical by
+    * construction). */
+  private[graft] def sketchCols(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+      size(col("bk")).cast("long").as("n_sketch"),
+      when(size(col("bk")) === K, element_at(col("bk"), K)).as("kth_hash"),
+      when(size(col("bk")) < K, size(col("bk")).cast("long"))
+        .otherwise(expr(
+          s"cast(${K - 1} as decimal(38,0)) * 9223372036854775808 div element_at(bk, $K)"))
+        .as("estimate"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct_kmv" -> (sketchDistinctKmv _))
   val oracles: Map[String, String] = Map(

@@ -159,7 +159,10 @@ object TextOps {
     * this operator — dedup_minhash_lsh is the scale path (bucketed
     * candidates, capped buckets) and reproduces this output exactly at
     * LSH recall 1. */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.load(s, dir, "documents"))
+
+  private[graft] def ngramJaccardPairs(d0: DataFrame): DataFrame = {
     // Inverted-index set-similarity join (the 100 TB idiom): explode
     // (doc, shingle-hash), count co-occurrences per doc pair — |A∩B|
     // arrives as an integer count, |A∪B| = n_a + n_b − |A∩B|. No
@@ -167,7 +170,7 @@ object TextOps {
     // shuffle volume is Σ_shingle df·(df−1)/2 pair-events. The ratio of
     // ints is identical to the string-set oracle (barring 2⁻⁶⁴ hash
     // collisions), so bit-exactness is preserved.
-    val d = Tables.load(s, dir, "documents")
+    val d = d0
       // Guard: docs with <3 tokens have NO 3-shingles — the expression's
       // whole-text fallback and the oracle's empty list would diverge
       // (0/0 jaccard). Filter them out identically on both sides.

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
-import graft.operators.{Dedup, IvfIndex, Knn, Mmr, Relational, VectorSearch}
+import graft.operators.{Dedup, IvfIndex, Knn, Mmr, Relational, Sketches, VectorSearch}
 
 /** GRADED streaming queries: each runs the corpus through a
   * MemoryStream in adversarial chunks, drains it with
@@ -65,6 +65,32 @@ object StreamingQueries {
     }
     out.select(col("hour_start"), col("event_type"), col("n"), col("sum_value_cents"))
       .orderBy("hour_start", "event_type")
+  }
+
+  /** Streaming KMV distinct-count sketch per event_type — the profiling
+    * primitive run LIVE: the bounded bottom-k aggregate runs as a
+    * complete-mode streaming aggregation, so the state store carries
+    * exactly one ≤k-long buffer per group forever (an exact distinct
+    * count would grow state without bound — which is why the streamed
+    * operator carries only the sketch, and its twin drops n_exact).
+    * Crossing triggers exercises the aggregate's serialize/deserialize
+    * and merge paths through the state store; the final table must
+    * equal the batch sketch bit-for-bit (order-independence of the
+    * bottom-k makes arrival chunking irrelevant). */
+  def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect().sortBy(r => (r._2, r._1))
+    val out = drain(s, split3(rows), "complete", sinkName("stream_kmv")) { ds =>
+      ds.toDF("event_type", "user_id")
+        .select(col("event_type"),
+          shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+            concat(lit("kmv:"), col("user_id").cast("string"))), 1).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.KmvOps.kmvBottomK(col("h"), Sketches.K).as("bk"))
+    }
+    Sketches.sketchCols(out).orderBy("event_type")
   }
 
   /** Keyed-state sessionization over a streamed events table; a
@@ -892,6 +918,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
+    "stream_kmv" -> (streamKmv _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_knn" -> (streamKnn _),
     "stream_ivf" -> (streamIvf _),
@@ -913,6 +940,8 @@ object StreamingQueries {
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
     m += "stream_tumbling" -> Relational.eventsTumblingSql
+    // bounded-state sketch only — the exact count is deliberately absent
+    m += "stream_kmv" -> Sketches.sketchKmvStreamSql
     m += "stream_sessionize" -> Relational.eventsSessionizeSql
     m += "stream_knn" -> VectorSearch.knnCosineSql
     m += "stream_topk" -> VectorSearch.knnCosineSql

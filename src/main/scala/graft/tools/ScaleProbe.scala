@@ -472,6 +472,52 @@ object ScaleProbe {
       val cb = graft.operators.ProductQuant.train(sample, m = 8, k = 16)
       graft.operators.ProductQuant.adcSearchAdaptive(corpus, queries, cb, 10).count()
     })
+    // Prefix-filtered exact Jaccard all-pairs vs the df-capped inverted
+    // index at 200k docs × 32 tokens, with TWO universal stop shingles
+    // in every doc (the df² melt case: uncapped co-occurrence would be
+    // 200k²/2 = 2·10¹⁰ pair events off the stop shingles alone) and a
+    // planted near-dup per 10 docs. The capped operator survives only
+    // by DROPPING the hot shingles (lossy beyond the cap); the prefix
+    // join is exact with no cap — candidates track dup density.
+    if (wanted("jaccard")) {
+      val nDocs = 200000L
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        lit("s").as("source"),
+        concat(lit("za zb zc zd "), array_join(expr(
+          """transform(sequence(0, 27), j ->
+            |  CASE WHEN id % 10 = 1 AND j < 27
+            |       THEN concat('w', pmod(hash((id - 1) * 37 + j), 300000))
+            |       ELSE concat('w', pmod(hash(id * 37 + j), 300000)) END)"""
+            .stripMargin), " ")).as("text"))
+        .repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val nPfx = graft.operators.TextOps.jaccardPrefixPairs(docs).count()
+      val sPfx = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] jaccard prefix-join (200k docs, 2 stop shingles): " +
+        f"$sPfx%.2f s, $nPfx pairs (exact, no cap)")
+      val t1 = System.nanoTime()
+      val nCap = graft.operators.TextOps.ngramJaccardPairs(docs).count()
+      val sCap = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] jaccard df-capped index  (same corpus): " +
+        f"$sCap%.2f s, $nCap pairs (lossy above cap)")
+    }
+    // KMV distinct sketch vs count(DISTINCT): 50M rows, 32 groups,
+    // ~5M distinct values. The sketch shuffles 64 longs per group;
+    // count(DISTINCT) shuffles every distinct (group, value) pair.
+    if (wanted("kmv")) {
+      val rows = spark.range(50000000L).select(
+        pmod(col("id"), lit(32L)).as("g"),
+        pmod(xxhash64(col("id")), lit(5000000L)).as("v"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      rows.groupBy("g").agg(graft.functions.KmvOps.kmvBottomK(
+        shiftrightunsigned(xxhash64(col("v")), 1), 64).as("bk"))
+        .count()
+      println(f"[scale] kmv sketch (50M rows, 32 groups): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      rows.groupBy("g").agg(countDistinct("v")).count()
+      println(f"[scale] count(DISTINCT)    (same input): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

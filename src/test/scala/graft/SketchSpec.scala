@@ -49,6 +49,14 @@ class SketchSpec extends SparkTestBase {
     assert(one.map(_.getSeq[Long](1)).toSeq == many.map(_.getSeq[Long](1)).toSeq)
   }
 
+  test("stream_kmv == batch sketch columns, bit-equal across triggers") {
+    val batch = Sketches.sketchDistinctKmv(spark, sfDir)
+      .select("event_type", "n_sketch", "kth_hash", "estimate").collect().toSeq
+    val stream = graft.streaming.StreamingQueries.streamKmv(spark, sfDir)
+      .collect().toSeq
+    assert(stream == batch, "streamed sketch diverged from batch")
+  }
+
   test("graded table: estimate within 40% of exact on the gate corpus; small groups exact") {
     val rows = Sketches.sketchDistinctKmv(spark, sfDir).collect()
     assert(rows.nonEmpty)
