@@ -523,6 +523,43 @@ object ScaleProbe {
       rows.groupBy("g").agg(countDistinct("v")).count()
       println(f"[scale] count(DISTINCT)    (same input): ${(System.nanoTime() - t1) / 1e9}%.2f s")
     }
+    // Z-order 2-D pruning at 20M events: write the z layout and a
+    // ts-sorted layout (64 files each), run the same (user band × time
+    // band) slice on both, compare scanned rows via the file-source
+    // metrics. The z layout should read a small fraction of files/rows;
+    // the ts sort prunes time but reads every user.
+    if (wanted("zorder")) {
+      val nEv = 20000000L
+      val ev = spark.range(nEv).select(
+        pmod(xxhash64(col("id")), lit(10000L)).as("user_id"),
+        (col("id") * 1000L).as("ts"))
+        .localCheckpoint(true)
+      val u8 = "((user_id * 256) div 10000)"
+      val t8 = s"(((ts) * 256) div ${nEv * 1000L})"
+      graft.Mat.withScratchDirs("probe_z", "probe_t") { case Seq(zd, td) =>
+        val t0 = System.nanoTime()
+        ev.withColumn("u8", expr(u8)).withColumn("t8", expr(t8))
+          .withColumn("z", expr(graft.operators.LayoutQueries.zorderExprSql("u8", "t8")))
+          .repartitionByRange(64, col("z")).sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(zd)
+        println(f"[scale] zorder write (20M rows, 64 files): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        ev.withColumn("u8", expr(u8)).withColumn("t8", expr(t8))
+          .repartitionByRange(64, col("ts")).sortWithinPartitions("ts")
+          .write.mode("overwrite").parquet(td)
+        def slice(dir: String, tag: String): Unit = {
+          val df = spark.read.parquet(dir)
+            .filter(col("u8").between(64, 95) && col("t8").between(64, 95))
+          val t1 = System.nanoTime()
+          val n = df.count()
+          val s = (System.nanoTime() - t1) / 1e9
+          val scanned = df.queryExecution.executedPlan.collectLeaves()
+            .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+          println(f"[scale] zorder 2-D slice [$tag]: $s%.2f s, $n matches, $scanned rows scanned (of $nEv)")
+        }
+        slice(zd, "z-layout ")
+        slice(td, "ts-sorted")
+      }
+    }
     spark.stop()
   }
 }
