@@ -547,13 +547,27 @@ object ScaleProbe {
           .repartitionByRange(64, col("ts")).sortWithinPartitions("ts")
           .write.mode("overwrite").parquet(td)
         def slice(dir: String, tag: String): Unit = {
-          val df = spark.read.parquet(dir)
+          val agg = spark.read.parquet(dir)
             .filter(col("u8").between(64, 95) && col("t8").between(64, 95))
+            .agg(count(lit(1)))
           val t1 = System.nanoTime()
-          val n = df.count()
+          val n = agg.collect()(0).getLong(0)
           val s = (System.nanoTime() - t1) / 1e9
-          val scanned = df.queryExecution.executedPlan.collectLeaves()
-            .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+          // read the scan metrics off the EXECUTED plan, unwrapping the
+          // AQE stages (collectLeaves on the adaptive wrapper sees only
+          // stage placeholders and reports zeros)
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          val acc = scala.collection.mutable.ArrayBuffer[Long]()
+          def walk(p: SparkPlan): Unit = p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case sN: QueryStageExec => walk(sN.plan)
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics.get("numOutputRows").foreach(m => acc += m.value)
+            case other => other.children.foreach(walk)
+          }
+          walk(agg.queryExecution.executedPlan)
+          val scanned = acc.sum
           println(f"[scale] zorder 2-D slice [$tag]: $s%.2f s, $n matches, $scanned rows scanned (of $nEv)")
         }
         slice(zd, "z-layout ")
