@@ -53,4 +53,17 @@ object OracleSql {
     * matching the engine's strict-< scan. */
   def distList(v: String, centroids: Array[Array[Double]], offset: Int = 0): String =
     centroids.map(c => l2sqLit(v, c, offset)).mkString("[", ", ", "]")
+
+  /** Unrolled Σ v[offset+j]·c_j against LITERAL centroid components —
+    * the dot-product LUT entry for ADC similarity scoring (same
+    * j-ascending left association as the engine's driver-side LUT
+    * build loop). */
+  def dotLit(v: String, c: Array[Double], offset: Int = 0): String =
+    c.indices.map(j => s"CAST($v[${offset + j + 1}] AS DOUBLE)*${dlit(c(j))}")
+      .mkString("(", " + ", ")")
+
+  /** [d_0 … d_{k−1}] list of dot products with each literal centroid —
+    * a query token's per-subspace ADC LUT, indexable by code+1. */
+  def dotList(v: String, centroids: Array[Array[Double]], offset: Int = 0): String =
+    centroids.map(c => dotLit(v, c, offset)).mkString("[", ", ", "]")
 }

@@ -317,6 +317,163 @@ object MultiVector {
       .orderBy("qid", "rank")
   }
 
+  /** PQ-ADC late interaction — the m-bytes-per-token candidate tier
+    * (the multi-vector sibling of pq_adc_search / ivfpq_coded,
+    * closing SURVEY §7's last round-10 candidate: "maxsim over PQ
+    * token tiers"): token vectors PQ-encode once (m=8 sub-codebooks ×
+    * 16 centroids over the md5-ordered training sample — the
+    * ProductQuant trainer every PQ tier shares), each of the 12 query
+    * tokens carries an [m×16] LUT of dot-product partials built
+    * driver-side in the identical j-ascending association, and the
+    * candidate score per (query token, doc token) is the ADC DOT —
+    * m literal-array element_at lookups summed in subspace order
+    * (pure codegen over the codes column; the float embedding is
+    * never touched on the candidate pass — at rest this is the
+    * m-byte/token read, the pq_codes economics). Per (query, doc) the
+    * coded MaxSim folds by the family's slot-max + written-order-sum
+    * tail; the top CodedR docs per query by (adc DESC, doc ASC)
+    * rerank through the EXACT cosine MaxSim. Deterministic end to
+    * end: the twin re-derives codes (first-wins argmin), LUTs
+    * (dot-lists over the query embedding with literal centroid
+    * components), the ADC fold, both reductions, and the rerank —
+    * oracle-checked bit-exact. */
+  val PqM = 8
+  val PqTokK = 16
+  @volatile private var lastPqCb: ProductQuant.Codebooks = _
+  def maxsimPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val cb = ProductQuant.train(IvfIndex.trainSample(emb), m = PqM, k = PqTokK)
+    lastPqCb = cb
+    maxsimPqOverEmb(emb, cb)
+  }
+
+  def maxsimPqOverEmb(emb: DataFrame, cb: ProductQuant.Codebooks): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val tok = emb
+      .select(expr(s"vec_id div $Slots").as("doc_id"),
+        pmod(col("vec_id"), lit(Slots)).cast("int").as("slot"),
+        col("embedding"))
+    val qRows = tok.filter(col("doc_id") < NQDocs)
+      .select(col("doc_id"), col("slot"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    val qids = qRows.map(_._1).distinct
+    // per-(query token, subspace) LUT of dot partials — j-ascending
+    // left-assoc, the association the SQL twin unrolls term-for-term
+    def lutFor(qv: Seq[Double]): Array[Array[Double]] =
+      Array.tabulate(cb.m) { sp =>
+        cb.books(sp).map { ctr =>
+          var d = 0.0; var j = 0
+          while (j < cb.subDim) { d += qv(sp * cb.subDim + j) * ctr(j); j += 1 }
+          d
+        }
+      }
+    // ONE encode pass over the corpus tokens: (doc_id, codes)
+    val bc = s.sparkContext.broadcast(cb)
+    val coded = tok.select(col("doc_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (d, v) => (d, ProductQuant.encode(bc.value, v.toArray)) }
+      .toDF("doc_id", "codes")
+    // ADC dot columns: m element_at lookups into LITERAL LUT arrays,
+    // summed in subspace order — codegen over the codes column only
+    val adcCols = qRows.map { case (q, s0, qv) =>
+      val lut = lutFor(qv)
+      (0 until cb.m).map { sp =>
+        element_at(typedLit(lut(sp).toSeq),
+          element_at(col("codes"), sp + 1) + 1)
+      }.reduceLeft(_ + _).as(s"a_${q}_$s0")
+    }
+    def slotSum(pfx: String, q: Long): org.apache.spark.sql.Column =
+      qRows.filter(_._1 == q).map(_._2)
+        .map(s0 => col(s"${pfx}_${q}_$s0")).reduceLeft(_ + _)
+    val codedAgg = coded.select(col("doc_id") +: adcCols: _*)
+      .groupBy("doc_id")
+      .agg(qRows.head match { case (q, s0, _) =>
+          max(col(s"a_${q}_$s0")).as(s"am_${q}_$s0") },
+        qRows.tail.map { case (q, s0, _) =>
+          max(col(s"a_${q}_$s0")).as(s"am_${q}_$s0") }: _*)
+    val codedScore = codedAgg.select(col("doc_id"), explode(array(qids.map { q =>
+        struct(lit(q).as("qid"), slotSum("am", q).as("adc"))
+      }: _*)).as("qs"))
+      .select(col("qs.qid").as("qid"), col("doc_id"), col("qs.adc").as("adc"))
+    val wc = Window.partitionBy("qid").orderBy(col("adc").desc, col("doc_id").asc)
+    val cand = codedScore.withColumn("ar", row_number().over(wc))
+      .filter(col("ar") <= CodedR).drop("ar")
+    // exact rerank: float MaxSim only over candidate docs
+    val candDocs = cand.select("doc_id").distinct()
+    val cosCols = qRows.map { case (q, s0, qv) =>
+      graft.functions.VectorOps.cosineSim(typedLit(qv), col("embedding"))
+        .as(s"c_${q}_$s0")
+    }
+    val exactAgg = tok.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id") +: cosCols: _*)
+      .groupBy("doc_id")
+      .agg(qRows.head match { case (q, s0, _) =>
+          max(col(s"c_${q}_$s0")).as(s"m_${q}_$s0") },
+        qRows.tail.map { case (q, s0, _) =>
+          max(col(s"c_${q}_$s0")).as(s"m_${q}_$s0") }: _*)
+    val exact = exactAgg.select(col("doc_id"), explode(array(qids.map { q =>
+        struct(lit(q).as("qid"), slotSum("m", q).as("score"))
+      }: _*)).as("qs"))
+      .select(col("qs.qid").as("qid"), col("doc_id"), col("qs.score").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    cand.join(exact, Seq("qid", "doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("doc_id"), col("adc"), col("score"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** PQ-tier twin: codes per token (first-wins argmin, the pq_codes
+    * contract), per-query-token dot LUT lists over literal centroid
+    * components, ADC = m list lookups summed in subspace order, then
+    * the coded family's slot-max / written-order-sum / CodedR-cut /
+    * exact-rerank chain — one statement. */
+  private def maxsimPqSql(cb: ProductQuant.Codebooks): String = {
+    val sumCase = (pfx: String, v: String) => (0 until Slots)
+      .map(i => s"max(CASE WHEN qslot = $i THEN $v END) AS $pfx$i").mkString(",\n        ")
+    val sum4 = (pfx: String) => (0 until Slots).map(i => s"$pfx$i").mkString(" + ")
+    val dls = (0 until cb.m).map(sp =>
+      s"${OracleSql.distList("embedding", cb.books(sp), sp * cb.subDim)} AS dl$sp")
+      .mkString(",\n       ")
+    val ks = (0 until cb.m).map(sp =>
+      s"CAST(list_position(dl$sp, list_min(dl$sp)) - 1 AS INT) AS k$sp").mkString(",\n       ")
+    val lls = (0 until cb.m).map(sp =>
+      s"${OracleSql.dotList("embedding", cb.books(sp), sp * cb.subDim)} AS ll$sp")
+      .mkString(",\n       ")
+    val adcSum = (0 until cb.m).map(sp => s"q.ll$sp[kc.k$sp + 1]").mkString("(", " + ", ")")
+    s"""WITH tok AS (SELECT vec_id // $Slots AS doc_id, vec_id % $Slots AS slot,
+       |                    embedding FROM embeddings),
+       |dce AS (SELECT doc_id, slot, embedding,
+       |       $dls
+       |       FROM tok),
+       |kc AS MATERIALIZED (SELECT doc_id, slot, embedding,
+       |       $ks
+       |       FROM dce),
+       |q AS MATERIALIZED (SELECT doc_id AS qid, slot AS qslot, embedding AS qv,
+       |       $lls
+       |       FROM tok WHERE doc_id < $NQDocs),
+       |p AS (SELECT q.qid, q.qslot, kc.doc_id,
+       |        $adcSum AS a,
+       |        ${OracleSql.cosine("q.qv", "kc.embedding")} AS c
+       |      FROM q CROSS JOIN kc),
+       |m AS (SELECT qid, doc_id,
+       |        ${sumCase("am", "a")},
+       |        ${sumCase("m", "c")}
+       |      FROM p GROUP BY qid, doc_id),
+       |sc AS (SELECT qid, doc_id, ${sum4("am")} AS adc, ${sum4("m")} AS score FROM m),
+       |cand AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc DESC, doc_id ASC) AS ar FROM sc)
+       |SELECT qid, doc_id, adc, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT qid, doc_id, adc, score, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM cand WHERE ar <= $CodedR)
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
   /** The routed twin replays the whole pipeline from the stashed
     * centroid literals: per-token probe sets (dist ASC, index ASC ties
     * — the NearestCentroidsExpr contract the IVF family's twins
@@ -488,6 +645,7 @@ object MultiVector {
     "multivector_maxsim_ivf" -> (maxsimIvf _),
     "multivector_maxsim_layout" -> (maxsimLayout _),
     "multivector_maxsim_coded" -> (maxsimCoded _),
+    "multivector_maxsim_pq" -> (maxsimPq _),
     "multivector_pooled_compare" -> (pooledCompare _))
 
   def oracles: Map[String, String] = {
@@ -499,6 +657,8 @@ object MultiVector {
       m += "multivector_maxsim_ivf" -> maxsimIvfSql(lastCentroids)
     if (lastLayoutCentroids != null)
       m += "multivector_maxsim_layout" -> maxsimIvfSql(lastLayoutCentroids)
+    if (lastPqCb != null)
+      m += "multivector_maxsim_pq" -> maxsimPqSql(lastPqCb)
     m.result()
   }
 }

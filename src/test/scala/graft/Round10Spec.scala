@@ -574,6 +574,25 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("PQ-ADC maxsim: self doc ranks first; rerank scores equal the exact operator's") {
+    import graft.operators.MultiVector
+    val pqOut = MultiVector.maxsimPq(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    val exact = MultiVector.maxsim(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pqOut.nonEmpty)
+    pqOut.filter(_._4 == 1).foreach { case (qid, docId, _, _) =>
+      assert(docId == qid, s"PQ query $qid's best doc is $docId, not itself")
+    }
+    val common = pqOut.filter { case (q, d, _, _) => exact.contains((q, d)) }
+    assert(common.nonEmpty, "PQ and exact top-K lists share no docs")
+    common.foreach { case (q, d, s, _) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(exact((q, d))),
+        s"PQ rerank changed the score of ($q, $d)")
+    }
+  }
+
   test("incremental NSW maintenance: touched buckets rebuild bit-equal to a whole " +
       "rebuild; untouched shard rows carry over unchanged") {
     val emb = Tables.load(spark, sfDir, "embeddings")
