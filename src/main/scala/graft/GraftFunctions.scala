@@ -44,7 +44,9 @@ object GraftFunctions {
     ("md5_lower64", "low 64 bits of MD5 (DuckDB md5_number_lower convention)",
       (e: Seq[Expression]) => Md5Lower64(e(0))),
     ("vector_avg", "elementwise mean of a vector column (aggregate)",
-      (e: Seq[Expression]) => VectorAvgAgg(e.head)))
+      (e: Seq[Expression]) => VectorAvgAgg(e.head)),
+    ("kmv_bottomk", "KMV distinct sketch: bottom-64 distinct long hashes (aggregate)",
+      (e: Seq[Expression]) => KmvBottomKAgg(e.head, 64)))
 
   /** Register into an existing session. */
   def register(spark: SparkSession): Unit =

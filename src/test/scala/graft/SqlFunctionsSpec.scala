@@ -50,6 +50,23 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(r.getInt(0) == 64)
   }
 
+  test("kmv_bottomk works from SQL and matches the Column-API aggregate") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    val sqlRes = spark.sql(
+      """SELECT event_type, kmv_bottomk(
+        |  shiftrightunsigned(md5_lower64(concat('kmv:', cast(user_id as string))), 1)) AS bk
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    val colRes = operators.Sketches.sketchDistinctKmv(spark, sfDir)
+      .select("event_type", "kth_hash").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(sqlRes.nonEmpty && sqlRes.map(_._1).sameElements(colRes.map(_._1)))
+    sqlRes.zip(colRes).foreach { case ((_, bk), (_, kth)) =>
+      if (bk.size == operators.Sketches.K) assert(bk.last == kth)
+    }
+  }
+
   test("kNN chunking: many-query batch equals single-batch result") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     import org.apache.spark.sql.functions.col
