@@ -336,6 +336,40 @@ object IvfIndex {
       .write.partitionBy("centroid", "salt").mode("overwrite").parquet(dir)
   }
 
+  /** STATS-DERIVED salt target (closes SURVEY §7's "adaptive salt
+    * targets from layout stats" candidate): a fixed row constant is
+    * wrong at both ends of the scale — 500k rows of 64-d floats is a
+    * ~130 MB parquet file, but 500k rows of 1024-d floats is ~2 GB
+    * (a straggler write task and an oversized file), and 500k 16-byte
+    * rows is a 8 MB small-file. Derive the target from what is about
+    * to be written: aim for `targetFileBytes` per file given the
+    * SCHEMA-derived row width (`DataType.defaultSize` — deterministic,
+    * no sampling pass; array widths resolve via the element count of
+    * one probed row), clamped to a sane band. The salt-bound property
+    * (SkewSpec) holds for whatever target results — this only moves
+    * the knob from a guess to the layout's own geometry. */
+  val TargetFileBytes = 128L << 20
+  def adaptiveSaltTarget(assigned: DataFrame,
+      targetFileBytes: Long = TargetFileBytes): Long = {
+    val probe = assigned.head()
+    val width = assigned.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          val n = if (probe.isNullAt(i)) 0 else probe.getSeq[Any](i).size
+          et.defaultSize.toLong * n + 8L
+        case org.apache.spark.sql.types.StringType =>
+          if (probe.isNullAt(i)) 20L
+          else probe.getString(i).length.toLong + 8L
+        case dt => dt.defaultSize.toLong
+      }
+    }.sum.max(1L)
+    math.min(4000000L, math.max(10000L, targetFileBytes / width))
+  }
+
+  /** writeSalted with the stats-derived target. */
+  def writeSaltedAdaptive(assigned: DataFrame, dir: String): Unit =
+    writeSalted(assigned, dir, adaptiveSaltTarget(assigned))
+
   /** Probe an at-rest centroid-partitioned layout. The probed bucket
     * set is known at the driver (it came from the centroid routing),
     * so the scan carries an EXPLICIT partition predicate — `centroid
