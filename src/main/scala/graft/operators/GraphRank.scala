@@ -84,18 +84,9 @@ object GraphRank {
     s"""WITH $pagerankCtes
        |SELECT id AS vec_id, r AS pr_scaled FROM r$T ORDER BY vec_id""".stripMargin
 
-  private[graft] lazy val pagerankCtes: String = {
+  /** The shared knn-graph edge derivation (nrm → g) + node count. */
+  private lazy val edgeCtes: String = {
     val k = VectorSearch.K
-    val iters = (1 to T).map { i =>
-      s"""c$i AS (SELECT g.dst, r${i - 1}.r // $G AS c
-         |        FROM g JOIN r${i - 1} ON r${i - 1}.id = g.src),
-         |s$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS insum FROM c$i GROUP BY dst),
-         |r$i AS (SELECT r${i - 1}.id,
-         |          (15 * ${Scale}::BIGINT) // (100 * nc.c)
-         |            + (85 * COALESCE(s$i.insum, 0)) // 100 AS r
-         |        FROM r${i - 1} CROSS JOIN nc
-         |        LEFT JOIN s$i ON s$i.dst = r${i - 1}.id)""".stripMargin
-    }.mkString(",\n")
     s"""nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
        |            FROM embeddings),
        |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
@@ -107,10 +98,92 @@ object GraphRank {
        |g AS (SELECT qid AS src, vec_id AS dst FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
        |  FROM sc) WHERE rnk <= $k),
-       |nc AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS c FROM g),
+       |nc AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS c FROM g)""".stripMargin
+  }
+
+  private[graft] lazy val pagerankCtes: String = {
+    val iters = (1 to T).map { i =>
+      s"""c$i AS (SELECT g.dst, r${i - 1}.r // $G AS c
+         |        FROM g JOIN r${i - 1} ON r${i - 1}.id = g.src),
+         |s$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS insum FROM c$i GROUP BY dst),
+         |r$i AS (SELECT r${i - 1}.id,
+         |          (15 * ${Scale}::BIGINT) // (100 * nc.c)
+         |            + (85 * COALESCE(s$i.insum, 0)) // 100 AS r
+         |        FROM r${i - 1} CROSS JOIN nc
+         |        LEFT JOIN s$i ON s$i.dst = r${i - 1}.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
        |r0 AS (SELECT DISTINCT src AS id, ${Scale}::BIGINT // nc.c AS r
        |       FROM g CROSS JOIN nc),
        |$iters""".stripMargin
+  }
+
+  // -------------------------------------------- personalized PageRank
+
+  /** Personalized (seeded) PageRank — query-biased centrality (the
+    * "related documents" ranking; Page et al.'s personalization
+    * vector restricted to a seed set): the teleport mass lands ONLY on
+    * the seed docs (vec_id < Seeds, the engine's query-doc
+    * convention), so rank measures proximity-weighted reachability
+    * FROM the seeds through the similarity graph rather than global
+    * centrality — the curation shape for "expand this curated seed set
+    * with the most-related corpus docs". Same Pregel-as-DataFrame loop
+    * and fixed-point integer arithmetic as graph_pagerank (base term
+    * gated on seed membership; init mass Scale div |S| on seeds, zero
+    * elsewhere; every iteration an order-independent long sum), so the
+    * twin unrolls identically — oracle-checked bit-exact. */
+  val Seeds = 10L
+  def pprSeeded(s: SparkSession, dir: String): DataFrame =
+    pprOverEdges(VectorSearch.knnGraph(s, dir)
+        .select(col("qid").as("src"), col("vec_id").as("dst")), G, Seeds)
+      .select(col("id").as("vec_id"), col("ppr_scaled"))
+      .orderBy("vec_id")
+
+  def pprOverEdges(rawEdges: DataFrame, outDeg: Int, seedsBelow: Long): DataFrame = {
+    val parts = rawEdges.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = rawEdges.repartition(parts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = edges.count() > 1000000L
+    def step(df: DataFrame): DataFrame = if (big) df.localCheckpoint(true) else df
+    val nodes = step(edges.select(col("src").as("id")).distinct())
+    val ns = nodes.filter(col("id") < seedsBelow).count()
+    require(ns > 0, s"no seed nodes below $seedsBelow in the graph")
+    val base = (15L * Scale) / (100L * ns)
+    var r = step(nodes.withColumn("r",
+      when(col("id") < seedsBelow, lit(Scale / ns)).otherwise(lit(0L))))
+    for (_ <- 1 to T) {
+      val insum = edges.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr(s"r div $outDeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("insum"))
+      r = step(nodes.join(insum.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") < seedsBelow, lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(insum, 0L)) div 100")).as("r")))
+    }
+    r.select(col("id"), col("r").as("ppr_scaled"))
+  }
+
+  /** Seeded twin: the same edge chain, init/base gated on the seed
+    * predicate, every iteration unrolled. */
+  val pprSeededSql: String = {
+    val iters = (1 to T).map { i =>
+      s"""pc$i AS (SELECT g.dst, p${i - 1}.r // $G AS c
+         |        FROM g JOIN p${i - 1} ON p${i - 1}.id = g.src),
+         |ps$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS insum FROM pc$i GROUP BY dst),
+         |p$i AS (SELECT p${i - 1}.id,
+         |          CASE WHEN p${i - 1}.id < $Seeds
+         |               THEN (15 * ${Scale}::BIGINT) // (100 * sn.c) ELSE 0 END
+         |            + (85 * COALESCE(ps$i.insum, 0)) // 100 AS r
+         |        FROM p${i - 1} CROSS JOIN sn
+         |        LEFT JOIN ps$i ON ps$i.dst = p${i - 1}.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |sn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS c FROM g WHERE src < $Seeds),
+       |p0 AS (SELECT DISTINCT src AS id,
+       |         CASE WHEN src < $Seeds THEN ${Scale}::BIGINT // sn.c ELSE 0 END AS r
+       |       FROM g CROSS JOIN sn),
+       |$iters
+       |SELECT id AS vec_id, r AS ppr_scaled FROM p$T ORDER BY vec_id""".stripMargin
   }
 
   /** Centrality-based canonical selection — what a curation pipeline
@@ -167,9 +240,11 @@ object GraphRank {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _),
+    "graph_ppr" -> (pprSeeded _),
     "dedup_canonical_rank" -> (canonicalRank _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
+    "graph_ppr" -> pprSeededSql,
     "dedup_canonical_rank" -> canonicalRankSql)
 }

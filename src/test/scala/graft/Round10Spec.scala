@@ -574,6 +574,27 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("personalized PageRank: seed floor, propagation to non-seeds, mass band") {
+    import graft.operators.GraphRank
+    val rows = GraphRank.pprSeeded(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length
+    assert(n > 100)
+    val seeds = rows.filter(_._1 < GraphRank.Seeds)
+    val base = (15L * GraphRank.Scale) / (100L * seeds.length)
+    // every seed keeps at least its teleport base
+    seeds.foreach { case (id, r) =>
+      assert(r >= base, s"seed $id below the teleport floor: $r < $base") }
+    // propagation reached non-seed nodes
+    val nonSeed = rows.filter(_._1 >= GraphRank.Seeds)
+    assert(nonSeed.exists(_._2 > 0L), "no rank mass propagated beyond the seeds")
+    // total mass conserved up to integer floor loss (no dangling nodes:
+    // the knn graph gives every node out-degree K)
+    val total = rows.map(_._2).sum
+    assert(total <= GraphRank.Scale && total >= (GraphRank.Scale * 85L) / 100L,
+      s"rank mass out of band: $total vs ${GraphRank.Scale}")
+  }
+
   test("PQ-ADC maxsim: self doc ranks first; rerank scores equal the exact operator's") {
     import graft.operators.MultiVector
     val pqOut = MultiVector.maxsimPq(spark, sfDir)
