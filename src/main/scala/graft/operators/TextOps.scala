@@ -277,6 +277,71 @@ object TextOps {
       .distinct()
   }
 
+  /** ASYMMETRIC containment join: pairs (A, B) with
+    * |A∩B| / |A| ≥ τ_c — "almost every shingle of A occurs in B" —
+    * the quote / boilerplate / subset-duplicate detector symmetric
+    * Jaccard misses (a short doc quoted inside a long one has tiny
+    * J but containment ≈ 1; the standard curation complement to the
+    * near-dup pass). Same prefix-filter machinery as
+    * dedup_jaccard_prefix but ONE-SIDED: C ≥ τ ⟹ |A∩B| ≥ ⌈τ·|A|⌉, so
+    * A's first |A| − ⌈τ·|A|⌉ + 1 globally-rarest shingles must contain
+    * a shared element (pigeonhole) — only the CONTAINED side indexes a
+    * prefix; the containing side keeps full postings, which is what
+    * makes the direction asymmetric and the join lossless. A stop
+    * shingle present everywhere never enters any non-trivial doc's
+    * rarity prefix, so the df² melt is pruned exactly as in the
+    * symmetric join (a doc whose ENTIRE shingle set is stop shingles
+    * legitimately IS contained everywhere — that output is the
+    * semantics, not a blowup). Candidates verify with exact integer
+    * |A∩B| over the sorted hash arrays; one IEEE division. */
+  val ContainTau = 0.9
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.load(s, dir, "documents")).orderBy("doc_a", "doc_b")
+
+  private[graft] def containmentPairs(d0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = shingled(d0)
+    val posting = t.select(col("doc_id"), col("source"), col("n"), explode(col("sh")).as("shh"))
+    val dfT = posting.groupBy("source", "shh").agg(count(lit(1)).as("df"))
+    // τ_c = 9/10 ⟹ A-prefix length = n − ⌈9n/10⌉ + 1, all-integer
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shh").asc)
+    val prefixA = posting.join(dfT, Seq("source", "shh"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= expr("n - ((9 * n + 9) div 10) + 1"))
+      .select(col("doc_id").as("doc_a"), col("source"), col("shh"))
+    val cand = prefixA
+      .join(posting.select(col("doc_id").as("doc_b"), col("source"), col("shh")),
+        Seq("source", "shh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "source").distinct()
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / col("na").cast("double"))
+      .filter(col("containment") >= ContainTau)
+      .select("doc_a", "doc_b", "source", "containment")
+  }
+
+  /** Quadratic containment twin (same role as the Jaccard twin: the
+    * gate certifies the one-sided prefix filter lossless). */
+  val dedupContainmentSql: String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |t AS (SELECT doc_id, source,
+       |  list_distinct(list_transform(range(1, len(w)-1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       | FROM tok WHERE len(w) >= 3)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+       | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE)
+       |   AS containment
+       |FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE)
+       |   >= $ContainTau
+       |ORDER BY 1, 2""".stripMargin
+
   private[graft] def jaccardPrefixPairs(d0: DataFrame): DataFrame = {
     val t = shingled(d0)
     prefixCandidates(t)
@@ -637,6 +702,7 @@ object TextOps {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
@@ -658,5 +724,6 @@ object TextOps {
     // the prefix-filtered operator grades against the QUADRATIC twin:
     // the gate certifies the prefix candidate generation is lossless
     "dedup_jaccard_prefix" -> dedupNgramJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

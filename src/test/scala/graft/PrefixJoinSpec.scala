@@ -46,6 +46,29 @@ class PrefixJoinSpec extends SparkTestBase {
       s"lost or invented a pair: ${res.mkString(", ")}")
   }
 
+  test("containment join: finds the quoted doc one-way; stop shingles still pruned") {
+    // doc 1 = 10 unique shingle-words + quoted inside doc 2 (which has
+    // 30 more); J(1,2) ≈ 0.29 (below any jaccard gate) but C(1⊂2) = 1.
+    // Every doc also carries a universal stop trigram.
+    val quote = (0 until 12).map(i => s"q$i").mkString(" ")
+    val d = (Seq(
+      (1L, "s", s"zz yy xx $quote"),
+      (2L, "s", s"zz yy xx $quote " + (0 until 30).map(i => s"b$i").mkString(" "))) ++
+      (10 until 40).map(i =>
+        (i.toLong, "s", s"zz yy xx " + (0 until 12).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val res = TextOps.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // 1 ⊂ 2 found with high containment; 2 ⊄ 1
+    assert(res.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.9 },
+      s"missed the quoted doc: ${res.mkString(", ")}")
+    assert(!res.exists { case (a, b, _) => a == 2L && b == 1L },
+      "containment direction leaked: the long doc is not inside the short one")
+    // the universal 'zz yy xx' shingles never pair the unrelated docs
+    assert(res.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L)) },
+      s"stop shingles generated false pairs: ${res.mkString(", ")}")
+  }
+
   test("below-threshold pairs verify out; identical docs score exactly 1.0") {
     val d = Seq(
       (1L, "s", "p q r s t u v w"),          // J(1,2) = 1 (identical)
