@@ -69,6 +69,53 @@ class PrefixJoinSpec extends SparkTestBase {
       s"stop shingles generated false pairs: ${res.mkString(", ")}")
   }
 
+  test("random corpora: both prefix joins match a driver-side brute-force reference") {
+    val rng = new scala.util.Random(1234)
+    def shingles(text: String): Set[String] = {
+      val toks = text.split(" ").filterNot(_.isEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (trial <- 1 to 5) {
+      val vocab = 30 + rng.nextInt(40)
+      val base = (0 until 50).map { i =>
+        val n = 3 + rng.nextInt(18)
+        (i.toLong, "s" + rng.nextInt(2),
+          Seq.fill(n)("w" + rng.nextInt(vocab)).mkString(" "))
+      }
+      // plant mutated copies so thresholds actually fire
+      val dups = (0 until 8).map { j =>
+        val (id, src, text) = base(rng.nextInt(base.size))
+        val words = text.split(" ").toBuffer
+        if (rng.nextBoolean() && words.size > 4) words.remove(rng.nextInt(words.size))
+        (100L + j, src, words.mkString(" "))
+      }
+      val all = base ++ dups
+      val d = all.toDF("doc_id", "source", "text")
+      val sets = all.map { case (id, src, t) => (id, src, shingles(t)) }
+        .filter(_._3.nonEmpty)
+      // brute-force references on string shingle sets
+      val wantJ = (for {
+        (a, sa, ta) <- sets; (b, sb, tb) <- sets
+        if sa == sb && a < b
+        inter = (ta & tb).size; union = ta.size + tb.size - inter
+        if union > 0 && inter.toDouble / union >= 0.5
+      } yield ((a, b), inter.toDouble / union)).toMap
+      val wantC = (for {
+        (a, sa, ta) <- sets; (b, sb, tb) <- sets
+        if sa == sb && a != b
+        c = (ta & tb).size.toDouble / ta.size
+        if c >= 0.9
+      } yield ((a, b), c)).toMap
+      val gotJ = TextOps.jaccardPrefixPairs(d).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+      val gotC = TextOps.containmentPairs(d).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+      assert(gotJ == wantJ, s"trial $trial jaccard mismatch: got $gotJ want $wantJ")
+      assert(gotC == wantC, s"trial $trial containment mismatch: got $gotC want $wantC")
+    }
+  }
+
   test("below-threshold pairs verify out; identical docs score exactly 1.0") {
     val d = Seq(
       (1L, "s", "p q r s t u v w"),          // J(1,2) = 1 (identical)
