@@ -128,6 +128,22 @@ object LayoutQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Z-layout compaction: ingest appends land as unclustered files
+    * (a streaming sink or batch append can't globally re-sort), which
+    * erodes the per-file 2-D bounds the slice-pruning rides on;
+    * compaction re-range-partitions the WHOLE layout by the stored z
+    * column into a fresh generation (new directory — the immutable-
+    * generation swap protocol every other layout lifecycle here uses),
+    * restoring bounded files without re-deriving z. At 100 TB this is
+    * the periodic clustering maintenance every Z-ordered lakehouse
+    * table schedules; cost is one range exchange over the touched
+    * data. ZorderSpec pins the degrade→compact→restored-pruning cycle
+    * with row fidelity. */
+  def compactZorder(s: SparkSession, src: String, dst: String, files: Int = 16): Unit =
+    s.read.parquet(src)
+      .repartitionByRange(files, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(dst)
+
   /** DSv2 generated corpus, md5 basis, vec_id range pushed into the
     * generator; sampled components + full self-dot checksum per row. */
   val VecGenN = 2000

@@ -55,6 +55,39 @@ class ZorderSpec extends SparkTestBase {
     }
   }
 
+  test("append erodes the z clustering; compaction restores bounded files, rows intact") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val r = ev.agg(min("ts"), max("ts"), min("user_id"), max("user_id")).first()
+    val (ts0, ts1, u0, u1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val uSpan = u1 - u0
+    val u8 = s"(((user_id - $u0) * 256) div ${uSpan + 1})"
+    val t8 = s"(((ts - ${ts0}L) * 256) div ${ts1 - ts0 + 1})"
+    val withZ = ev.withColumn("u8", expr(u8)).withColumn("t8", expr(t8))
+      .withColumn("z", expr(LayoutQueries.zorderExprSql("u8", "t8")))
+    val baseRows = withZ.filter(col("user_id") % 3 =!= 0)
+    val appendRows = withZ.filter(col("user_id") % 3 === 0)
+
+    graft.Mat.withScratchDirs("zspec_life", "zspec_life2") { case Seq(gen0, gen1) =>
+      baseRows.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(gen0)
+      // ingest append: unclustered (the sink can't re-sort the layout)
+      appendRows.repartition(4).write.mode("append").parquet(gen0)
+      def boundedShare(dir: String): (Long, Long) = {
+        val f = spark.read.parquet(dir).withColumn("f", input_file_name())
+          .groupBy("f").agg((max("user_id") - min("user_id")).as("us"))
+        (f.count(), f.filter(col("us") <= (uSpan * 6) / 10).count())
+      }
+      val (n0, b0) = boundedShare(gen0)
+      // the appended files span all users — the bounded share dropped
+      assert(b0 < n0, s"append did not erode clustering: $b0 of $n0 bounded")
+      LayoutQueries.compactZorder(spark, gen0, gen1)
+      val (n1, b1) = boundedShare(gen1)
+      assert(b1 * 10 >= n1 * 8, s"compaction did not restore bounds: $b1 of $n1")
+      // row fidelity across the lifecycle
+      assert(spark.read.parquet(gen1).count() == withZ.count())
+    }
+  }
+
   test("graded 2-D slice pushes both band predicates into the parquet scan") {
     val df = LayoutQueries.eventsZorder(spark, sfDir)
     assert(df.collect().nonEmpty)
