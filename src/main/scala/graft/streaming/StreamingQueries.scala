@@ -551,6 +551,54 @@ object StreamingQueries {
     }
   }
 
+  /** Streamed ingest into the Z-ORDER layout (the multi-dim layout's
+    * write path, completing its lifecycle beside the dense/sparse
+    * indexes'): events arrive via the stream with their z/u8/t8
+    * derived IN-FLIGHT from the corpus normalization constants (known
+    * to the ingest, exactly as a production pipeline fixes its
+    * normalization before writing), land append-mode through the
+    * exactly-once parquet sink (unclustered — a sink cannot globally
+    * re-sort), and compactZorder folds the landed generation into a
+    * clustered one; the graded result is the 2-D slice aggregate off
+    * the COMPACTED layout — equal to the batch events_zorder twin
+    * (same SQL), so the entire streamed-write → compact → serve chain
+    * is on the gate. */
+  def streamZorderIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.operators.LayoutQueries
+    val ev = Tables.load(s, dir, "events")
+    val ex = ev.agg(min("ts"), max("ts"), min("user_id"), max("user_id")).first()
+    val (ts0, ts1, u0, u1) = (ex.getLong(0), ex.getLong(1), ex.getLong(2), ex.getLong(3))
+    val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._2)
+    graft.Mat.withScratchDirs("stream_z_gen0", "stream_z_ckpt", "stream_z_gen1") {
+      case Seq(g0, ckpt, g1) =>
+        val u8 = s"(((user_id - $u0) * 256) div ${u1 - u0 + 1})"
+        val t8 = s"(((ts - ${ts0}L) * 256) div ${ts1 - ts0 + 1})"
+        val input = MemoryStream[(Long, Long, Long, String, Double)]
+        val q = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withColumn("u8", expr(u8)).withColumn("t8", expr(t8))
+          .withColumn("z", expr(LayoutQueries.zorderExprSql("u8", "t8")))
+          .writeStream.format("parquet")
+          .option("path", g0).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try split3(rows).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+        finally q.stop()
+        LayoutQueries.compactZorder(s, g0, g1)
+        graft.Mat.detach(
+          s.read.parquet(g1)
+            .filter(col("u8").between(LayoutQueries.Z0, LayoutQueries.Z1) &&
+              col("t8").between(LayoutQueries.T0, LayoutQueries.T1))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("sum_value_cents"),
+              sum(col("z")).as("sum_z"))
+            .orderBy("event_type"))
+    }
+  }
+
   /** NSW-graph stream-static serve: arriving queries route to nprobe
     * buckets (same NearestCentroidsExpr as stream_ivf), equi-join the
     * serve-ready NSW shard table (one row per bucket: ids, unit
@@ -919,6 +967,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
     "stream_kmv" -> (streamKmv _),
+    "stream_zorder_ingest" -> (streamZorderIngest _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_knn" -> (streamKnn _),
     "stream_ivf" -> (streamIvf _),
@@ -942,6 +991,9 @@ object StreamingQueries {
     m += "stream_tumbling" -> Relational.eventsTumblingSql
     // bounded-state sketch only — the exact count is deliberately absent
     m += "stream_kmv" -> Sketches.sketchKmvStreamSql
+    // the streamed-ingested + compacted z layout serves exactly what
+    // the batch z layout serves, so the batch twin grades the write path
+    m += "stream_zorder_ingest" -> graft.operators.LayoutQueries.eventsZorderSql
     m += "stream_sessionize" -> Relational.eventsSessionizeSql
     m += "stream_knn" -> VectorSearch.knnCosineSql
     m += "stream_topk" -> VectorSearch.knnCosineSql

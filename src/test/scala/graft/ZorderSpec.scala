@@ -88,6 +88,14 @@ class ZorderSpec extends SparkTestBase {
     }
   }
 
+  test("streamed z-ingest + compaction serves bit-equal to the batch z layout") {
+    val streamed = graft.streaming.StreamingQueries.streamZorderIngest(spark, sfDir)
+      .collect().toSeq
+    val batch = LayoutQueries.eventsZorder(spark, sfDir).collect().toSeq
+    assert(streamed == batch, "streamed-ingested z layout diverged from batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("graded 2-D slice pushes both band predicates into the parquet scan") {
     val df = LayoutQueries.eventsZorder(spark, sfDir)
     assert(df.collect().nonEmpty)
