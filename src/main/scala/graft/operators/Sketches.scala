@@ -162,10 +162,94 @@ object Sketches {
        |FROM f LEFT JOIN sq ON sq.event_type = f.event_type
        |ORDER BY f.event_type""".stripMargin
 
+  /** KMV SET OPERATIONS — audience-overlap profiling from sketches
+    * alone (the classic theta-sketch use case: "how many users did
+    * both A and B" across a 100 TB log without a distinct-join): for
+    * every pair of groups, fold the two bottom-k sketches into the
+    * union's bottom-k (bottom-k of a union == bottom-k of the merged
+    * bottom-ks — the lossless-merge property SketchSpec pins), read
+    * |A∪B| off the folded sketch's k-th hash, and estimate |A∩B| by
+    * the shared-hash rule: hashes inside the folded bottom-k that
+    * belong to BOTH input sketches are a uniform sample of the union
+    * scaled by the intersection fraction, so inter ≈ shared·|A∪B|/k —
+    * computed as an exact integral division (DECIMAL-widened product,
+    * the engine's overflow discipline). When the folded sketch is not
+    * full it simply IS the union and `shared` is the exact
+    * intersection. Every cell integer-exact; the graded table carries
+    * the exact intersection beside the estimate (accuracy on the
+    * gate, the sketch family's discipline). */
+  def sketchSetOps(s: SparkSession, dir: String): DataFrame =
+    setOpsTable(Tables.load(s, dir, "events"))
+
+  private[graft] def setOpsTable(ev: DataFrame): DataFrame = {
+    val h = ev.select(col("event_type"), col("user_id"),
+      shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+        concat(lit("kmv:"), col("user_id").cast("string"))), 1).as("h"))
+    val sk = h.groupBy("event_type")
+      .agg(graft.functions.KmvOps.kmvBottomK(col("h"), K).as("bk"))
+    val pairs = sk.alias("a").join(sk.alias("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.bk").as("bka"), col("b.bk").as("bkb"))
+    val users = ev.select("event_type", "user_id").distinct()
+    val exact = users.alias("x").join(users.alias("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("n_exact_inter", coalesce(col("n_exact_inter"), lit(0L)))
+      .withColumn("merged", expr(s"slice(array_sort(array_distinct(concat(bka, bkb))), 1, $K)"))
+      .withColumn("shared",
+        expr("size(array_intersect(merged, array_intersect(bka, bkb)))").cast("long"))
+      .withColumn("union_est",
+        when(size(col("merged")) < K, size(col("merged")).cast("long"))
+          .otherwise(expr(
+            s"cast(${K - 1} as decimal(38,0)) * 9223372036854775808 div element_at(merged, $K)")))
+      .withColumn("inter_est",
+        when(size(col("merged")) < K, col("shared"))
+          .otherwise(expr(s"cast(shared as decimal(38,0)) * union_est div $K")))
+      .select("type_a", "type_b", "n_exact_inter", "shared", "union_est", "inter_est")
+      .orderBy("type_a", "type_b")
+  }
+
+  val sketchSetOpsSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |             CAST((md5_number_lower('kmv:' || user_id) >> 1) AS BIGINT) AS h
+       |           FROM events),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |bk AS (SELECT event_type, list(h ORDER BY h) FILTER (WHERE rn <= $K) AS bk
+       |       FROM r GROUP BY 1),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |         CAST(count(*) AS BIGINT) AS n_exact_inter
+       |       FROM du x JOIN du y ON x.user_id = y.user_id
+       |         AND x.event_type < y.event_type
+       |       GROUP BY 1, 2),
+       |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |        a.bk AS bka, b.bk AS bkb,
+       |        list_sort(list_distinct(list_concat(a.bk, b.bk)))[1:$K] AS merged
+       |      FROM bk a JOIN bk b ON a.event_type < b.event_type),
+       |m AS (SELECT type_a, type_b, merged,
+       |        CAST(len(list_intersect(merged, list_intersect(bka, bkb))) AS BIGINT) AS shared,
+       |        CASE WHEN len(merged) < $K THEN CAST(len(merged) AS BIGINT)
+       |             ELSE CAST((${K - 1}::HUGEINT * 9223372036854775808) // merged[$K] AS BIGINT)
+       |        END AS union_est
+       |      FROM p)
+       |SELECT m.type_a, m.type_b, COALESCE(ex.n_exact_inter, 0) AS n_exact_inter,
+       |       shared, union_est,
+       |       CASE WHEN len(merged) < $K THEN shared
+       |            ELSE CAST((shared::HUGEINT * union_est) // $K AS BIGINT) END AS inter_est
+       |FROM m LEFT JOIN ex ON ex.type_a = m.type_a AND ex.type_b = m.type_b
+       |ORDER BY m.type_a, m.type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
-    "sketch_quantiles_sample" -> (sketchQuantilesSample _))
+    "sketch_quantiles_sample" -> (sketchQuantilesSample _),
+    "sketch_set_ops" -> (sketchSetOps _))
   val oracles: Map[String, String] = Map(
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
-    "sketch_quantiles_sample" -> sketchQuantilesSampleSql)
+    "sketch_quantiles_sample" -> sketchQuantilesSampleSql,
+    "sketch_set_ops" -> sketchSetOpsSql)
 }

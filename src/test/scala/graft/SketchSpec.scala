@@ -85,6 +85,27 @@ class SketchSpec extends SparkTestBase {
     assert(whole == sharded && whole.nonEmpty)
   }
 
+  test("set-ops estimator: planted 50% overlap estimated within band; undersized exact") {
+    // group A = users 0..3999, group B = users 2000..5999 → |A∩B| = 2000,
+    // |A∪B| = 6000. Sketches are k=64, so both regimes show up by
+    // scaling down: the small pair (20-user groups, 10 shared) stays
+    // under k and must be EXACT.
+    val big = (0L until 4000L).map(u => ("A", u)) ++ (2000L until 6000L).map(u => ("B", u))
+    val small = (0L until 20L).map(u => ("C", u)) ++ (10L until 30L).map(u => ("D", u))
+    val ev = (big ++ small).toDF("event_type", "user_id")
+    val rows = graft.operators.Sketches.setOpsTable(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (exAB, _, unAB, inAB) = rows(("A", "B"))
+    assert(exAB == 2000L)
+    assert(math.abs(unAB - 6000L) < 2000L, s"union estimate off: $unAB vs 6000")
+    assert(math.abs(inAB - 2000L) < 1200L, s"intersection estimate off: $inAB vs 2000")
+    val (exCD, shCD, unCD, inCD) = rows(("C", "D"))
+    // undersized: the folded sketch IS the union — everything exact
+    assert(exCD == 10L && shCD == 10L && unCD == 30L && inCD == 10L,
+      s"undersized pair not exact: $exCD $shCD $unCD $inCD")
+  }
+
   test("graded table: estimate within 40% of exact on the gate corpus; small groups exact") {
     val rows = Sketches.sketchDistinctKmv(spark, sfDir).collect()
     assert(rows.nonEmpty)
