@@ -579,11 +579,112 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** BLOOM-prefiltered decontamination — the 100 TB regime of
+    * data_decontaminate where even the EVAL side's exploded shingle
+    * set is too big to broadcast raw: broadcast an m-bit Bloom filter
+    * over the eval shingles instead (m bits bounds the broadcast
+    * regardless of eval-corpus size), stream the train side through a
+    * map-only membership test (a shingle passes iff ALL k of its bit
+    * positions are set — no false negatives, by construction), and
+    * only the PASSING shingles — true contamination plus the bounded
+    * false-positive residue — reach the exact verify join. The graded
+    * table is the family's accuracy discipline: per flagged train doc,
+    * total shingles, bloom-passing shingles, and exactly-shared
+    * shingles side by side (n_pass ≥ n_shared always; the gap IS the
+    * measured false-positive cost). Bit arithmetic is cross-engine
+    * integer-exact: shingle hash = md5Lower64 of the normalized 3-gram
+    * STRING (the KMV hash discipline — md5, not FNV, precisely so the
+    * DuckDB twin rebuilds the same 63-bit value), position j = bits
+    * [16j, 16j+15] of that hash mod m, so the oracle reproduces the
+    * filter bit-for-bit, false positives included. */
+  val BloomM = 65536L
+  val BloomK = 4
+
+  /** Normalized string 3-gram shingles (the shingleCte shape as a
+    * Column over the named text column): non-empty tokens,
+    * single-space joins, whole-text fallback under 3 tokens, distinct.
+    * The repeated token subexpression collapses in codegen (common
+    * subexpression elimination). */
+  private[graft] def shingleStrings(textCol: String): Column = expr(
+    s"""CASE WHEN size(filter(split($textCol, ' '), x -> x != '')) >= 3
+       |THEN array_distinct(transform(
+       |  sequence(0, size(filter(split($textCol, ' '), x -> x != '')) - 3),
+       |  i -> concat_ws(' ',
+       |    element_at(filter(split($textCol, ' '), x -> x != ''), i + 1),
+       |    element_at(filter(split($textCol, ' '), x -> x != ''), i + 2),
+       |    element_at(filter(split($textCol, ' '), x -> x != ''), i + 3))))
+       |ELSE array(array_join(filter(split($textCol, ' '), x -> x != ''), ' '))
+       |END""".stripMargin)
+
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         evalMaxId: Long = DecontamEvalMaxId): DataFrame = {
+    // hashed postings persisted: (doc_id, b) longs only — the corpus
+    // text is tokenized/shingled exactly ONCE (the bm25/CMS lesson),
+    // and every downstream branch (filter bits, membership, counts,
+    // verify) reuses the integer table
+    val base = docs
+      .select(col(idCol).as("doc_id"), explode(shingleStrings(textCol)).as("g"))
+      .select(col("doc_id"), shiftrightunsigned(
+        graft.functions.TextHashOps.md5Lower64(col("g")), 1).as("b"))
+      .persist()
+    val evalB = base.filter(col("doc_id") < evalMaxId).select("b").distinct()
+    // the filter itself: distinct set bit positions, ≤ m rows — THIS is
+    // what broadcasts at scale, not the eval shingles
+    val bits = evalB
+      .select(explode(expr(s"sequence(0, ${BloomK - 1})")).as("j"), col("b"))
+      .select(expr(s"shiftright(b, 16 * j) % $BloomM").as("pos")).distinct()
+    val train = base.filter(col("doc_id") >= evalMaxId)
+    val pass = train
+      .select(col("doc_id"), col("b"), explode(expr(s"sequence(0, ${BloomK - 1})")).as("j"))
+      .withColumn("pos", expr(s"shiftright(b, 16 * j) % $BloomM"))
+      .join(broadcast(bits), "pos")
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomK)
+    val nGrams = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val nPass = pass.groupBy("doc_id").agg(count(lit(1)).as("n_pass"))
+    // exact verify over the (bounded) candidates only — collision-free
+    // modulo the engine's standing 2⁻⁶³ md5 argument
+    val nShared = pass.join(evalB, "b")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    nPass.join(nGrams, "doc_id")
+      .join(nShared, Seq("doc_id"), "left")
+      .select(col("doc_id").as("train_id"), col("n_grams"), col("n_pass"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy("train_id")
+  }
+
+  def dataDecontaminateBloom(s: SparkSession, dir: String): DataFrame =
+    decontaminateBloom(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  val dataDecontaminateBloomSql: String =
+    s"""WITH $shingleCte,
+       |tb AS (SELECT doc_id,
+       |         CAST((md5_number_lower(g) >> 1) AS BIGINT) AS b
+       |       FROM (SELECT doc_id, unnest(sh) AS g FROM t)),
+       |e AS (SELECT DISTINCT b FROM tb WHERE doc_id < $DecontamEvalMaxId),
+       |bits AS (SELECT DISTINCT (b >> (16 * j)) % $BloomM AS pos
+       |         FROM e CROSS JOIN range($BloomK) r(j)),
+       |tr AS (SELECT doc_id, b FROM tb WHERE doc_id >= $DecontamEvalMaxId),
+       |pass AS (SELECT doc_id, b FROM (
+       |    SELECT tr.doc_id, tr.b, count(*) AS hits
+       |    FROM tr CROSS JOIN range($BloomK) r(j)
+       |    JOIN bits ON bits.pos = (tr.b >> (16 * r.j)) % $BloomM
+       |    GROUP BY 1, 2) WHERE hits = $BloomK),
+       |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+       |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pass FROM pass GROUP BY 1),
+       |ns AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |       FROM pass p JOIN e USING (b) GROUP BY 1)
+       |SELECT np.doc_id AS train_id, ng.n_grams, np.n_pass,
+       |       COALESCE(ns.n_shared, 0) AS n_shared
+       |FROM np JOIN ng USING (doc_id) LEFT JOIN ns USING (doc_id)
+       |ORDER BY train_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "data_decontaminate" -> (dataDecontaminate _),
+    "data_decontaminate_bloom" -> (dataDecontaminateBloom _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_prune" -> (dedupSubstringPrune _),
     "semdedup" -> (semDedup _))
@@ -594,6 +695,7 @@ object Dedup {
     m += "dedup_clusters" -> dedupClustersSql
     m += "dedup_simhash" -> dedupSimhashSql
     m += "data_decontaminate" -> dataDecontaminateSql
+    m += "data_decontaminate_bloom" -> dataDecontaminateBloomSql
     m += "dedup_substring" -> dedupSubstringSql
     m += "dedup_substring_prune" -> dedupSubstringPruneSql
     if (lastSemCentroids != null)

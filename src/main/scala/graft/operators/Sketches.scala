@@ -244,12 +244,101 @@ object Sketches {
        |FROM m LEFT JOIN ex ON ex.type_a = m.type_a AND ex.type_b = m.type_b
        |ORDER BY m.type_a, m.type_b""".stripMargin
 
+  /** COUNT-MIN heavy-hitter profile — the sketch family's third
+    * primitive (Cormode & Muthukrishnan, J.Alg '05): the frequency
+    * question KMV can't answer ("which tokens dominate the corpus, and
+    * how hard?") from d·w longs of state, no matter the vocabulary
+    * size. Grid cell (j, b) = Σ count over words whose j-th hash lands
+    * in bucket b; estimate(word) = min over the d rows — always an
+    * OVER-estimate (one-sided error ≤ 2N/w per row w.h.p.), never
+    * under. Every hash is the engine's md5Lower64 basis (row j's
+    * bucket = bits 13j.. of one 63-bit hash), every counter a long
+    * SUM — so the DuckDB twin rebuilds the grid AND the estimates
+    * digit-for-digit, and the graded table is an accuracy table: the
+    * top-20 exact counts beside their CMS estimates. Scale shape: the
+    * corpus-sized stage is ONE wordcount (map-side combined); the grid
+    * is d·w = 1024 longs that merge across shards by cellwise ADDITION
+    * (linearity — SketchSpec-style pin in Round11Spec), i.e. profile
+    * every ingest shard independently and fold, same as the KMV
+    * discipline; the estimate join broadcasts the grid. A streaming
+    * consumer keeps the grid as bounded state forever. */
+  val CmsD = 4
+  val CmsW = 256L
+  val CmsTopN = 20
+
+  def sketchHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    cmsTable(Tables.load(s, dir, "documents"))
+
+  /** Token-occurrence counts (the one corpus-sized pass). */
+  private[graft] def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** The d×w counter grid off a (word, cnt) table — vocabulary-sized
+    * input, 1024-row output, mergeable by cellwise sum. */
+  private[graft] def cmsGrid(wc: DataFrame): DataFrame =
+    wc.withColumn("b", shiftrightunsigned(
+        graft.functions.TextHashOps.md5Lower64(concat(lit("cms:"), col("word"))), 1))
+      .select(col("cnt"), explode(expr(s"sequence(0, ${CmsD - 1})")).as("j"), col("b"))
+      .withColumn("bucket", expr(s"shiftright(b, 13 * j) % $CmsW"))
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("counter"))
+
+  private[graft] def cmsTable(docs: DataFrame): DataFrame = {
+    // one tokenize pass feeds both the grid and the exact top-20 (the
+    // bm25 lesson: don't let per-branch pruning re-scan the corpus)
+    val wc = wordCounts(docs).persist()
+    val grid = cmsGrid(wc)
+    val top = wc.orderBy(col("cnt").desc, col("word").asc).limit(CmsTopN)
+      .withColumn("b", shiftrightunsigned(
+        graft.functions.TextHashOps.md5Lower64(concat(lit("cms:"), col("word"))), 1))
+    top.select(col("word"), col("cnt"), explode(expr(s"sequence(0, ${CmsD - 1})")).as("j"), col("b"))
+      .withColumn("bucket", expr(s"shiftright(b, 13 * j) % $CmsW"))
+      .join(broadcast(grid), Seq("j", "bucket"))
+      .groupBy("word").agg(max(col("cnt")).as("n_exact"), min(col("counter")).as("est_cms"))
+      .orderBy(col("n_exact").desc, col("word").asc)
+  }
+
+  val sketchHeavyHittersSql: String =
+    s"""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |           FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+       |hb AS (SELECT word, cnt,
+       |         CAST((md5_number_lower('cms:' || word) >> 1) AS BIGINT) AS b FROM wc),
+       |grid AS (SELECT j, (b >> (13 * j)) % $CmsW AS bucket,
+       |           CAST(sum(cnt) AS BIGINT) AS counter
+       |         FROM hb CROSS JOIN range($CmsD) r(j) GROUP BY 1, 2),
+       |top AS (SELECT word, cnt, b FROM (
+       |    SELECT word, cnt, b, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rn
+       |    FROM hb) WHERE rn <= $CmsTopN)
+       |SELECT t.word, t.cnt AS n_exact, min(g.counter) AS est_cms
+       |FROM top t CROSS JOIN range($CmsD) r(j)
+       |JOIN grid g ON g.j = r.j AND g.bucket = (t.b >> (13 * r.j)) % $CmsW
+       |GROUP BY 1, 2
+       |ORDER BY n_exact DESC, word ASC""".stripMargin
+
+  /** The grid alone — the STREAMING twin's oracle (the stream_kmv
+    * discipline: a live stream keeps the ≤ d·w counters as bounded
+    * state forever, but the exact top-N would grow state with the
+    * vocabulary, so the streamed operator carries only the sketch).
+    * Counting occurrences directly equals summing word counts into
+    * cells — linearity again. */
+  val cmsStreamSql: String =
+    s"""WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |           FROM documents),
+       |hb AS (SELECT CAST((md5_number_lower('cms:' || word) >> 1) AS BIGINT) AS b FROM w)
+       |SELECT j, (b >> (13 * j)) % $CmsW AS bucket, CAST(count(*) AS BIGINT) AS counter
+       |FROM hb CROSS JOIN range($CmsD) r(j)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
     "sketch_quantiles_sample" -> (sketchQuantilesSample _),
-    "sketch_set_ops" -> (sketchSetOps _))
+    "sketch_set_ops" -> (sketchSetOps _),
+    "sketch_heavy_hitters" -> (sketchHeavyHitters _))
   val oracles: Map[String, String] = Map(
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
     "sketch_quantiles_sample" -> sketchQuantilesSampleSql,
-    "sketch_set_ops" -> sketchSetOpsSql)
+    "sketch_set_ops" -> sketchSetOpsSql,
+    "sketch_heavy_hitters" -> sketchHeavyHittersSql)
 }

@@ -93,6 +93,33 @@ object StreamingQueries {
     Sketches.sketchCols(out).orderBy("event_type")
   }
 
+  /** Streaming Count-Min grid over the document token stream — the
+    * heavy-hitter profile run LIVE: a complete-mode aggregation keyed
+    * by (hash row, bucket), so the state store holds at most d·w =
+    * 1024 long counters forever no matter how much text streams
+    * through (the exact top-N twin would grow state with the
+    * vocabulary, so the streamed operator carries only the sketch —
+    * the stream_kmv discipline). Occurrence-counting into cells equals
+    * the batch grid's Σ-of-word-counts by linearity, so the drained
+    * table matches the batch twin bit-for-bit at any chunking. */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val out = drain(s, split3(rows), "complete", sinkName("stream_cms")) { ds =>
+      ds.toDF("doc_id", "text")
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
+        .select(shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+          concat(lit("cms:"), col("word"))), 1).as("b"))
+        .select(explode(expr(s"sequence(0, ${Sketches.CmsD - 1})")).as("j"), col("b"))
+        .select(col("j").cast("long").as("j"),
+          expr(s"shiftright(b, 13 * j) % ${Sketches.CmsW}").as("bucket"))
+        .groupBy("j", "bucket").agg(count(lit(1)).as("counter"))
+    }
+    out.orderBy("j", "bucket")
+  }
+
   /** Keyed-state sessionization over a streamed events table; a
     * far-future poison event per user closes the final open sessions
     * (poison sessions stay open in state and are never emitted), so
@@ -967,6 +994,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (streamTumbling _),
     "stream_kmv" -> (streamKmv _),
+    "stream_cms" -> (streamCms _),
     "stream_zorder_ingest" -> (streamZorderIngest _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_knn" -> (streamKnn _),
@@ -991,6 +1019,7 @@ object StreamingQueries {
     m += "stream_tumbling" -> Relational.eventsTumblingSql
     // bounded-state sketch only — the exact count is deliberately absent
     m += "stream_kmv" -> Sketches.sketchKmvStreamSql
+    m += "stream_cms" -> Sketches.cmsStreamSql
     // the streamed-ingested + compacted z layout serves exactly what
     // the batch z layout serves, so the batch twin grades the write path
     m += "stream_zorder_ingest" -> graft.operators.LayoutQueries.eventsZorderSql

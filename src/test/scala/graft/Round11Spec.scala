@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Sketches}
+
+/** Round 11: the sketch family gains Count-Min heavy hitters (graded
+  * accuracy table, cellwise-mergeable grid), decontamination gains the
+  * Bloom-prefiltered 100 TB form (no false negatives by construction —
+  * pinned, not assumed), and curation gains greedy k-center coreset
+  * selection (bit-equal to a brute-force greedy reference). */
+class Round11Spec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------- count-min
+
+  test("CMS grid merges across shards by cellwise addition (linearity)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def grid(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      Sketches.cmsGrid(Sketches.wordCounts(df))
+        .as[(Int, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val whole = grid(docs)
+    val merged = (grid(a).toSeq ++ grid(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged == whole, "sharded grids did not fold to the whole-corpus grid")
+  }
+
+  test("CMS estimate is a one-sided OVER-estimate on every graded row") {
+    val rows = Sketches.sketchHeavyHitters(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"CMS under-estimated '$w': $est < $exact")
+    }
+  }
+
+  test("stream_cms == batch CMS grid (bounded 1024-cell state, any chunking)") {
+    val streamed = streaming.StreamingQueries.streamCms(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = Sketches.cmsGrid(
+        Sketches.wordCounts(Tables.load(spark, sfDir, "documents")))
+      .select(col("j").cast("long"), col("bucket"), col("counter"))
+      .orderBy("j", "bucket")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch, "streamed grid diverged from batch grid")
+  }
+
+  // ------------------------------------------------- bloom decontam
+
+  test("bloom prefilter has NO false negatives: flagged set ⊇ exact decontaminate set, and n_pass ≥ n_shared") {
+    val bloom = Dedup.dataDecontaminateBloom(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    bloom.foreach { case (id, nGrams, nPass, nShared) =>
+      assert(nPass >= nShared, s"doc $id: bloom passed fewer grams than are truly shared")
+      assert(nGrams >= nPass, s"doc $id: more passes than grams")
+    }
+    val flagged = bloom.map(_._1).toSet
+    val exact = Dedup.dataDecontaminate(spark, sfDir)
+      .select("train_id").distinct().as[Long].collect().toSet
+    assert(exact.subsetOf(flagged),
+      s"bloom prefilter DROPPED truly contaminated docs: ${(exact -- flagged).take(5)}")
+    // and the per-doc shared-gram totals agree with the exact operator
+    val exactTotals = Dedup.dataDecontaminate(spark, sfDir)
+      .groupBy("train_id").agg(sum("n_shared")) // per (train,eval) pair counts
+      .as[(Long, Long)].collect().toMap
+    // n_shared in the bloom table counts DISTINCT shared grams (vs any
+    // eval doc), exactTotals counts pair-wise — so only ≤ holds
+    bloom.foreach { case (id, _, _, nShared) =>
+      assert(nShared <= exactTotals.getOrElse(id, 0L),
+        s"doc $id: distinct shared grams exceed the pairwise total")
+    }
+  }
+
+  test("bloom membership arithmetic: a planted eval gram passes, an absent gram's pass is a measurable FP event") {
+    // plant a corpus where one train doc copies an eval 3-gram exactly
+    // and another shares nothing
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (30L, "zzz alpha beta gamma", "en", "s", 20L),
+      (31L, "qqq www eee rrr ttt", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.decontaminateBloom(docs, "doc_id", "text")
+      .select("train_id").as[Long].collect().toSet
+    assert(out.contains(30L), "doc sharing 'alpha beta gamma' must be flagged")
+  }
+
+  // ------------------------------------------------------- k-center
+
+  test("curate_kcenter trace == brute-force greedy reference on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val n = 200; val dim = 8
+    val data = (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextDouble())))
+    val df = data.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = Curation.kcenterTable(df, k = 6)
+      .as[(Int, Long, Double)].collect().toSeq
+
+    // reference: plain greedy farthest-first in driver memory
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val byId = data.toMap
+    var centers = List(0L)
+    var trace = List((1, 0L, 0.0))
+    for (step <- 2 to 6) {
+      val cands = data.filter(d => !centers.contains(d._1))
+        .map { case (id, v) => (id, centers.map(c => l2sq(v, byId(c))).min) }
+      val best = cands.maxBy { case (id, d) => (d, -id) }
+      centers = centers :+ best._1
+      trace = trace :+ ((step, best._1, best._2))
+    }
+    assert(got == trace.toSeq, s"greedy trace diverged:\n got=$got\n ref=$trace")
+  }
+
+  test("k-center max-min distance is non-increasing over steps (farthest-first invariant)") {
+    val got = Curation.curateKcenter(spark, sfDir)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    val dists = got.drop(1).map(_._3) // step 1 is the seed (0.0)
+    assert(dists.nonEmpty && dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      s"selection radii increased: ${dists.toSeq}")
+    assert(got.map(_._2).distinct.length == got.length, "a center was picked twice")
+  }
+}
