@@ -45,13 +45,44 @@ object Curation {
   def curateKcenter(s: SparkSession, dir: String): DataFrame =
     kcenterTable(Tables.load(s, dir, "embeddings"))
 
-  /** Spark-side unrolled Σ (emb[i]−c_i)², 1-based element_at — the
-    * exact mirror of OracleSql.l2sqLit's association. */
-  private def l2sqLitCol(c: Array[Double]): Column = expr(
-    c.indices.map { j =>
-      val t = s"(CAST(element_at(emb, ${j + 1}) AS DOUBLE)-${OracleSql.dlit(c(j))})"
-      s"$t*$t"
-    }.mkString("(", " + ", ")"))
+  /** min over centers of Σ_i (v_i − c_i)² — each per-center sum runs
+    * i-ascending (the l2sqLit association, so every distance VALUE is
+    * bit-identical to the oracle's unrolled chain), and the min of a
+    * set of doubles is order-independent, so a strict-< scan equals the
+    * oracle's least()-fold exactly. A tight JVM kernel instead of a
+    * k·dim-term unrolled literal expression: the growing least-chain
+    * blows past Janino method limits around k·dim ≈ 300 and falls back
+    * to interpreted eval — the kernel stays codegen at any k. */
+  def minDistSq(cs: Array[Array[Double]],
+                v: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    var best = Double.PositiveInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cc = cs(c); var s = 0.0; var i = 0
+      while (i < cc.length) { val d = v.getDouble(i) - cc(i); s += d * d; i += 1 }
+      if (s < best) best = s
+      c += 1
+    }
+    best
+  }
+
+  case class MinDistExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                         centers: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      minDistSq(centers, v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+      val cur = Curation.getClass.getName + ".MODULE$"
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cur.minDistSq($ref, $a);")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+  }
 
   private[graft] def kcenterTable(emb0: DataFrame, k: Int = KCenters): DataFrame = {
     val spark = emb0.sparkSession
@@ -61,10 +92,10 @@ object Curation {
       .collect()(0)
     var picks = List[(Int, Long, Double)]((1, seed.getLong(0), 0.0))
     var centerVecs = List[Array[Double]](seed.getSeq[Double](1).toArray)
-    var dmin: Column = null
     for (step <- 2 to k) {
-      val d = l2sqLitCol(centerVecs.head)
-      dmin = if (dmin == null) d else least(dmin, d)
+      val dmin = org.apache.spark.sql.graftshim.Shims.column(
+        MinDistExpr(org.apache.spark.sql.graftshim.Shims.expression(col("emb")),
+          centerVecs.reverse.toArray))
       val picked = picks.map(_._2)
       val r = emb.filter(!col("vec_id").isInCollection(picked))
         .select(col("vec_id"), col("emb"), dmin.as("dm"))

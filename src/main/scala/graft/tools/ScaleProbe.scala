@@ -574,6 +574,57 @@ object ScaleProbe {
         slice(td, "ts-sorted")
       }
     }
+
+    // Count-Min grid over a 20M-token synthetic corpus (200k docs × 100
+    // zipf-ish tokens): the corpus-sized stage is one wordcount; the
+    // grid itself is 1024 longs regardless of the 50k-word vocabulary.
+    if (wanted("cms")) {
+      val docs = spark.range(200000L).select(col("id").as("doc_id"),
+        array_join(expr(
+          """transform(sequence(0, 99), j ->
+            |  concat('w', pmod(hash(id * 101 + j), 50000) % (1 + pmod(hash(id + j), 317))))"""
+            .stripMargin), " ").as("text"))
+        .repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val grid = graft.operators.Sketches.cmsGrid(
+        graft.operators.Sketches.wordCounts(docs))
+      val cells = grid.count()
+      val s0 = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] CMS grid build (20M tokens, 50k vocab): $s0%.2f s, $cells cells (${20e6 / s0 / 1e6}%.1f M tokens/s)")
+    }
+
+    // Bloom decontamination at a 100k-gram eval set: the broadcast is
+    // STILL m bits — the point of the operator — and the train side is
+    // a map-only membership pass + a candidate-bounded verify.
+    if (wanted("bloom")) {
+      val docs = spark.range(100000L).select(col("id").as("doc_id"),
+        array_join(expr(
+          // eval docs (id<500) contribute ~200 grams each ≈ 100k eval grams;
+          // 1% of train docs copy an eval span
+          """transform(sequence(0, 99), j ->
+            |  CASE WHEN id < 500 THEN concat('e', id % 500, '_', j)
+            |       WHEN id % 100 = 0 AND j < 20 THEN concat('e', id % 500, '_', j)
+            |       ELSE concat('w', pmod(hash(id * 131 + j), 300000)) END)"""
+            .stripMargin), " ").as("text"))
+        .repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = graft.operators.Dedup.decontaminateBloom(docs, "doc_id", "text", evalMaxId = 500L)
+      val flagged = out.count()
+      val s0 = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] bloom decontaminate (100k docs, ~100k eval grams, m=64Ki): $s0%.2f s, $flagged flagged")
+    }
+
+    // Greedy k-center on the full generated corpus: k map-only passes +
+    // k one-row TakeOrdered reduces — no corpus shuffle at any n.
+    if (wanted("kcenter")) {
+      val emb = corpus.select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("embedding"))
+      val t0 = System.nanoTime()
+      val trace = graft.operators.Curation.kcenterTable(emb, k = 8).collect()
+      val s0 = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] k-center k=8 over $n%d × 64-d: $s0%.2f s (${7 * n / s0 / 1e6}%.1f M dist-rows/s), radius ${trace.last.getDouble(2)}%.3f")
+    }
     spark.stop()
   }
 }
