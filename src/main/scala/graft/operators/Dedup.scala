@@ -656,6 +656,87 @@ object Dedup {
   def dataDecontaminateBloom(s: SparkSession, dir: String): DataFrame =
     decontaminateBloom(Tables.load(s, dir, "documents"), "doc_id", "text")
 
+  /** The filter itself as a BITMAP (m/64 longs — 8 KiB at m=64Ki):
+    * what actually ships to every executor in the streaming/map-only
+    * form. Bounded by m no matter how many eval grams set bits. */
+  private[graft] def bloomBits(docs: DataFrame, idCol: String, textCol: String,
+                               evalMaxId: Long = DecontamEvalMaxId): Array[Long] = {
+    import docs.sparkSession.implicits._
+    val positions = docs.filter(col(idCol) < evalMaxId)
+      .select(explode(shingleStrings(textCol)).as("g"))
+      .select(shiftrightunsigned(
+        graft.functions.TextHashOps.md5Lower64(col("g")), 1).as("b"))
+      .select(explode(expr(s"sequence(0, ${BloomK - 1})")).as("j"), col("b"))
+      .select(expr(s"shiftright(b, 16 * j) % $BloomM").as("pos"))
+      .distinct().as[Long].collect()
+    val bits = new Array[Long]((BloomM / 64).toInt)
+    positions.foreach(p => bits((p >> 6).toInt) |= (1L << (p & 63).toInt))
+    bits
+  }
+
+  /** Count of shingle hashes whose k positions are ALL set — the
+    * membership test as one codegen kernel over the bitmap (the
+    * production form: no join, no shuffle, pure map). Same positions
+    * arithmetic as the graded join form, so n_pass is identical. */
+  def bloomPassCount(bits: Array[Long],
+                     arr: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    var cnt = 0; var i = 0
+    while (i < arr.numElements()) {
+      val b = arr.getLong(i)
+      var ok = true; var j = 0
+      while (ok && j < BloomK) {
+        val pos = ((b >>> (16 * j)) % BloomM).toInt
+        ok = (bits(pos >> 6) & (1L << (pos & 63))) != 0
+        j += 1
+      }
+      if (ok) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  case class BloomCountExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                            bits: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      bloomPassCount(bits, v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bits", bits, "long[]")
+      val ddp = Dedup.getClass.getName + ".MODULE$"
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ddp.bloomPassCount($ref, $a);")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+  }
+
+  /** n_grams/n_pass-only SQL twin — grades the STREAMING map-only
+    * flagger (the exact verify is a downstream batch join, so the
+    * live flagger carries only the filter verdicts). */
+  val decontaminateStreamSql: String =
+    s"""WITH $shingleCte,
+       |tb AS (SELECT doc_id,
+       |         CAST((md5_number_lower(g) >> 1) AS BIGINT) AS b
+       |       FROM (SELECT doc_id, unnest(sh) AS g FROM t)),
+       |e AS (SELECT DISTINCT b FROM tb WHERE doc_id < $DecontamEvalMaxId),
+       |bits AS (SELECT DISTINCT (b >> (16 * j)) % $BloomM AS pos
+       |         FROM e CROSS JOIN range($BloomK) r(j)),
+       |tr AS (SELECT doc_id, b FROM tb WHERE doc_id >= $DecontamEvalMaxId),
+       |pass AS (SELECT doc_id, b FROM (
+       |    SELECT tr.doc_id, tr.b, count(*) AS hits
+       |    FROM tr CROSS JOIN range($BloomK) r(j)
+       |    JOIN bits ON bits.pos = (tr.b >> (16 * r.j)) % $BloomM
+       |    GROUP BY 1, 2) WHERE hits = $BloomK),
+       |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1),
+       |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pass FROM pass GROUP BY 1)
+       |SELECT np.doc_id AS train_id, ng.n_grams, np.n_pass
+       |FROM np JOIN ng USING (doc_id)
+       |ORDER BY train_id""".stripMargin
+
   val dataDecontaminateBloomSql: String =
     s"""WITH $shingleCte,
        |tb AS (SELECT doc_id,

@@ -120,6 +120,39 @@ object StreamingQueries {
     out.orderBy("j", "bucket")
   }
 
+  /** Streaming decontamination flagging — pre-training hygiene run
+    * LIVE at ingest: the eval-set Bloom filter rides to every executor
+    * as an 8 KiB BITMAP (bounded by m at ANY eval-corpus size), and
+    * each arriving document is flagged ROW-LOCALLY — shingle, hash,
+    * all-k-bits membership count, all inside one projection — so the
+    * stream holds ZERO keyed state and runs pure append mode: the
+    * production shape where the live flagger emits candidates and the
+    * exact verify is a downstream batch join over the (bounded)
+    * flagged set. Bit arithmetic identical to the graded batch bloom
+    * operator (same positions, same bitmap semantics via the
+    * BloomCountExpr codegen kernel), so the drained table equals the
+    * batch n_grams/n_pass columns at any chunking. */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val bits = Dedup.bloomBits(docs, "doc_id", "text")
+    val rows = docs.filter(col("doc_id") >= Dedup.DecontamEvalMaxId)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val out = drain(s, split3(rows), "append", sinkName("stream_decontam")) { ds =>
+      ds.toDF("doc_id", "text")
+        .select(col("doc_id").as("train_id"),
+          transform(Dedup.shingleStrings("text"), g =>
+            shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(g), 1)).as("bs"))
+        .select(col("train_id"), size(col("bs")).cast("long").as("n_grams"),
+          org.apache.spark.sql.graftshim.Shims.column(Dedup.BloomCountExpr(
+            org.apache.spark.sql.graftshim.Shims.expression(col("bs")), bits))
+            .cast("long").as("n_pass"))
+        .filter(col("n_pass") > 0)
+    }
+    out.orderBy("train_id")
+  }
+
   /** Keyed-state sessionization over a streamed events table; a
     * far-future poison event per user closes the final open sessions
     * (poison sessions stay open in state and are never emitted), so
@@ -995,6 +1028,7 @@ object StreamingQueries {
     "stream_tumbling" -> (streamTumbling _),
     "stream_kmv" -> (streamKmv _),
     "stream_cms" -> (streamCms _),
+    "stream_decontaminate" -> (streamDecontaminate _),
     "stream_zorder_ingest" -> (streamZorderIngest _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_knn" -> (streamKnn _),
@@ -1020,6 +1054,7 @@ object StreamingQueries {
     // bounded-state sketch only — the exact count is deliberately absent
     m += "stream_kmv" -> Sketches.sketchKmvStreamSql
     m += "stream_cms" -> Sketches.cmsStreamSql
+    m += "stream_decontaminate" -> Dedup.decontaminateStreamSql
     // the streamed-ingested + compacted z layout serves exactly what
     // the batch z layout serves, so the batch twin grades the write path
     m += "stream_zorder_ingest" -> graft.operators.LayoutQueries.eventsZorderSql

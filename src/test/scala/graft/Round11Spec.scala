@@ -86,6 +86,16 @@ class Round11Spec extends SparkTestBase {
     assert(out.contains(30L), "doc sharing 'alpha beta gamma' must be flagged")
   }
 
+  test("stream_decontaminate (bitmap kernel, zero state) == batch bloom join membership") {
+    val streamed = streaming.StreamingQueries.streamDecontaminate(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = Dedup.dataDecontaminateBloom(spark, sfDir)
+      .select("train_id", "n_grams", "n_pass")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch,
+      "bitmap-kernel flagger diverged from the join-membership batch form")
+  }
+
   // ------------------------------------------------------- k-center
 
   test("curate_kcenter trace == brute-force greedy reference on a random corpus") {
