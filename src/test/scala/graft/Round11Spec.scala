@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Sketches}
+import graft.operators.{Curation, Dedup, Sketches, VectorSearch}
 
 /** Round 11: the sketch family gains Count-Min heavy hitters (graded
   * accuracy table, cellwise-mergeable grid), decontamination gains the
@@ -94,6 +94,53 @@ class Round11Spec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(streamed == batch,
       "bitmap-kernel flagger diverged from the join-membership batch form")
+  }
+
+  // ------------------------------------------- pruned exact kNN graph
+
+  test("knn_graph_pruned == brute-force knn_graph bit-for-bit (testdata)") {
+    val pruned = VectorSearch.knnGraphPruned(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val brute = VectorSearch.knnGraph(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(pruned == brute, "pruning changed the exact graph")
+  }
+
+  test("pruned graph is exact AND actually prunes on a clustered corpus") {
+    val rnd = new scala.util.Random(7)
+    val n = 600; val dim = 16; val nClust = 12
+    // well-separated cluster centers + small noise — the regime real
+    // embedding spaces live in (and where IVF bounds bite)
+    val centers = Array.fill(nClust, dim)(rnd.nextDouble() * 10.0)
+    val data = (0 until n).map { i =>
+      val c = centers(i % nClust)
+      (i.toLong, c.map(x => x + rnd.nextGaussian() * 0.05).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val k = 5
+    val cand = VectorSearch.prunedCandidates(df, k).persist()
+    val got = {
+      import org.apache.spark.sql.expressions.Window
+      cand.withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("vid").asc)))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("vid"), col("score"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    }
+    // brute-force reference on the same frame
+    val brute = operators.Knn.topK(df, df, k + 1, operators.Knn.Cosine)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(got == brute, "pruned graph diverged from brute force on the clustered corpus")
+    val scanned = cand.count()
+    val full = n.toLong * (n - 1)
+    assert(scanned < full / 2,
+      s"pruning scanned $scanned of $full pairs — no better than half the quadratic")
   }
 
   // ------------------------------------------------------- k-center
