@@ -163,6 +163,61 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("canonical_id")).orderBy("doc_id")
   }
 
+  /** Connected components via LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * algorithm the min-label loop's comment promised for 100 TB-scale
+    * skewed graphs, now implemented and GRADED against the same
+    * recursive-CTE oracle as dedup_clusters. Why it scales where label
+    * propagation stalls: each round rewires every node to its
+    * neighborhood minimum, HALVING tree heights (O(log n) rounds on
+    * any diameter — a path graph needs diameter rounds of label
+    * propagation but log rounds here), and both operations are
+    * wordcount-shaped (groupBy node → min, re-emit edges); hot
+    * high-degree nodes are exactly what large-star is designed around
+    * (it attaches the whole neighborhood to the min in one round).
+    *
+    * large-star: u attaches every LARGER neighbor to m(u) = min(N(u) ∪
+    * {u}); small-star: u attaches its ≤ neighbors (and itself) to
+    * m(u). Alternate to fixpoint; the surviving edges are stars rooted
+    * at component minima, and each node's final min-neighbor IS its
+    * canonical id. Deterministic: pure min/grouping algebra, no
+    * ordering sensitivity. */
+  private[graft] def ccLargeStar(pairs: DataFrame): DataFrame = {
+    val sym0 = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+    var edges = sym0.localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 30) {
+      // large-star round
+      val mL = edges.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = edges.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).filter(col("u") =!= col("v"))
+      // small-star on the large-star output (symmetrized)
+      val lsSym = ls.unionAll(ls.select(col("v").as("u"), col("u").as("v"))).distinct()
+        .localCheckpoint(true)
+      val mS = lsSym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ss = lsSym.join(mS, "u").filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v")).filter(col("u") =!= col("v"))
+        .unionAll(lsSym.join(mS, "u").select(col("u"), col("m")).filter(col("u") =!= col("m"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+      val next = ss.unionAll(ss.select(col("v").as("u"), col("u").as("v"))).distinct()
+        .localCheckpoint(true)
+      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // stars rooted at component minima: canonical = min neighbor ∪ self
+    edges.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("canonical_id"))
+      .select(col("u").as("doc_id"), col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  def dedupClustersLargestar(s: SparkSession, dir: String): DataFrame =
+    ccLargeStar(dedupMinhashLsh(s, dir))
+
   /** Canonical cluster id for every doc in a verified near-dup pair. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupMinhashLsh(s, dir))
@@ -763,6 +818,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_largestar" -> (dedupClustersLargestar _),
     "dedup_simhash" -> (dedupSimhash _),
     "data_decontaminate" -> (dataDecontaminate _),
     "data_decontaminate_bloom" -> (dataDecontaminateBloom _),
@@ -774,6 +830,7 @@ object Dedup {
     val m = Map.newBuilder[String, String]
     m += "dedup_minhash_lsh" -> dedupMinhashLshSql
     m += "dedup_clusters" -> dedupClustersSql
+    m += "dedup_clusters_largestar" -> dedupClustersSql
     m += "dedup_simhash" -> dedupSimhashSql
     m += "data_decontaminate" -> dataDecontaminateSql
     m += "data_decontaminate_bloom" -> dataDecontaminateBloomSql

@@ -96,6 +96,35 @@ class Round11Spec extends SparkTestBase {
       "bitmap-kernel flagger diverged from the join-membership batch form")
   }
 
+  // ------------------------------------- large-star/small-star CC
+
+  test("large-star/small-star CC == union-find on path, random, and skewed graphs") {
+    def ref(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r); r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    def check(edges: Seq[(Long, Long)], tag: String): Unit = {
+      val df = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.ccLargeStar(df).as[(Long, Long)].collect().toMap
+      assert(got == ref(edges), s"largestar diverged from union-find on $tag")
+    }
+    // a 60-node PATH — the diameter case label propagation crawls on
+    check((0L until 59L).map(i => (i, i + 1)), "path")
+    // a hot hub (degree 50) plus a chain off it
+    check((1L to 50L).map(i => (0L, i)) ++ Seq((50L, 51L), (51L, 52L)), "hub")
+    val rnd = new scala.util.Random(3)
+    check(Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).distinct, "random")
+  }
+
   // ------------------------------------------- pruned exact kNN graph
 
   test("knn_graph_pruned == brute-force knn_graph bit-for-bit (testdata)") {
