@@ -614,6 +614,39 @@ object TextOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** FIXED-SIZE mergeable uniform sample per group — bottom-k-by-hash
+    * (the KMV sketch machinery reused as a SAMPLER): keep the
+    * SampleBkK docs with the smallest content-independent hashes per
+    * lang. Unlike the Bernoulli sample (fixed RATE, unbounded size),
+    * the bottom-k sample has fixed SIZE at any corpus scale and still
+    * folds losslessly across shards (bottom-k of a union == merge of
+    * bottom-ks) — the property that lets a 100 TB ingest keep a live
+    * per-slice exemplar set: sample every shard, merge. State and
+    * shuffle are ≤ k longs per group (the bounded
+    * TypedImperativeAggregate); ids come back through a broadcast
+    * membership join on the collision-free 63-bit hash. */
+  val SampleBkK = 8
+  def dataSampleBottomk(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+          concat(lit("bksamp:"), col("doc_id"))), 1).as("h"))
+    val bk = h.groupBy("lang")
+      .agg(graft.functions.KmvOps.kmvBottomK(col("h"), SampleBkK).as("bk"))
+    h.join(broadcast(bk), "lang")
+      .filter(array_contains(col("bk"), col("h")))
+      .select(col("lang"), col("doc_id"), expr("array_position(bk, h)").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  val dataSampleBottomkSql: String =
+    s"""SELECT lang, doc_id, rn FROM (
+       |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rn
+       |  FROM (SELECT lang, doc_id,
+       |          CAST((md5_number_lower('bksamp:' || doc_id) >> 1) AS BIGINT) AS h
+       |        FROM documents))
+       |WHERE rn <= $SampleBkK ORDER BY lang, rn""".stripMargin
+
   /** Repetition-based quality filter (the Gopher-rules family, Rae et
     * al. 2021 §A1.1: repetition thresholds drop boilerplate/spam):
     * per doc — type-token ratio, duplicate word-3-gram fraction, top
@@ -688,6 +721,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "data_sample_stratified" -> (dataSampleStratified _),
+    "data_sample_bottomk" -> (dataSampleBottomk _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "doc_chunking" -> (docChunking _),
     "text_tfidf" -> (textTfidf _),
@@ -708,6 +742,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_repetition" -> textRepetitionSql,
     "data_sample_stratified" -> dataSampleStratifiedSql,
+    "data_sample_bottomk" -> dataSampleBottomkSql,
     "text_langid_confusion" -> textLangidConfusionSql,
     "doc_chunking" -> docChunkingSql,
     "text_tfidf" -> textTfidfSql,

@@ -96,6 +96,29 @@ class Round11Spec extends SparkTestBase {
       "bitmap-kernel flagger diverged from the join-membership batch form")
   }
 
+  test("bottom-k sample folds losslessly: sample(shard A ∪ B) == merge of shard samples") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    def sample(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] = {
+      val h = df.select(col("lang"), col("doc_id"),
+        shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+          concat(lit("bksamp:"), col("doc_id"))), 1).as("h"))
+      h.groupBy("lang")
+        .agg(graft.functions.KmvOps.kmvBottomK(col("h"), operators.TextOps.SampleBkK).as("bk"))
+        .join(h, "lang").filter(array_contains(col("bk"), col("h")))
+        .groupBy("lang").agg(sort_array(collect_list(struct(col("h"), col("doc_id")))).as("s"))
+        .select(col("lang"), col("s.doc_id").as("ids"))
+        .as[(String, Seq[Long])].collect().toMap
+    }
+    val whole = sample(docs)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    // merge = re-sampling the UNION of the two shard samples (bottom-k
+    // of a union == bottom-k of merged bottom-ks)
+    val keep = (sample(a).values.flatten ++ sample(b).values.flatten).toSeq.distinct
+    val merged = sample(docs.filter(col("doc_id").isInCollection(keep)))
+    assert(merged == whole, "shard samples did not fold to the whole-corpus sample")
+  }
+
   // ------------------------------------- large-star/small-star CC
 
   test("large-star/small-star CC == union-find on path, random, and skewed graphs") {
