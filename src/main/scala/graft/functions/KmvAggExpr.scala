@@ -105,3 +105,106 @@ object KmvOps {
   def kmvBottomK(h: Column, k: Int): Column =
     Shims.column(KmvBottomKAgg(Shims.expression(h), k).toAggregateExpression())
 }
+
+/** Bounded TOP-K (score desc, id asc) aggregate — the 100 TB shape for
+  * "the k best per group": each task folds its partition into a ≤k
+  * buffer (map-side partial), partials merge associatively (the global
+  * top-k of a union is the top-k of merged top-ks — unique because
+  * (score, id) is a total order), and only groups × k rows shuffle. A
+  * window row_number over the same input shuffles EVERY candidate row
+  * to sort it; this shuffles k. Output: array<struct<score,vid>> in
+  * rank order, so rank = position. */
+case class TopKScoreAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKScoreAgg.Buf] {
+  import TopKScoreAgg.Buf
+
+  require(k > 0, "top-k size must be positive")
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType, nullable = false),
+      StructField("vid", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): Buf =
+    Buf(new Array[Double](k), new Array[Long](k), 0)
+
+  override def update(b: Buf, row: InternalRow): Buf = {
+    val s = score.eval(row); val i = id.eval(row)
+    if (s == null || i == null) return b
+    insert(b, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    b
+  }
+
+  /** Keep b sorted by (score desc, id asc); O(k) move per entering row,
+    * O(1) reject once full. */
+  private def insert(b: Buf, s: Double, i: Long): Unit = {
+    if (b.n == k) {
+      val ws = b.sc(k - 1); val wi = b.id(k - 1)
+      if (s < ws || (s == ws && i > wi)) return
+    }
+    var pos = b.n
+    while (pos > 0 && (s > b.sc(pos - 1) || (s == b.sc(pos - 1) && i < b.id(pos - 1)))) pos -= 1
+    val last = if (b.n < k) b.n else k - 1
+    var j = last
+    while (j > pos) { b.sc(j) = b.sc(j - 1); b.id(j) = b.id(j - 1); j -= 1 }
+    if (pos < k) { b.sc(pos) = s; b.id(pos) = i }
+    if (b.n < k) b.n += 1
+  }
+
+  override def merge(b: Buf, o: Buf): Buf = {
+    var i = 0
+    while (i < o.n) { insert(b, o.sc(i), o.id(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: Buf): Any = {
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      rows(i) = InternalRow(b.sc(i), b.id(i)); i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.sc(i)); bb.putLong(b.id(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val sc = new Array[Double](k); val id = new Array[Long](k)
+    var i = 0
+    while (i < n) { sc(i) = bb.getDouble; id(i) = bb.getLong; i += 1 }
+    Buf(sc, id, n)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKScoreAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKScoreAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(score = c(0), id = c(1))
+}
+
+object TopKScoreAgg {
+  /** Rank-ordered prefix (score desc, id asc) of length n ≤ k. */
+  case class Buf(sc: Array[Double], id: Array[Long], var n: Int)
+}
+
+object TopKAggOps {
+  /** Top-k (score desc, id asc) per group as a rank-ordered struct
+    * array — rank = 1 + position. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    Shims.column(TopKScoreAgg(Shims.expression(score), Shims.expression(id), k)
+      .toAggregateExpression())
+}

@@ -189,7 +189,9 @@ object Dedup {
     var edges = sym0.localCheckpoint(true)
     var rounds = 0
     var done = false
-    while (!done && rounds < 30) {
+    // O(log n) alternations suffice (SoCC'14 Thm 3); 60 is headroom,
+    // the fixpoint test exits early on every real graph
+    while (!done && rounds < 60) {
       // large-star round
       val mL = edges.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
       val ls = edges.join(mL, "u").filter(col("v") > col("u"))

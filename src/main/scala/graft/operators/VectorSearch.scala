@@ -133,15 +133,35 @@ object VectorSearch {
       .persist()
     val members = assigned.select(col("cell").as("mcell"),
       col("vec_id").as("vid"), col("emb").as("memb"))
-    // pass 1: kth-best upper bound from the nprobe nearest cells
+    // pass 1: kth-best upper bound from the nprobe nearest cells — a
+    // BOUNDED top-k aggregate (map-side ≤k partials, merged
+    // associatively), so only k rows per point ever shuffle; a window
+    // rank here would shuffle every scored candidate
     val probes = assigned.select(col("vec_id").as("qid"), col("emb").as("qemb"),
       explode(sh.column(NearestCentroidsExpr(sh.expression(col("ne")), cents, nprobe))).as("mcell"))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid").asc)
+    // NARROW the agg input to (qid, vid, score) 24-byte rows before
+    // grouping: with >128 groups ObjectHashAggregate falls back to
+    // sort-based aggregation, and that external sort must never carry
+    // the 512-byte embedding payloads (measured: the wide form spilled
+    // the full scored-pair volume to disk; the narrow form is a cheap
+    // partition-local run sort)
+    // ... and REPARTITION the narrow rows by qid before grouping: the
+    // scored-pair stream comes off the cell join clustered by CELL, so
+    // without this the partial aggregate's fallback sort would run on
+    // a handful of cell-shaped tasks over the whole pair volume; after
+    // the qid exchange every task sorts only its own bounded slice and
+    // holds only its own groups (the per-task-state bound that makes
+    // the shape safe at any corpus size)
     val ub = probes.join(members, "mcell").filter(col("qid") =!= col("vid"))
-      .withColumn("score", VectorOps.cosineSim(col("qemb"), col("memb")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === k)
+      .select(col("qid"), col("vid"),
+        VectorOps.cosineSim(col("qemb"), col("memb")).as("score"))
+      .repartition(col("qid"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAggOps.topKByScore(col("score"), col("vid"), k).as("arr"))
+      .filter(size(col("arr")) === k)
+      .withColumn("kth", expr(s"element_at(arr, $k).score"))
       .select(col("qid"),
-        (sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("score"))) + lit(PrunedSlack)).as("ub"))
+        (sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("kth"))) + lit(PrunedSlack)).as("ub"))
     // pass 2: cells clearing the bound (≤ keeps boundary ties; a
     // missing ub row — under-filled probe — means scan everything)
     val radii = assigned.groupBy("cell").agg(max("cdist"))
@@ -160,15 +180,18 @@ object VectorSearch {
         VectorOps.cosineSim(col("qemb"), col("memb")).as("score"))
   }
 
-  def knnGraphPruned(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def knnGraphPruned(s: SparkSession, dir: String): DataFrame =
+    // final rank through the same bounded aggregate: the rank-ordered
+    // (score desc, vid asc) array IS the row_number order, so rank =
+    // position — and only k rows per point leave the candidate join
     prunedCandidates(Tables.load(s, dir, "embeddings"), K)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("score").desc, col("vid").asc)))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("vid").as("vec_id"), col("score"), col("rank"))
+      .repartition(col("qid"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAggOps.topKByScore(col("score"), col("vid"), K).as("arr"))
+      .select(col("qid"), posexplode(col("arr")))
+      .select(col("qid"), col("col.vid").as("vec_id"), col("col.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy("qid", "rank")
-  }
 
   /** Matryoshka search: truncate to the 16-dim prefix (then cosine,
     * which self-normalizes — equivalent to the reference's truncate +

@@ -614,6 +614,41 @@ object ScaleProbe {
       println(f"[scale] bloom decontaminate (100k docs, ~100k eval grams, m=64Ki): $s0%.2f s, $flagged flagged")
     }
 
+    // Exact pruned kNN graph on a CLUSTERED corpus (the regime real
+    // embedding spaces live in): candidate volume + wall time; the
+    // quadratic twin would be n² pairs.
+    if (wanted("prunedgraph")) {
+      val nP = 100000L; val dimP = 64; val nClust = 256
+      val docs = spark.range(nP).select(col("id").as("vec_id"),
+        expr(
+          s"""transform(sequence(0, ${dimP - 1}), j ->
+             |  CAST(pmod(hash(id % $nClust, j), 1000) AS DOUBLE) / 100.0
+             |  + CAST(pmod(hash(id, j, 7), 100) AS DOUBLE) / 2000.0)""".stripMargin)
+          .as("embedding"))
+        .repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val cand = graft.operators.VectorSearch.prunedCandidates(docs, 10, nlist = 512)
+      val nc = cand.count()
+      val s0 = (System.nanoTime() - t0) / 1e9
+      val full = nP * (nP - 1)
+      println(f"[scale] pruned exact kNN graph ($nP%d clustered × $dimP-d, nlist=512): $s0%.2f s, $nc candidate pairs of $full%d (${100.0 * nc / full}%.2f%%)")
+    }
+
+    // Large-star/small-star CC on a 1M-edge graph with long chains and
+    // a hot hub — the shapes that stall label propagation.
+    if (wanted("largestar")) {
+      val chains = spark.range(900000L).select((col("id") * 7).as("doc_a"),
+        (col("id") * 7 + 7).as("doc_b"))  // ONE 900k-edge chain (diameter 900k)
+      val hub = spark.range(100000L).select(lit(3L).as("doc_a"),
+        (col("id") * 13 + 100000000L).as("doc_b"))
+      val edges = chains.unionAll(hub).repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val cc = graft.operators.Dedup.ccLargeStar(edges)
+      val comps = cc.agg(countDistinct(col("canonical_id"))).collect()(0).getLong(0)
+      val s0 = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] large-star CC (1M edges: 900k-edge chain + 100k-degree hub): $s0%.2f s, $comps components")
+    }
+
     // Greedy k-center on the full generated corpus: k map-only passes +
     // k one-row TakeOrdered reduces — no corpus shuffle at any n.
     if (wanted("kcenter")) {

@@ -148,6 +148,27 @@ class Round11Spec extends SparkTestBase {
       .filter(e => e._1 != e._2).distinct, "random")
   }
 
+  test("TopKScoreAgg == window row_number ranking on random data (incl. score ties)") {
+    val rnd = new scala.util.Random(5)
+    // coarse scores force ties, exercising the (score desc, id asc) order
+    val rows = (0 until 5000).map(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(7) / 7.0, i.toLong))
+    val df = rows.toDF("qid", "score", "vid").repartition(8)
+    val viaAgg = df.groupBy("qid")
+      .agg(graft.functions.TopKAggOps.topKByScore(col("score"), col("vid"), 5).as("arr"))
+      .select(col("qid"), posexplode(col("arr")))
+      .select(col("qid"), col("col.vid").as("vid"), col("col.score").as("score"),
+        (col("pos") + 1).as("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaWindow = df.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("score").desc, col("vid").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vid"), col("score"), col("rank").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaAgg == viaWindow, "bounded top-k aggregate diverged from window ranking")
+  }
+
   // ------------------------------------------- pruned exact kNN graph
 
   test("knn_graph_pruned == brute-force knn_graph bit-for-bit (testdata)") {
