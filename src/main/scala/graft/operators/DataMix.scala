@@ -139,6 +139,64 @@ object DataMix {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // text_collocations — PMI-ranked bigram collocations, integer-exact.
+  //
+  // The corpus-stats table a tokenizer/phrase-mining pass wants: which
+  // adjacent word pairs co-occur far above chance. True PMI is
+  // log(c12·N/(c1·c2)) — but log is monotone, so RANKING by the exact
+  // rational (c12·N·10⁶) div (c1·c2) ranks identically to PMI with no
+  // libm anywhere: the score is a pure integral division of
+  // DECIMAL-widened products (safe at any corpus size), the marginals
+  // c1 (w1-as-first) / c2 (w2-as-second) and the total N all derive
+  // from the ONE bigram-count aggregate (no second corpus scan — the
+  // bm25 single-tokenize discipline), and the top-20 cut is a unique
+  // total order (score desc, w1, w2) so the limit is deterministic.
+  // Scale shape: wordcount-shaped shuffles keyed by bigram/word only;
+  // the global-top-20 executes as TakeOrderedAndProject (per-partition
+  // partial top-k, never a single-partition global sort).
+  // ---------------------------------------------------------------
+  val CollocMin = 5L    // min bigram support
+  val CollocTopN = 20
+
+  def textCollocations(s: SparkSession, dir: String): DataFrame =
+    collocationsOn(Tables.load(s, dir, "documents"))
+
+  def collocationsOn(docs: DataFrame): DataFrame = {
+    val bg = docs.select(expr("filter(split(text, ' '), x -> x != '')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy("w1").agg(sum("n12").as("n1"))
+    val c2 = c12.groupBy("w2").agg(sum("n12").as("n2"))
+    c12.filter(col("n12") >= CollocMin)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(c12.agg(sum("n12").as("nb"))))
+      .select(col("w1"), col("w2"), col("n12"),
+        expr("cast(n12 as decimal(38,0)) * nb * 1000000" +
+          " div (cast(n1 as decimal(38,0)) * n2)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocTopN)
+  }
+
+  val textCollocationsSql: String =
+    s"""WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |bg AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+       |  FROM toks WHERE len(w) >= 2),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+       |c2 AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS n2 FROM c12 GROUP BY 1),
+       |nbt AS (SELECT CAST(sum(n12) AS BIGINT) AS nb FROM c12)
+       |SELECT w1, w2, n12,
+       |  CAST((n12::HUGEINT * nb * 1000000) // (n1::HUGEINT * n2) AS BIGINT) AS pmi_ppm
+       |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nbt
+       |WHERE n12 >= $CollocMin
+       |ORDER BY pmi_ppm DESC, w1, w2 LIMIT $CollocTopN""".stripMargin
+
   val textBigramLmSql: String =
     s"""WITH toks AS (SELECT doc_id,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -159,9 +217,11 @@ object DataMix {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_domain_mix" -> (dataDomainMix _),
-    "text_bigram_lm" -> (textBigramLm _))
+    "text_bigram_lm" -> (textBigramLm _),
+    "text_collocations" -> (textCollocations _))
 
   val oracles: Map[String, String] = Map(
     "data_domain_mix" -> dataDomainMixSql,
-    "text_bigram_lm" -> textBigramLmSql)
+    "text_bigram_lm" -> textBigramLmSql,
+    "text_collocations" -> textCollocationsSql)
 }

@@ -238,12 +238,173 @@ object GraphRank {
        |FROM j JOIN can ON can.comp = j.comp
        |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------- HITS
+
+  /** HITS hubs & authorities over the similarity graph (Kleinberg,
+    * JACM'99) — the second centrality the curation stack wants: on a
+    * k-NN graph a high AUTHORITY is a document many other documents
+    * point at as a near neighbor (a density/prototypicality signal,
+    * distinct from PageRank's random-walk mass), a high HUB is one
+    * whose neighborhood consists of such prototypes. Same
+    * Pregel-as-DataFrame loop as graph_pagerank (per half-iteration
+    * one edge⋈score join + one aggregate, shuffle bounded by n·K, the
+    * partitioned-edge cache reused throughout). Bit-exactness: the
+    * usual L2 normalization is replaced by fixed-point MAX
+    * normalization — after each half-step every score rescales as
+    * (raw·Scale) div max(raw) (DECIMAL-widened product, integral
+    * division) — a deterministic integer renormalization that keeps
+    * the iteration bounded in [0, Scale] with NO square root or IEEE
+    * division anywhere, so the twin unrolls all T iterations (sum →
+    * cross-joined max → rescale, twice per iteration) digit-for-digit.
+    * Raw sums stay under in-degree·Scale ≤ n·10¹² — Int64-safe through
+    * ~10⁶ nodes, the DECIMAL accumulator is the documented widening
+    * past that. */
+  val HitsT = 3
+
+  def hits(s: SparkSession, dir: String): DataFrame =
+    hitsOverEdges(VectorSearch.knnGraph(s, dir)
+        .select(col("qid").as("src"), col("vec_id").as("dst")))
+      .select(col("id").as("vec_id"), col("hub_scaled"), col("auth_scaled"))
+      .orderBy("vec_id")
+
+  def hitsOverEdges(rawEdges: DataFrame): DataFrame = {
+    val parts = rawEdges.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = rawEdges.repartition(parts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = edges.count() > 1000000L
+    def step(df: DataFrame): DataFrame = if (big) df.localCheckpoint(true) else df
+    val nodes = step(edges.select(col("src").as("id")).distinct())
+    // one half-step: raw in-sums over `key` (dst for auth, src for hub),
+    // missing nodes at 0, then fixed-point max-rescale
+    def half(score: DataFrame, key: String, other: String): DataFrame = {
+      val raw = edges.join(score.withColumnRenamed("id", other), other)
+        .groupBy(col(key).as("id")).agg(sum("r").as("raw"))
+      val full = nodes.join(raw, Seq("id"), "left")
+        .withColumn("raw", coalesce(col("raw"), lit(0L)))
+      val mx = full.agg(max("raw")).head().getLong(0)
+      step(full.select(col("id"),
+        expr(s"cast(cast(raw as decimal(38,0)) * $Scale div $mx as long)").as("r")))
+    }
+    var hub = step(nodes.withColumn("r", lit(Scale)))
+    var auth = hub
+    for (_ <- 1 to HitsT) {
+      auth = half(hub, "dst", "src")   // authorities gather from hubs
+      hub = half(auth, "src", "dst")   // hubs gather from authorities
+    }
+    nodes.join(hub.withColumnRenamed("r", "hub_scaled"), "id")
+      .join(auth.withColumnRenamed("r", "auth_scaled"), "id")
+  }
+
+  val hitsSql: String = {
+    val iters = (1 to HitsT).map { i =>
+      s"""ar$i AS (SELECT g.dst AS id, CAST(sum(hh${i - 1}.r) AS BIGINT) AS raw
+         |         FROM g JOIN hh${i - 1} ON hh${i - 1}.id = g.src GROUP BY 1),
+         |af$i AS (SELECT nd.id, COALESCE(ar$i.raw, 0) AS raw
+         |         FROM nd LEFT JOIN ar$i ON ar$i.id = nd.id),
+         |am$i AS (SELECT max(raw) AS mx FROM af$i),
+         |aa$i AS (SELECT id, CAST((raw::HUGEINT * $Scale) // mx AS BIGINT) AS r
+         |         FROM af$i CROSS JOIN am$i),
+         |hr$i AS (SELECT g.src AS id, CAST(sum(aa$i.r) AS BIGINT) AS raw
+         |         FROM g JOIN aa$i ON aa$i.id = g.dst GROUP BY 1),
+         |hf$i AS (SELECT nd.id, COALESCE(hr$i.raw, 0) AS raw
+         |         FROM nd LEFT JOIN hr$i ON hr$i.id = nd.id),
+         |hm$i AS (SELECT max(raw) AS mx FROM hf$i),
+         |hh$i AS (SELECT id, CAST((raw::HUGEINT * $Scale) // mx AS BIGINT) AS r
+         |         FROM hf$i CROSS JOIN hm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |nd AS (SELECT DISTINCT src AS id FROM g),
+       |hh0 AS (SELECT id, ${Scale}::BIGINT AS r FROM nd),
+       |$iters
+       |SELECT nd.id AS vec_id, hh$HitsT.r AS hub_scaled, aa$HitsT.r AS auth_scaled
+       |FROM nd JOIN hh$HitsT ON hh$HitsT.id = nd.id
+       |JOIN aa$HitsT ON aa$HitsT.id = nd.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // -------------------------------------------------- triangle count
+
+  /** Per-node TRIANGLE COUNTS over the similarity graph — the local
+    * clustering signal (a vector whose neighbors are also mutual
+    * neighbors sits inside a dense semantic clump; one with zero
+    * triangles is a hub between unrelated regions or an outlier).
+    * DEGREE-ORIENTED counting (the MapReduce-canonical scheme, cf.
+    * Suri & Vassilvitskii WWW'11): each undirected edge becomes one
+    * arc low→high by the total order (degree, id) — packed into a
+    * single comparable long key — so every triangle has exactly one
+    * node with two out-arcs and is found once, and a node's out-degree
+    * is bounded by O(√m) on any graph (the orientation bounds wedge
+    * generation by arboricity — THE property that makes all-pairs
+    * wedge joins survive power-law degree skew at 100 TB, where an
+    * id-ordering would put a celebrity node's full neighborhood into
+    * one wedge set). Two equi-joins total: arcs⋈arcs on the wedge
+    * apex, wedges⋈arcs on the closing pair — both shuffle-bounded by
+    * |arcs| and the wedge count; all integers, no tolerance anywhere. */
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOverEdges(VectorSearch.knnGraph(s, dir)
+        .select(col("qid").as("src"), col("vec_id").as("dst")))
+      .orderBy("vec_id")
+
+  def trianglesOverEdges(rawEdges: DataFrame): DataFrame = {
+    val und = rawEdges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    // orientation key (degree, id) packed into one long; id < 2^33 by
+    // the testdata id convention (a cluster deployment widens to a
+    // struct key — same total order)
+    val withK = und
+      .join(deg.select(col("id").as("u"), expr("dg * 8589934592 + id").as("ku")), "u")
+      .join(deg.select(col("id").as("v"), expr("dg * 8589934592 + id").as("kv")), "v")
+    val arcs = withK.select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("a"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("b"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = arcs.alias("x").join(arcs.alias("y"),
+        col("x.a") === col("y.a") && col("x.kb") < col("y.kb"))
+      .select(col("x.a").as("t1"), col("x.b").as("t2"), col("y.b").as("t3"))
+    val tri = wedges.join(
+      arcs.select(col("a").as("t2"), col("b").as("t3")), Seq("t2", "t3"))
+    val perNode = tri.select(explode(array(col("t1"), col("t2"), col("t3"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    rawEdges.select(col("src").as("id")).distinct()
+      .join(perNode, Seq("id"), "left")
+      .select(col("id").as("vec_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH $edgeCtes,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+       |dgt AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+       |         SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+       |wk AS (SELECT u, v, du.dg * 8589934592 + u AS ku, dv.dg * 8589934592 + v AS kv
+       |       FROM und JOIN dgt du ON du.id = u JOIN dgt dv ON dv.id = v),
+       |arcs AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS a,
+       |                CASE WHEN ku < kv THEN v ELSE u END AS b,
+       |                CASE WHEN ku < kv THEN kv ELSE ku END AS kb FROM wk),
+       |wdg AS (SELECT x.a AS t1, x.b AS t2, y.b AS t3
+       |        FROM arcs x JOIN arcs y ON x.a = y.a AND x.kb < y.kb),
+       |tri AS (SELECT t1, t2, t3 FROM wdg
+       |        JOIN arcs z ON z.a = wdg.t2 AND z.b = wdg.t3),
+       |pn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |         SELECT t1 AS id FROM tri UNION ALL SELECT t2 FROM tri
+       |         UNION ALL SELECT t3 FROM tri) GROUP BY 1),
+       |ndt AS (SELECT DISTINCT src AS id FROM g)
+       |SELECT ndt.id AS vec_id, COALESCE(pn.n_tri, 0) AS n_tri
+       |FROM ndt LEFT JOIN pn ON pn.id = ndt.id
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> (triangles _),
+    "graph_hits" -> (hits _),
     "graph_pagerank" -> (pagerank _),
     "graph_ppr" -> (pprSeeded _),
     "dedup_canonical_rank" -> (canonicalRank _))
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles" -> trianglesSql,
+    "graph_hits" -> hitsSql,
     "graph_pagerank" -> pagerankSql,
     "graph_ppr" -> pprSeededSql,
     "dedup_canonical_rank" -> canonicalRankSql)

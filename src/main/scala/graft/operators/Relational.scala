@@ -613,7 +613,99 @@ object Relational {
       |WHERE win_hop >= 0 AND win_hop * 900000000000 + 3600000000000 > ts
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** INTERVAL (banded range) JOIN — click → purchase attribution: every
+    * (click, purchase) pair of the same user with the purchase inside
+    * the 6-hour window after the click. The naive form is a non-equi
+    * theta join (per-user quadratic under a sort-merge on user alone);
+    * this plans it as an EQUI-join via bucket blocking: bucket width ==
+    * band width, the click side replicates to buckets (b, b+1) and a
+    * purchase carries its single bucket, so a qualifying pair collides
+    * in exactly one (user, bucket) key and the shuffle is 2·|clicks| +
+    * |purchases| rows — never a per-user cross product. At 100 TB both
+    * sides hash-exchange on the composite key and AQE handles a hot
+    * bucket like any other skewed equi-join (salting composes, the
+    * q_skew_join pattern). Timestamp arithmetic is integer µs end to
+    * end (the events_asof discipline), band inclusive on both edges. */
+  val IntervalUs = 6L * 3600L * 1000000L // 6-hour attribution band
+
+  def eventsIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    intervalPairs(Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us")), IntervalUs)
+      .orderBy("click_id", "purchase_id")
+
+  /** The bucket-blocked core over any (event_id, user_id, event_type,
+    * ts_us) frame — injectable for the spec's planted-edge cases. */
+  private[graft] def intervalPairs(ev: DataFrame, bandUs: Long): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("c_us"),
+        explode(expr(s"array(ts_us div $bandUs, ts_us div $bandUs + 1)")).as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("p_us"), expr(s"ts_us div $bandUs").as("bucket"))
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("p_us") >= col("c_us") &&
+        col("p_us") - col("c_us") <= bandUs)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+  }
+
+  val eventsIntervalJoinSql: String =
+    s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       | c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       |FROM events c JOIN events p ON p.user_id = c.user_id
+       | AND c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND epoch_us(p.ts) >= epoch_us(c.ts)
+       | AND epoch_us(p.ts) - epoch_us(c.ts) <= $IntervalUs
+       |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** Integer-exact 3σ outlier flagging per event_type — the profiling
+    * pass a curation pipeline runs to quarantine anomalous rows before
+    * training. The test (v − μ)² > 9σ² is evaluated WITHOUT ever
+    * forming μ or σ: multiplying through by n² gives
+    * (n·vc − S)² > 9·(n·Q − S²) over the per-group count/sum/sum-of-
+    * squares (vc = value in cents), all products DECIMAL(38,0)-widened
+    * so nothing wraps at any corpus size — a pure integer inequality
+    * both engines evaluate identically, no IEEE division anywhere.
+    * Scale shape: one map-side-combined aggregate (3 longs per group),
+    * broadcast back, flagging is a codegen filter inside the scan. */
+  def eventsOutliers(s: SparkSession, dir: String): DataFrame =
+    outliersCore(Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc")))
+
+  /** The broadcast-stats core over any (event_id, event_type, vc)
+    * frame — injectable for the spec's planted distributions. */
+  private[graft] def outliersCore(e: DataFrame): DataFrame = {
+    val st = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("vc")).as("s"),
+      sum(expr("vc * vc")).as("q"))
+    e.join(broadcast(st), "event_type")
+      .withColumn("d", expr("cast(n as decimal(38,0)) * vc - s"))
+      .filter(expr(
+        "d * d > 9 * (cast(n as decimal(38,0)) * q - cast(s as decimal(38,0)) * s)"))
+      .select(col("event_id"), col("event_type"), col("vc"),
+        when(expr("d > 0"), 1).otherwise(0).as("is_high"))
+      .orderBy("event_id")
+  }
+
+  val eventsOutliersSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |             CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(vc) AS BIGINT) AS s, CAST(sum(vc*vc) AS BIGINT) AS q
+      |       FROM e GROUP BY 1)
+      |SELECT event_id, e.event_type, vc,
+      |  CAST(CASE WHEN n::HUGEINT * vc > s::HUGEINT THEN 1 ELSE 0 END AS INT) AS is_high
+      |FROM e JOIN st ON st.event_type = e.event_type
+      |WHERE (n::HUGEINT * vc - s) * (n::HUGEINT * vc - s)
+      |      > 9 * (n::HUGEINT * q - s::HUGEINT * s)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_join" -> (eventsIntervalJoin _),
+    "events_outliers" -> (eventsOutliers _),
     "events_sliding" -> (eventsSliding _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_props_json" -> (eventsPropsJson _),
@@ -640,6 +732,8 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_interval_join" -> eventsIntervalJoinSql,
+    "events_outliers" -> eventsOutliersSql,
     "events_sliding" -> eventsSlidingSql,
     "events_value_quantiles" -> eventsValueQuantilesSql,
     "events_props_json" -> eventsPropsJsonSql,

@@ -1018,6 +1018,83 @@ object StreamingQueries {
     out.orderBy("qid", "rank")
   }
 
+  /** Streaming HyperLogLog registers per event_type — the O(m)-state
+    * profiling sketch run LIVE: a complete-mode aggregation keyed by
+    * (group, register) keeps ONE max-ρ long per cell, so the state
+    * store holds ≤ m = 64 longs per group forever no matter how many
+    * members stream through (the stream_kmv discipline: the exact
+    * distinct count would grow state without bound, so the streamed
+    * operator carries only the sketch). MAX is order-independent, so
+    * the drained grid — finalized through the SAME hllFinalize
+    * arithmetic as the batch operator — matches the batch sketch
+    * bit-for-bit at any chunking. */
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)].collect().sortBy(r => (r._2, r._1))
+    val out = drain(s, split3(rows), "complete", sinkName("stream_hll")) { ds =>
+      ds.toDF("event_type", "user_id")
+        .select(col("event_type"),
+          shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+            concat(lit("hll:"), col("user_id").cast("string"))), 1).as("h"))
+        .select(col("event_type"), expr(s"h % ${Sketches.HllM}").as("j"),
+          expr("shiftright(h, 6)").as("w"))
+        .groupBy("event_type", "j")
+        .agg(max(when(col("w") === 0L, 58L)
+          .otherwise(lit(58L) - length(bin(col("w"))))).as("m"))
+    }
+    // re-materialize the (tiny: ≤ groups·m rows) drained grid — the
+    // memory-sink view can't self-join inside hllFinalize (conflicting
+    // attribute refs in the groups×registers fill-in)
+    val grid = out.as[(String, Long, Long)].collect().toSeq
+      .toDF("event_type", "j", "m")
+    Sketches.hllFinalize(s, grid).orderBy("event_type")
+  }
+
+  /** Stream-stream INTERVAL JOIN — the Structured Streaming native
+    * form of events_interval_join: clicks and purchases arrive as two
+    * event-time streams (two filters of one source), each watermarked,
+    * inner-joined on user equality plus the 6-hour band expressed as a
+    * timestamp range condition. This is Spark's symmetric stateful
+    * stream-stream join: the band + watermark tell the state store
+    * exactly how long each side must be retained (a click can still
+    * match until the watermark passes its ts + band; a purchase only
+    * until the watermark passes its ts), so state is bounded by the
+    * band's worth of events per side — the production attribution-join
+    * shape at any scale. An inner join emits every qualifying pair
+    * exactly once as it materializes, independent of chunking, and
+    * arrival here is time-ordered (a stream's natural shape — nothing
+    * is late), so the drained table equals the batch bucket-blocked
+    * operator bit-for-bit and the SAME DuckDB twin grades both. */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._3, r._1))
+    val out = drain(s, split3(rows), "append", sinkName("stream_interval_join")) { ds =>
+      val base = ds.toDF("event_id", "user_id", "ts_us", "event_type")
+        .withColumn("ets", timestamp_micros(col("ts_us")))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ets").as("c_ts"), col("ts_us").as("c_us"))
+        .withWatermark("c_ts", "10 minutes")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ets").as("p_ts"), col("ts_us").as("p_us"))
+        .withWatermark("p_ts", "10 minutes")
+      clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+    }
+    out.orderBy("click_id", "purchase_id")
+  }
+
   private def ingestSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
        |           FROM embeddings)
@@ -1045,7 +1122,9 @@ object StreamingQueries {
     "stream_bm25_ingest" -> (streamBm25Ingest _),
     "stream_nsw_ingest" -> (streamNswIngest _),
     "stream_nsw_incremental" -> (streamNswIncremental _),
-    "stream_maxsim" -> (streamMaxsim _))
+    "stream_maxsim" -> (streamMaxsim _),
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_hll" -> (streamHll _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -1071,6 +1150,10 @@ object StreamingQueries {
     m += "stream_bm25_ingest" -> graft.operators.Bm25.bm25SearchSql
     // streaming == batch maxsim bit-equal (same max/sum/tie arithmetic)
     m += "stream_maxsim" -> graft.operators.MultiVector.maxsimSql
+    // stream-stream band join == batch bucket-blocked interval join
+    m += "stream_interval_join" -> Relational.eventsIntervalJoinSql
+    // bounded-state register sketch only — exact count deliberately absent
+    m += "stream_hll" -> Sketches.sketchHllStreamSql
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
     if (lastStreamIvfCodedCentroids != null)
