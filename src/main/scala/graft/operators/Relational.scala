@@ -703,7 +703,107 @@ object Relational {
       |      > 9 * (n::HUGEINT * q - s::HUGEINT * s)
       |ORDER BY event_id""".stripMargin
 
+  /** Time-series GAP FILLING — densify the hourly count series so every
+    * (event_type, hour) in the corpus span is present, zeros included:
+    * the densification every downstream time-series consumer (charting,
+    * anomaly windows, forecasting joins) needs, and one a plain GROUP
+    * BY cannot produce (absent hours simply vanish). The dense grid is
+    * DIMENSION-bounded (types × hours), never corpus-bounded — the
+    * corpus-sized stage stays one map-side-combined count; the grid
+    * generates from the global [min, max] hour via one broadcast-able
+    * 2-row aggregate and a sequence explode, then left-joins the
+    * counts. Integer-ns hour bucketing end to end. */
+  def eventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), expr("ts div 3600000000000").as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val span = ev.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), expr("h * 3600").as("hour_start_s"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_start_s")
+  }
+
+  val eventsGapfillSql: String =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS h FROM events),
+      |c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+      |sp AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+      |grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+      |         FROM (SELECT DISTINCT event_type FROM e) CROSS JOIN sp)
+      |SELECT grid.event_type, grid.h * 3600 AS hour_start_s,
+      |  COALESCE(c.n, 0) AS n
+      |FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.h = grid.h
+      |ORDER BY 1, 2""".stripMargin
+
+  /** ROBUST (median/MAD) outlier flagging — the resistant sibling of
+    * events_outliers: a single extreme inflates the mean AND the σ it
+    * is tested against (masking), while the median and the median
+    * absolute deviation ignore any minority of wild values. Flag iff
+    * |vc − median| > 3·MAD — every quantity a LONG (the median and MAD
+    * land on actual data values via the events_value_quantiles
+    * 1-based ceil(n/2) index over a (value, id)-deterministic sort),
+    * so the test is a pure integer comparison, no scaling, no IEEE
+    * anything. Two per-group sorted passes (values, then deviations) —
+    * the exact profiling form; at 100 TB the sampled-quantile sketch
+    * bounds the same medians at p·n cost. */
+  def eventsAnomalyMad(s: SparkSession, dir: String): DataFrame =
+    madCore(Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc")))
+
+  /** The median/MAD core over any (event_id, event_type, vc) frame —
+    * injectable for the spec's planted masking scenario. */
+  private[graft] def madCore(e: DataFrame): DataFrame = {
+    def medianOf(in: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col(valueCol).asc, col("event_id").asc)
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(sum(when(col("rn") === expr("(cnt + 1) div 2"), col(valueCol))).as(out))
+    }
+    val med = medianOf(e, "vc", "med")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dv", abs(col("vc") - col("med")))
+    val mad = medianOf(dev, "dv", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dv") > expr("3 * mad"))
+      .select(col("event_id"), col("event_type"), col("vc"),
+        col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
+  val eventsAnomalyMadSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |             CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |rv AS (SELECT event_type, vc,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY vc ASC, event_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+      |med AS (SELECT event_type,
+      |          CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN vc END) AS BIGINT) AS med
+      |        FROM rv GROUP BY 1),
+      |dv AS (SELECT e.event_id, e.event_type, e.vc, med.med,
+      |         abs(e.vc - med.med) AS dv
+      |       FROM e JOIN med ON med.event_type = e.event_type),
+      |rd AS (SELECT event_type, dv,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY dv ASC, event_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS cnt FROM dv),
+      |mad AS (SELECT event_type,
+      |          CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN dv END) AS BIGINT) AS mad
+      |        FROM rd GROUP BY 1)
+      |SELECT dv.event_id, dv.event_type, dv.vc, dv.med, mad.mad
+      |FROM dv JOIN mad ON mad.event_type = dv.event_type
+      |WHERE dv.dv > 3 * mad.mad
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gapfill" -> (eventsGapfill _),
+    "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_interval_join" -> (eventsIntervalJoin _),
     "events_outliers" -> (eventsOutliers _),
     "events_sliding" -> (eventsSliding _),
@@ -732,6 +832,8 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_gapfill" -> eventsGapfillSql,
+    "events_anomaly_mad" -> eventsAnomalyMadSql,
     "events_interval_join" -> eventsIntervalJoinSql,
     "events_outliers" -> eventsOutliersSql,
     "events_sliding" -> eventsSlidingSql,

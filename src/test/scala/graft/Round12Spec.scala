@@ -91,6 +91,32 @@ class Round12Spec extends SparkTestBase {
     assert(got == Seq((999L, 0)), s"expected only the planted low outlier: $got")
   }
 
+  test("gap filling: every type carries the full hour span, zeros included, counts conserved") {
+    val rows = Relational.eventsGapfill(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    val types = rows.map(_._1).distinct
+    val spanSizes = types.map(t => rows.count(_._1 == t)).distinct
+    assert(spanSizes.size == 1, s"types cover different spans: $spanSizes")
+    assert(rows.exists(_._3 == 0L), "no zero-filled hour — the fill is vacuous here")
+    val total = rows.map(_._3).sum
+    val nEvents = Tables.load(spark, sfDir, "events").count()
+    assert(total == nEvents, s"gap fill changed the total count: $total vs $nEvents")
+  }
+
+  test("MAD flags the contaminated block that 3-sigma masking hides") {
+    // 100 tight values + 20 moderate extremes: the extremes inflate σ
+    // enough to hide themselves (classic masking), but median/MAD are
+    // untouched by a 1/6 minority
+    val base = (1L to 100L).map(i => (i, "t", 100L + (i % 3) - 1L))
+    val planted = (101L to 120L).map(i => (i, "t", 30000L))
+    val e = (base ++ planted).toDF("event_id", "event_type", "vc")
+    val sigma = Relational.outliersCore(e).as[(Long, String, Long, Int)].collect()
+    assert(sigma.isEmpty, s"3-sigma unexpectedly caught the masked block: ${sigma.toSeq}")
+    val mad = Relational.madCore(e)
+      .select("event_id").as[Long].collect().toSet
+    assert(mad == (101L to 120L).toSet, s"MAD flags wrong: $mad")
+  }
+
   // ----------------------------------------------------------- hll
 
   test("HLL registers fold across shards by cellwise max (mergeability)") {
