@@ -101,19 +101,27 @@ object GraphRank {
        |nc AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS c FROM g)""".stripMargin
   }
 
+  /** edgeCtes with the (expensive, multi-referenced) graph CTE pinned
+    * MATERIALIZED so inlining planners evaluate the n² scoring once. */
+  private lazy val edgeCtesMat: String =
+    edgeCtes.replace("g AS (", "g AS MATERIALIZED (")
+
   private[graft] lazy val pagerankCtes: String = {
+    // r_i feeds both the next contribution join and the next rank row
+    // set — MATERIALIZED, or an inlining planner re-evaluates the
+    // chain (and the n² edge derivation under it) exponentially in T
     val iters = (1 to T).map { i =>
       s"""c$i AS (SELECT g.dst, r${i - 1}.r // $G AS c
          |        FROM g JOIN r${i - 1} ON r${i - 1}.id = g.src),
          |s$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS insum FROM c$i GROUP BY dst),
-         |r$i AS (SELECT r${i - 1}.id,
+         |r$i AS MATERIALIZED (SELECT r${i - 1}.id,
          |          (15 * ${Scale}::BIGINT) // (100 * nc.c)
          |            + (85 * COALESCE(s$i.insum, 0)) // 100 AS r
          |        FROM r${i - 1} CROSS JOIN nc
          |        LEFT JOIN s$i ON s$i.dst = r${i - 1}.id)""".stripMargin
     }.mkString(",\n")
-    s"""$edgeCtes,
-       |r0 AS (SELECT DISTINCT src AS id, ${Scale}::BIGINT // nc.c AS r
+    s"""$edgeCtesMat,
+       |r0 AS MATERIALIZED (SELECT DISTINCT src AS id, ${Scale}::BIGINT // nc.c AS r
        |       FROM g CROSS JOIN nc),
        |$iters""".stripMargin
   }
@@ -170,16 +178,16 @@ object GraphRank {
       s"""pc$i AS (SELECT g.dst, p${i - 1}.r // $G AS c
          |        FROM g JOIN p${i - 1} ON p${i - 1}.id = g.src),
          |ps$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS insum FROM pc$i GROUP BY dst),
-         |p$i AS (SELECT p${i - 1}.id,
+         |p$i AS MATERIALIZED (SELECT p${i - 1}.id,
          |          CASE WHEN p${i - 1}.id < $Seeds
          |               THEN (15 * ${Scale}::BIGINT) // (100 * sn.c) ELSE 0 END
          |            + (85 * COALESCE(ps$i.insum, 0)) // 100 AS r
          |        FROM p${i - 1} CROSS JOIN sn
          |        LEFT JOIN ps$i ON ps$i.dst = p${i - 1}.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgeCtes,
+    s"""WITH $edgeCtesMat,
        |sn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS c FROM g WHERE src < $Seeds),
-       |p0 AS (SELECT DISTINCT src AS id,
+       |p0 AS MATERIALIZED (SELECT DISTINCT src AS id,
        |         CASE WHEN src < $Seeds THEN ${Scale}::BIGINT // sn.c ELSE 0 END AS r
        |       FROM g CROSS JOIN sn),
        |$iters
@@ -296,24 +304,27 @@ object GraphRank {
   }
 
   val hitsSql: String = {
+    // af/hf feed both the max and the rescale — MATERIALIZED, or an
+    // inlining planner re-evaluates the whole 2-ref chain (and the
+    // corpus-sized edge derivation under it) exponentially in T
     val iters = (1 to HitsT).map { i =>
       s"""ar$i AS (SELECT g.dst AS id, CAST(sum(hh${i - 1}.r) AS BIGINT) AS raw
          |         FROM g JOIN hh${i - 1} ON hh${i - 1}.id = g.src GROUP BY 1),
-         |af$i AS (SELECT nd.id, COALESCE(ar$i.raw, 0) AS raw
+         |af$i AS MATERIALIZED (SELECT nd.id, COALESCE(ar$i.raw, 0) AS raw
          |         FROM nd LEFT JOIN ar$i ON ar$i.id = nd.id),
          |am$i AS (SELECT max(raw) AS mx FROM af$i),
-         |aa$i AS (SELECT id, CAST((raw::HUGEINT * $Scale) // mx AS BIGINT) AS r
+         |aa$i AS MATERIALIZED (SELECT id, CAST((raw::HUGEINT * $Scale) // mx AS BIGINT) AS r
          |         FROM af$i CROSS JOIN am$i),
          |hr$i AS (SELECT g.src AS id, CAST(sum(aa$i.r) AS BIGINT) AS raw
          |         FROM g JOIN aa$i ON aa$i.id = g.dst GROUP BY 1),
-         |hf$i AS (SELECT nd.id, COALESCE(hr$i.raw, 0) AS raw
+         |hf$i AS MATERIALIZED (SELECT nd.id, COALESCE(hr$i.raw, 0) AS raw
          |         FROM nd LEFT JOIN hr$i ON hr$i.id = nd.id),
          |hm$i AS (SELECT max(raw) AS mx FROM hf$i),
-         |hh$i AS (SELECT id, CAST((raw::HUGEINT * $Scale) // mx AS BIGINT) AS r
+         |hh$i AS MATERIALIZED (SELECT id, CAST((raw::HUGEINT * $Scale) // mx AS BIGINT) AS r
          |         FROM hf$i CROSS JOIN hm$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgeCtes,
-       |nd AS (SELECT DISTINCT src AS id FROM g),
+    s"""WITH $edgeCtesMat,
+       |nd AS MATERIALIZED (SELECT DISTINCT src AS id FROM g),
        |hh0 AS (SELECT id, ${Scale}::BIGINT AS r FROM nd),
        |$iters
        |SELECT nd.id AS vec_id, hh$HitsT.r AS hub_scaled, aa$HitsT.r AS auth_scaled
@@ -374,18 +385,18 @@ object GraphRank {
   }
 
   val trianglesSql: String =
-    s"""WITH $edgeCtes,
-       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+    s"""WITH $edgeCtesMat,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
        |dgt AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
        |         SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
        |wk AS (SELECT u, v, du.dg * 8589934592 + u AS ku, dv.dg * 8589934592 + v AS kv
        |       FROM und JOIN dgt du ON du.id = u JOIN dgt dv ON dv.id = v),
-       |arcs AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS a,
+       |arcs AS MATERIALIZED (SELECT CASE WHEN ku < kv THEN u ELSE v END AS a,
        |                CASE WHEN ku < kv THEN v ELSE u END AS b,
        |                CASE WHEN ku < kv THEN kv ELSE ku END AS kb FROM wk),
        |wdg AS (SELECT x.a AS t1, x.b AS t2, y.b AS t3
        |        FROM arcs x JOIN arcs y ON x.a = y.a AND x.kb < y.kb),
-       |tri AS (SELECT t1, t2, t3 FROM wdg
+       |tri AS MATERIALIZED (SELECT t1, t2, t3 FROM wdg
        |        JOIN arcs z ON z.a = wdg.t2 AND z.b = wdg.t3),
        |pn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
        |         SELECT t1 AS id FROM tri UNION ALL SELECT t2 FROM tri

@@ -748,8 +748,109 @@ object IvfIndex {
       |  count(*) AS n_vectors, CAST(16 AS INT) AS nlist, CAST(1 AS INT) AS version
       |FROM embeddings""".stripMargin
 
+  /** RECALL-vs-NPROBE sweep — the tuning table every IVF deployment
+    * reads before fixing its probe budget: for nprobe ∈ {1, 2, 4},
+    * route the query set, exact-rerank the probed candidates, and
+    * count the overlap with the TRUE exact top-k per query. Output is
+    * all integers (per-query overlap count + a ppm recall off one
+    * integral division), so the accuracy table grades bit-exactly even
+    * though the underlying ranking is IEEE cosine — the same
+    * rank-replay discipline every graded IVF query already uses; the
+    * exact reference runs through the engine's own serving plan
+    * (plans.VectorTopK). One assignment pass shared across all sweep
+    * points; each point adds only its probe join. */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4)
+  @volatile private var lastSweepCentroids: Array[Array[Double]] = _
+
+  def ivfRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val k = VectorSearch.K
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    lastSweepCentroids = centroids
+    val assigned = assign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = graft.plans.VectorTopK.topK(emb, queries, k)
+      .select(col("qid"), col("vec_id"))
+    val qRows = queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+    val perNp = SweepProbes.map { np =>
+      val probes = qRows.flatMap { r =>
+        nearestN(centroids, r.getSeq[Double](1).toArray, np).map(c => (r.getLong(0), c))
+      }
+      val probeDf = s.createDataFrame(
+        s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+      val cand = assigned.join(probeDf, "centroid")
+      val scored = cand.join(queries.select(col("vec_id").as("qid"),
+          col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
+        .withColumn("score",
+          graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+      val top = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k).select("qid", "vec_id")
+      val counts = top.groupBy("qid").agg(count(lit(1)).as("n_ivf"))
+      val overlap = top.join(exact, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      counts.join(overlap, Seq("qid"), "left")
+        .select(lit(np).as("nprobe"), col("qid"), col("n_ivf"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    }
+    perNp.reduce(_ unionAll _)
+      .withColumn("recall_ppm", expr(s"n_overlap * 1000000 div $k"))
+      .orderBy("nprobe", "qid")
+  }
+
+  private def sweepSql(centroids: Array[Array[Double]]): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val nlist = centroids.length
+    val per = SweepProbes.map { np =>
+      s"""pr$np AS (SELECT qid, c FROM (
+         |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
+         |   FROM pe) WHERE rn <= $np),
+         |s$np AS (SELECT p.qid, e.vec_id,
+         |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+         |      FROM pr$np p JOIN a e ON e.centroid = p.c
+         |      JOIN q ON q.qid = p.qid
+         |      JOIN nrm n ON n.vec_id = e.vec_id),
+         |t$np AS (SELECT qid, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+         |   FROM s$np) WHERE rnk <= $k),
+         |c$np AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ivf FROM t$np GROUP BY 1),
+         |o$np AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+         |         FROM t$np t JOIN ex ON ex.qid = t.qid AND ex.vec_id = t.vec_id
+         |         GROUP BY 1),
+         |r$np AS (SELECT CAST($np AS INT) AS nprobe, c$np.qid, n_ivf,
+         |           COALESCE(o$np.n_overlap, 0) AS n_overlap
+         |         FROM c$np LEFT JOIN o$np ON o$np.qid = c$np.qid)""".stripMargin
+    }.mkString(",\n")
+    val unions = SweepProbes.map(np => s"SELECT * FROM r$np").mkString(" UNION ALL ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
+       |pe AS (SELECT vec_id AS qid, unnest(dl) AS dist, unnest(range(0, $nlist)) AS c
+       |       FROM d WHERE vec_id < $nq),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id WHERE e.vec_id < $nq),
+       |sx AS (SELECT q.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM q CROSS JOIN embeddings e JOIN nrm n ON n.vec_id = e.vec_id),
+       |ex AS (SELECT qid, vec_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |   FROM sx) WHERE rnk <= $k),
+       |$per
+       |SELECT nprobe, qid, n_ivf, n_overlap,
+       |  (n_overlap * 1000000) // $k AS recall_ppm
+       |FROM ($unions) ORDER BY nprobe, qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("ivf_search" -> (ivfSearch _),
+      "ivf_recall_sweep" -> (ivfRecallSweep _),
       "index_config" -> (indexConfig _),
       "ivf_search_mllib" -> (ivfSearchMLlib _),
       "ivf_adaptive" -> (ivfAdaptive _),
@@ -811,6 +912,7 @@ object IvfIndex {
     val m = Map.newBuilder[String, String]
     m += "index_config" -> indexConfigSql
     if (lastIvfCentroids != null) m += "ivf_search" -> ivfSql(lastIvfCentroids, 4)
+    if (lastSweepCentroids != null) m += "ivf_recall_sweep" -> sweepSql(lastSweepCentroids)
     if (lastMllibCentroids != null) m += "ivf_search_mllib" -> ivfSql(lastMllibCentroids, 4)
     if (lastSaveLoadCentroids != null)
       m += "index_save_load" -> ivfSql(lastSaveLoadCentroids, 4)

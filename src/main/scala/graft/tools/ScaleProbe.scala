@@ -660,6 +660,100 @@ object ScaleProbe {
       val s0 = (System.nanoTime() - t0) / 1e9
       println(f"[scale] k-center k=8 over $n%d × 64-d: $s0%.2f s (${7 * n / s0 / 1e6}%.1f M dist-rows/s), radius ${trace.last.getDouble(2)}%.3f")
     }
+    // Degree-oriented triangle counting on a 1M-node × 10-edge hash
+    // graph (≈10M directed edges): wedge volume is the scale risk —
+    // the (deg, id) orientation bounds it by Σ outdeg², reported
+    // beside wall time.
+    if (wanted("triangles")) {
+      val deg = 10
+      val edges = spark.range(n).select(col("id").as("src"),
+          explode(expr(s"transform(sequence(0, ${deg - 1}), j -> " +
+            s"pmod(hash(id * 31 + j * 7), ${n}L))")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val tot = graft.operators.GraphRank.trianglesOverEdges(edges)
+        .agg(sum("n_tri")).collect()(0).getLong(0)
+      println(f"[scale] triangles (${n / 1e6}%.0fM nodes × $deg edges, degree-oriented): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, ${tot / 3} triangles")
+    }
+
+    // HITS at the pagerank probe's scale: T=3 full hub/auth rounds =
+    // 12 corpus-sized joins/aggregates + 12 one-row max reduces.
+    if (wanted("hits")) {
+      val deg = 10
+      val edges = spark.range(n).select(col("id").as("src"),
+          explode(expr(s"transform(sequence(0, ${deg - 1}), j -> " +
+            s"pmod(hash(id * 31 + j * 7), ${n}L))")).as("dst"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      graft.operators.GraphRank.hitsOverEdges(edges).count()
+      println(f"[scale] hits ${graft.operators.GraphRank.HitsT} iters over " +
+        f"${n / 1e6}%.0fM nodes × $deg edges: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // Interval join at 20M events / 10k users: the bucket-blocked form
+    // at full size, the naive theta join only on a 1/20 slice (its
+    // per-user quadratic would melt at full size — that's the point).
+    if (wanted("intervaljoin")) {
+      val nEv = 20000000L
+      val band = 3600000000L // 1h in µs
+      val ev = spark.range(nEv).select(col("id").as("event_id"),
+          pmod(xxhash64(col("id")), lit(10000L)).as("user_id"),
+          (when(pmod(col("id"), lit(2L)) === 0, "click").otherwise("purchase")).as("event_type"),
+          pmod(xxhash64(col("id") + 7), lit(30L * 24 * 3600 * 1000000L)).as("ts_us"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val nPairs = graft.operators.Relational.intervalPairs(ev, band).count()
+      println(f"[scale] interval join BLOCKED (20M events, 10k users, 1h band): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, $nPairs pairs")
+      val slice = ev.filter(col("user_id") < 500)
+      val c = slice.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts_us").as("cus"))
+      val p = slice.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts_us").as("pus"))
+      val t1 = System.nanoTime()
+      c.join(p, col("cu") === col("pu") && col("pus") >= col("cus") &&
+          col("pus") - col("cus") <= band).count()
+      println(f"[scale] interval join NAIVE theta (1/20 user slice only): " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s — per-user quadratic, melts at full size")
+    }
+
+    // HLL vs KMV vs count(DISTINCT) on the 50M-row high-cardinality
+    // regime: the HLL shuffle is ≤64 (group, register) longs per
+    // partition — same bound as KMV, with a cheaper per-row update.
+    if (wanted("hll")) {
+      val rows = spark.range(50000000L).select(
+        pmod(col("id"), lit(32L)).as("g"),
+        xxhash64(col("id")).as("v"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      rows.select(col("g").cast("string").as("event_type"),
+          shiftrightunsigned(xxhash64(col("v")), 1).as("h"))
+        .select(col("event_type"), expr(s"h % ${graft.operators.Sketches.HllM}").as("j"),
+          expr("shiftright(h, 6)").as("w"))
+        .groupBy("event_type", "j")
+        .agg(max(when(col("w") === 0L, 58L)
+          .otherwise(lit(58L) - length(bin(col("w"))))).as("m"))
+        .count()
+      println(f"[scale] hll registers (50M rows, 32 groups): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // PMI collocations over the 20M-token synthetic corpus: one
+    // tokenize + one bigram count; marginals and total derive from the
+    // count table (vocabulary-sized, not corpus-sized).
+    if (wanted("collocations")) {
+      val docs = spark.range(200000L).select(
+        array_join(expr(
+          """transform(sequence(0, 99), j ->
+            |  concat('w', pmod(hash(id * 101 + j), 50000) % (1 + pmod(hash(id + j), 317))))"""
+            .stripMargin), " ").as("text"))
+        .repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      graft.operators.DataMix.collocationsOn(docs).count()
+      val s0 = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] collocations top-20 (20M tokens, 50k vocab): $s0%.2f s (${20e6 / s0 / 1e6}%.1f M tokens/s)")
+    }
     spark.stop()
   }
 }

@@ -206,6 +206,21 @@ class Round12Spec extends SparkTestBase {
       s"collocation table wrong: $got")
   }
 
+  // --------------------------------------------------- recall sweep
+
+  test("IVF recall sweep: recall is monotone in nprobe and self-match is always found") {
+    val rows = operators.IvfIndex.ivfRecallSweep(spark, sfDir)
+      .select("nprobe", "qid", "n_overlap").as[(Int, Long, Long)].collect()
+    val byQid = rows.groupBy(_._2)
+    byQid.foreach { case (qid, rs) =>
+      val m = rs.map(r => r._1 -> r._3).toMap
+      assert(m(1) <= m(2) && m(2) <= m(4),
+        s"qid $qid: overlap not monotone in nprobe: $m")
+      assert(m(1) >= 1, s"qid $qid: self-match missing at nprobe=1")
+    }
+    assert(byQid.nonEmpty)
+  }
+
   // ---------------------------------------------------------- hits
 
   test("HITS on a planted star: the hub center tops hubs, the leaves top authorities") {
