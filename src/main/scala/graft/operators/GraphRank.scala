@@ -283,15 +283,23 @@ object GraphRank {
     def step(df: DataFrame): DataFrame = if (big) df.localCheckpoint(true) else df
     val nodes = step(edges.select(col("src").as("id")).distinct())
     // one half-step: raw in-sums over `key` (dst for auth, src for hub),
-    // missing nodes at 0, then fixed-point max-rescale
+    // missing nodes at 0, then fixed-point max-rescale. The max is a
+    // PLAN-SIDE broadcast cross join (the twin's own structure), NOT a
+    // driver action — a mid-loop action per half-step would re-execute
+    // the un-truncated chain quadratically in T on small graphs where
+    // the superstep checkpoint is off.
     def half(score: DataFrame, key: String, other: String): DataFrame = {
       val raw = edges.join(score.withColumnRenamed("id", other), other)
         .groupBy(col(key).as("id")).agg(sum("r").as("raw"))
+      // the rescale references `full` twice (max side + value side):
+      // LAZY localCheckpoint shares one evaluation and truncates the
+      // lineage without scheduling an extra job per half-step
       val full = nodes.join(raw, Seq("id"), "left")
         .withColumn("raw", coalesce(col("raw"), lit(0L)))
-      val mx = full.agg(max("raw")).head().getLong(0)
-      step(full.select(col("id"),
-        expr(s"cast(cast(raw as decimal(38,0)) * $Scale div $mx as long)").as("r")))
+        .localCheckpoint(false)
+      step(full.crossJoin(broadcast(full.agg(max("raw").as("mx"))))
+        .select(col("id"),
+          expr(s"cast(cast(raw as decimal(38,0)) * $Scale div mx as long)").as("r")))
     }
     var hub = step(nodes.withColumn("r", lit(Scale)))
     var auth = hub
