@@ -206,6 +206,146 @@ class Round12Spec extends SparkTestBase {
       s"collocation table wrong: $got")
   }
 
+  // -------------------------------------- random-input property armor
+
+  test("random events: blocked interval join == driver brute force") {
+    val rng = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val n = 200 + rng.nextInt(200)
+      val rows = (0 until n).map { i =>
+        (i.toLong, rng.nextInt(20).toLong,
+          if (rng.nextBoolean()) "click" else "purchase",
+          math.abs(rng.nextLong()) % 100000000L)
+      }
+      val band = 1000000L + rng.nextInt(5000000).toLong
+      val got = Relational.intervalPairs(
+          rows.toDF("event_id", "user_id", "event_type", "ts_us"), band)
+        .select("click_id", "purchase_id", "gap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ci, cu, ct, cts) <- rows if ct == "click"
+        (pi, pu, pt, pts) <- rows
+        if pt == "purchase" && pu == cu && pts >= cts && pts - cts <= band
+      } yield (ci, pi, pts - cts)).toSet
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
+  test("random graphs: triangle counts == driver brute force") {
+    val rng = new scala.util.Random(88)
+    for (trial <- 1 to 5) {
+      val nv = 20 + rng.nextInt(30)
+      val edges = (0 until nv * 3)
+        .map(_ => (rng.nextInt(nv).toLong, rng.nextInt(nv).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = GraphRank.trianglesOverEdges(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val vs = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val cnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        i <- vs; j <- vs if i < j; k <- vs if j < k
+        if und((i, j)) && und((j, k)) && und((i, k))
+      } { cnt(i) += 1; cnt(j) += 1; cnt(k) += 1 }
+      val want = edges.map(_._1).distinct.map(v => v -> cnt(v)).toMap
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("random graphs: Spark HITS == driver integer fixed-point replay") {
+    val rng = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val nv = 15 + rng.nextInt(20)
+      val edges = (0 until nv * 3)
+        .map(_ => (rng.nextInt(nv).toLong, rng.nextInt(nv).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = GraphRank.hitsOverEdges(edges.toDF("src", "dst"))
+        .select("id", "hub_scaled", "auth_scaled")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      // driver replay: same node set (distinct src), same integer ops
+      val nodes = edges.map(_._1).distinct
+      var hub = nodes.map(_ -> GraphRank.Scale).toMap
+      var auth = Map.empty[Long, Long]
+      def halfStep(score: Map[Long, Long], gatherByDst: Boolean): Map[Long, Long] = {
+        val raw = nodes.map { v =>
+          v -> edges.collect {
+            case (s, d) if gatherByDst && d == v && score.contains(s) => score(s)
+            case (s, d) if !gatherByDst && s == v && score.contains(d) => score(d)
+          }.sum
+        }.toMap
+        val mx = raw.values.max
+        raw.map { case (v, r) =>
+          v -> (BigInt(r) * GraphRank.Scale / mx).toLong }
+      }
+      for (_ <- 1 to GraphRank.HitsT) {
+        auth = halfStep(hub, gatherByDst = true)
+        hub = halfStep(auth, gatherByDst = false)
+      }
+      val want = nodes.map(v => v -> (hub(v), auth(v))).toMap
+      assert(got == want, s"trial $trial: HITS diverged from the integer replay")
+    }
+  }
+
+  test("random values: sigma and MAD flaggers == driver brute force") {
+    val rng = new scala.util.Random(111)
+    for (trial <- 1 to 5) {
+      val n = 50 + rng.nextInt(100)
+      val rows = (1 to n).map(i =>
+        (i.toLong, "g" + rng.nextInt(3), rng.nextInt(10000).toLong))
+      val df = rows.toDF("event_id", "event_type", "vc")
+      val gotS = Relational.outliersCore(df)
+        .select("event_id").as[Long].collect().toSet
+      val gotM = Relational.madCore(df)
+        .select("event_id").as[Long].collect().toSet
+      val byG = rows.groupBy(_._2)
+      val wantS = byG.values.flatMap { g =>
+        val nn = BigInt(g.size); val s = BigInt(g.map(_._3).sum)
+        val q = BigInt(g.map(v => v._3 * v._3).sum)
+        g.collect { case (id, _, vc) if {
+          val d = nn * vc - s
+          d * d > 9 * (nn * q - s * s)
+        } => id }
+      }.toSet
+      val wantM = byG.values.flatMap { g =>
+        val sorted = g.sortBy(r => (r._3, r._1))
+        val med = sorted((g.size + 1) / 2 - 1)._3
+        val devs = g.map(r => (r._1, math.abs(r._3 - med))).sortBy(r => (r._2, r._1))
+        val mad = devs((g.size + 1) / 2 - 1)._2
+        g.collect { case (id, _, vc) if math.abs(vc - med) > 3 * mad => id }
+      }.toSet
+      assert(gotS == wantS, s"trial $trial sigma: got $gotS want $wantS")
+      assert(gotM == wantM, s"trial $trial mad: got $gotM want $wantM")
+    }
+  }
+
+  test("random ids: HLL registers and estimate == driver md5 replay") {
+    val rng = new scala.util.Random(123)
+    for (trial <- 1 to 3) {
+      val ids = (0 until 500 + rng.nextInt(500)).map(_ => math.abs(rng.nextLong()) % 100000L)
+      val df = ids.map(u => ("g", u)).toDF("event_type", "user_id")
+      val got = Sketches.hllTable(spark, df)
+        .select("n_exact", "v_zero", "sum_rho", "wsum_rho", "est_hll")
+        .as[(Long, Long, Long, Long, Long)].head()
+      // driver replay off the same md5 basis
+      val regs = Array.fill[Long](Sketches.HllM)(0L)
+      ids.distinct.foreach { u =>
+        val h = graft.functions.TextHash.md5Lower64(s"hll:$u".getBytes("UTF-8")) >>> 1
+        val j = (h % Sketches.HllM).toInt
+        val w = h >> 6
+        val rho = if (w == 0) 58L else 58L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val vZero = regs.count(_ == 0L).toLong
+      val sumRho = regs.sum
+      val wsumRho = regs.zipWithIndex.map { case (m, j) => (j + 1) * m }.sum
+      val sden = regs.map(m => BigInt(1) << (58 - m.toInt)).sum
+      val est = (BigInt(Sketches.HllAlphaPpm * Sketches.HllM * Sketches.HllM) *
+        (BigInt(1) << 58) / sden / 1000000).toLong
+      assert(got == ((ids.distinct.size.toLong, vZero, sumRho, wsumRho, est)),
+        s"trial $trial: got $got want (${ids.distinct.size}, $vZero, $sumRho, $wsumRho, $est)")
+    }
+  }
+
   // --------------------------------------------------- recall sweep
 
   test("IVF recall sweep: recall is monotone in nprobe and self-match is always found") {
