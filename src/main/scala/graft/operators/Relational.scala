@@ -282,6 +282,31 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE — all four grouping sets of (returnflag, linestatus) in one
+    * pass (rollup covers only the prefix chain): the full
+    * cross-classification report a profiling pass emits, with an
+    * explicit integer `grp` = GROUPING_ID distinguishing a NULL group
+    * key from the NULL that means "aggregated over" — the table-stake
+    * q_rollup's prefix hierarchy can't express. Spark plans cube as ONE
+    * Expand + one aggregate (4× the map-side rows, map-side combined,
+    * never 4 scans). */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("grp"),
+        sum(cents("l_extendedprice")).as("rev_cents"), count(lit(1)).as("n"))
+      .orderBy(col("grp").asc,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY grp ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** TPC-H Q17-shaped: lineitems below 50% of their part's average
     * quantity — per-part aggregate joined back (the DataFrame form of
     * a correlated scalar subquery). avg stays exact: comparison uses
@@ -804,6 +829,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_gapfill" -> (eventsGapfill _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
+    "q_cube" -> (qCube _),
     "events_interval_join" -> (eventsIntervalJoin _),
     "events_outliers" -> (eventsOutliers _),
     "events_sliding" -> (eventsSliding _),
@@ -834,6 +860,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "events_gapfill" -> eventsGapfillSql,
     "events_anomaly_mad" -> eventsAnomalyMadSql,
+    "q_cube" -> qCubeSql,
     "events_interval_join" -> eventsIntervalJoinSql,
     "events_outliers" -> eventsOutliersSql,
     "events_sliding" -> eventsSlidingSql,

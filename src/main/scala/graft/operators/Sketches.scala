@@ -426,6 +426,94 @@ object Sketches {
        |       // sden // 1000000 AS BIGINT) AS est_hll
        |FROM agg ORDER BY event_type""".stripMargin
 
+  /** HLL SET OPERATIONS — the union/intersection profile from register
+    * sketches alone (the theta-sketch use case run on the HLL family):
+    * HLL registers fold by cellwise MAX into exactly the union's
+    * sketch (lossless for the union — the property Round12Spec pins),
+    * so |A∪B| reads off the folded registers through the SAME raw
+    * estimator, and |A∩B| estimates by inclusion–exclusion
+    * est_a + est_b − est_union — deliberately allowed to go negative
+    * on disjoint sets (that IS the raw inclusion–exclusion value; a
+    * consumer clamps, and grading the raw integer keeps every cell
+    * reproducible). The graded table carries the exact intersection
+    * beside all three estimates — the family's accuracy-table
+    * discipline. Scale: register grids are 64 longs per group; the
+    * pair stage joins grids, never members. */
+  def sketchHllSetOps(s: SparkSession, dir: String): DataFrame =
+    hllSetOpsTable(s, Tables.load(s, dir, "events"))
+
+  private[graft] def hllSetOpsTable(s: SparkSession, ev: DataFrame): DataFrame = {
+    val grid = hllGrid(ev)
+    val groups = grid.select("event_type").distinct()
+    val full = groups.crossJoin(
+        broadcast(s.range(HllM).select(col("id").as("j"))))
+      .join(grid, Seq("event_type", "j"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+    val pairsReg = full.alias("a").join(full.alias("b"),
+        col("a.j") === col("b.j") && col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        greatest(col("a.m"), col("b.m")).as("mu"),
+        col("a.m").as("ma"), col("b.m").as("mb"))
+    def den(c: String) =
+      sum(expr(s"cast(shiftleft(1L, cast(58 - $c as int)) as decimal(38,0))"))
+    val agg = pairsReg.groupBy("type_a", "type_b")
+      .agg(den("mu").as("su"), den("ma").as("sa"), den("mb").as("sb"))
+    def est(c: String) =
+      expr(s"cast(cast(${HllAlphaPpm * HllM * HllM} as decimal(38,0))" +
+        s" * 288230376151711744 div $c div 1000000 as long)")
+    val users = ev.select("event_type", "user_id").distinct()
+    val exact = users.alias("x").join(users.alias("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    agg.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        est("sa").as("est_a"), est("sb").as("est_b"), est("su").as("est_union"))
+      .withColumn("inter_incl_excl",
+        col("est_a") + col("est_b") - col("est_union"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val sketchHllSetOpsSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |             CAST((md5_number_lower('hll:' || user_id) >> 1) AS BIGINT) AS h
+       |           FROM events),
+       |b AS (SELECT event_type, h % $HllM AS j, h >> 6 AS w FROM h),
+       |r AS (SELECT event_type, j,
+       |        CAST(max(CASE WHEN w = 0 THEN 58
+       |                      ELSE 58 - length(bin(w)) END) AS BIGINT) AS m
+       |      FROM b GROUP BY 1, 2),
+       |g AS (SELECT event_type, CAST(gs.j AS BIGINT) AS j
+       |      FROM (SELECT DISTINCT event_type FROM events)
+       |      CROSS JOIN range($HllM) gs(j)),
+       |reg AS (SELECT g.event_type, g.j, COALESCE(r.m, 0) AS m
+       |        FROM g LEFT JOIN r ON r.event_type = g.event_type AND r.j = g.j),
+       |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         greatest(a.m, b.m) AS mu, a.m AS ma, b.m AS mb
+       |       FROM reg a JOIN reg b ON a.j = b.j AND a.event_type < b.event_type),
+       |agg AS (SELECT type_a, type_b,
+       |          sum(1::HUGEINT << CAST(58 - mu AS INT)) AS su,
+       |          sum(1::HUGEINT << CAST(58 - ma AS INT)) AS sa,
+       |          sum(1::HUGEINT << CAST(58 - mb AS INT)) AS sb
+       |        FROM pr GROUP BY 1, 2),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |         CAST(count(*) AS BIGINT) AS n_exact_inter
+       |       FROM du x JOIN du y ON x.user_id = y.user_id
+       |         AND x.event_type < y.event_type
+       |       GROUP BY 1, 2),
+       |est AS (SELECT type_a, type_b,
+       |   CAST(${HllAlphaPpm * HllM * HllM}::HUGEINT * 288230376151711744 // sa // 1000000 AS BIGINT) AS est_a,
+       |   CAST(${HllAlphaPpm * HllM * HllM}::HUGEINT * 288230376151711744 // sb // 1000000 AS BIGINT) AS est_b,
+       |   CAST(${HllAlphaPpm * HllM * HllM}::HUGEINT * 288230376151711744 // su // 1000000 AS BIGINT) AS est_union
+       | FROM agg)
+       |SELECT est.type_a, est.type_b, COALESCE(ex.n_exact_inter, 0) AS n_exact_inter,
+       |  est_a, est_b, est_union, est_a + est_b - est_union AS inter_incl_excl
+       |FROM est LEFT JOIN ex ON ex.type_a = est.type_a AND ex.type_b = est.type_b
+       |ORDER BY est.type_a, est.type_b""".stripMargin
+
   val sketchDistinctHllSql: String =
     s"""WITH h AS (SELECT DISTINCT event_type,
        |             CAST((md5_number_lower('hll:' || user_id) >> 1) AS BIGINT) AS h
@@ -456,12 +544,14 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_distinct_hll" -> (sketchDistinctHll _),
+    "sketch_hll_setops" -> (sketchHllSetOps _),
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
     "sketch_quantiles_sample" -> (sketchQuantilesSample _),
     "sketch_set_ops" -> (sketchSetOps _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _))
   val oracles: Map[String, String] = Map(
     "sketch_distinct_hll" -> sketchDistinctHllSql,
+    "sketch_hll_setops" -> sketchHllSetOpsSql,
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,
     "sketch_quantiles_sample" -> sketchQuantilesSampleSql,
     "sketch_set_ops" -> sketchSetOpsSql,

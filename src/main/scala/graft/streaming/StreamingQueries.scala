@@ -1052,6 +1052,38 @@ object StreamingQueries {
     Sketches.hllFinalize(s, grid).orderBy("event_type")
   }
 
+  /** Streaming OUTLIER QUARANTINE — the train-batch / serve-stream
+    * form of events_outliers: per-group count/sum/sum-of-squares are
+    * profiled ONCE on the at-rest corpus (3 longs per group — the
+    * snapshot a production gate broadcasts to its ingest fleet), and
+    * arriving events flag against the broadcast stats with the same
+    * DECIMAL-widened integer inequality — a map-only stream-static
+    * join + filter, ZERO streaming state, any throughput. Replaying
+    * the corpus through the stream must reproduce the batch flagged
+    * set bit-for-bit (the stats are the same snapshot), so the batch
+    * twin grades the streamed serve. */
+  def streamOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("vc")).as("s"),
+      sum(expr("vc * vc")).as("q"))
+      .localCheckpoint(true) // the profiled snapshot (static side)
+    val rows = e.as[(Long, String, Long)].collect().sortBy(_._1)
+    val out = drain(s, split3(rows), "append", sinkName("stream_outliers")) { ds =>
+      ds.toDF("event_id", "event_type", "vc")
+        .join(broadcast(stats), "event_type")
+        .withColumn("d", expr("cast(n as decimal(38,0)) * vc - s"))
+        .filter(expr(
+          "d * d > 9 * (cast(n as decimal(38,0)) * q - cast(s as decimal(38,0)) * s)"))
+        .select(col("event_id"), col("event_type"), col("vc"),
+          when(expr("d > 0"), 1).otherwise(0).as("is_high"))
+    }
+    out.orderBy("event_id")
+  }
+
   /** Stream-stream INTERVAL JOIN — the Structured Streaming native
     * form of events_interval_join: clicks and purchases arrive as two
     * event-time streams (two filters of one source), each watermarked,
@@ -1124,7 +1156,8 @@ object StreamingQueries {
     "stream_nsw_incremental" -> (streamNswIncremental _),
     "stream_maxsim" -> (streamMaxsim _),
     "stream_interval_join" -> (streamIntervalJoin _),
-    "stream_hll" -> (streamHll _))
+    "stream_hll" -> (streamHll _),
+    "stream_outliers" -> (streamOutliers _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -1154,6 +1187,8 @@ object StreamingQueries {
     m += "stream_interval_join" -> Relational.eventsIntervalJoinSql
     // bounded-state register sketch only — exact count deliberately absent
     m += "stream_hll" -> Sketches.sketchHllStreamSql
+    // stream-served quarantine == batch flagging off the same snapshot
+    m += "stream_outliers" -> Relational.eventsOutliersSql
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
     if (lastStreamIvfCodedCentroids != null)

@@ -206,6 +206,29 @@ class Round12Spec extends SparkTestBase {
       s"collocation table wrong: $got")
   }
 
+  test("stream_outliers == batch flagging off the same profiled snapshot") {
+    val streamed = streaming.StreamingQueries.streamOutliers(spark, sfDir)
+      .as[(Long, String, Long, Int)].collect().toSeq
+    val batch = Relational.eventsOutliers(spark, sfDir)
+      .as[(Long, String, Long, Int)].collect().toSeq
+    assert(streamed == batch, "streamed quarantine diverged from batch")
+    assert(batch.nonEmpty)
+  }
+
+  test("HLL set ops: the folded union estimate IS the merged group's estimate") {
+    // overlapping id ranges: union of g1 ∪ g2 built two ways must agree
+    // exactly, because max-folded registers ARE the union's registers
+    val twoGroups = ((0L until 1000L).map(u => ("g1", u)) ++
+      (500L until 1500L).map(u => ("g2", u))).toDF("event_type", "user_id")
+    val merged = (0L until 1500L).map(u => ("gu", u)).toDF("event_type", "user_id")
+    val estUnion = Sketches.hllSetOpsTable(spark, twoGroups)
+      .select("est_union").as[Long].head()
+    val estMerged = Sketches.hllTable(spark, merged)
+      .select("est_hll").as[Long].head()
+    assert(estUnion == estMerged,
+      s"union-by-fold $estUnion != union-by-merge $estMerged")
+  }
+
   // -------------------------------------- random-input property armor
 
   test("random events: blocked interval join == driver brute force") {
