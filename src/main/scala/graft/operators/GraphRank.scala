@@ -414,7 +414,92 @@ object GraphRank {
        |FROM ndt LEFT JOIN pn ON pn.id = ndt.id
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------- label modularity
+
+  /** MODULARITY of the label partition over the similarity graph — the
+    * cluster-quality eval (Newman & Girvan 2004): how much more of the
+    * k-NN graph's edge mass falls inside the label classes than a
+    * degree-preserving random graph would put there. Q = Σ_c [L_c/m −
+    * (d_c/2m)²] computed EXACTLY: per class the contribution numerator
+    * 4·m·L_c − d_c² is an integer (DECIMAL-widened products), and the
+    * graded table carries it beside one integral-division ppm per
+    * class — so the eval is bit-reproducible, no float accumulation.
+    * The inputs are two integer aggregates over the undirected edge
+    * set joined twice against the (vec_id, label) table — shuffle
+    * bounded by |edges|; at 100 TB both joins co-partition on id. */
+  def labelModularity(s: SparkSession, dir: String): DataFrame =
+    modularityOverEdges(
+      VectorSearch.knnGraph(s, dir)
+        .select(col("qid").as("src"), col("vec_id").as("dst")),
+      graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label")))
+
+  /** The modularity core over any (src, dst) edge + (vec_id, label)
+    * table — injectable for the spec's planted partitions. */
+  private[graft] def modularityOverEdges(edges: DataFrame,
+                                         labels: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = und.count()
+    val lab2 = und
+      .join(labels.select(col("vec_id").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("vec_id").as("v"), col("label").as("lv")), "v")
+    val within = lab2.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("l_within"))
+    val degSum = lab2.select(col("lu").as("label"))
+      .union(lab2.select(col("lv").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("d_sum"))
+    val nodes = und.select(col("u").as("vec_id")).union(und.select(col("v").as("vec_id")))
+      .distinct().join(labels, "vec_id")
+      .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    nodes.join(degSum, Seq("label"), "left")
+      .join(within, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("l_within"), lit(0L)).as("l_within"),
+        coalesce(col("d_sum"), lit(0L)).as("d_sum"))
+      .withColumn("contrib_num",
+        expr(s"cast(4 as decimal(38,0)) * $m * l_within" +
+          s" - cast(d_sum as decimal(38,0)) * d_sum"))
+      .withColumn("contrib_ppm",
+        expr(s"contrib_num * 1000000 div (cast(4 as decimal(38,0)) * $m * $m)"))
+      .select(col("label"), col("n_nodes"), col("l_within"), col("d_sum"),
+        col("contrib_num").cast("long").as("contrib_num"), col("contrib_ppm"))
+      .orderBy("label")
+  }
+
+  val labelModularitySql: String =
+    s"""WITH $edgeCtesMat,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |l2 AS MATERIALIZED (SELECT und.u, und.v, lu.label AS lu, lv.label AS lv
+       |       FROM und JOIN lb lu ON lu.vec_id = und.u
+       |       JOIN lb lv ON lv.vec_id = und.v),
+       |w AS (SELECT lu AS label, CAST(count(*) AS BIGINT) AS l_within
+       |      FROM l2 WHERE lu = lv GROUP BY 1),
+       |ds AS (SELECT label, CAST(count(*) AS BIGINT) AS d_sum FROM (
+       |         SELECT lu AS label FROM l2 UNION ALL SELECT lv FROM l2) GROUP BY 1),
+       |nn AS (SELECT lb.label, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+       |         SELECT DISTINCT u AS vec_id FROM und
+       |         UNION SELECT DISTINCT v FROM und) x
+       |       JOIN lb ON lb.vec_id = x.vec_id GROUP BY 1),
+       |t AS (SELECT nn.label, nn.n_nodes,
+       |        COALESCE(w.l_within, 0) AS l_within,
+       |        COALESCE(ds.d_sum, 0) AS d_sum,
+       |        4::HUGEINT * mm.m * COALESCE(w.l_within, 0)
+       |          - COALESCE(ds.d_sum, 0)::HUGEINT * COALESCE(ds.d_sum, 0) AS cn,
+       |        mm.m AS m
+       |      FROM nn CROSS JOIN mm
+       |      LEFT JOIN ds ON ds.label = nn.label
+       |      LEFT JOIN w ON w.label = nn.label)
+       |SELECT label, n_nodes, l_within, d_sum,
+       |  CAST(cn AS BIGINT) AS contrib_num,
+       |  CAST((cn * 1000000) // (4::HUGEINT * m * m) AS BIGINT) AS contrib_ppm
+       |FROM t ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_modularity" -> (labelModularity _),
     "graph_triangles" -> (triangles _),
     "graph_hits" -> (hits _),
     "graph_pagerank" -> (pagerank _),
@@ -422,6 +507,7 @@ object GraphRank {
     "dedup_canonical_rank" -> (canonicalRank _))
 
   val oracles: Map[String, String] = Map(
+    "graph_label_modularity" -> labelModularitySql,
     "graph_triangles" -> trianglesSql,
     "graph_hits" -> hitsSql,
     "graph_pagerank" -> pagerankSql,

@@ -229,6 +229,52 @@ class Round12Spec extends SparkTestBase {
       s"union-by-fold $estUnion != union-by-merge $estMerged")
   }
 
+  test("label modularity: two planted labeled cliques score positive everywhere") {
+    // two 5-cliques, each wholly one label, no cross edges: every class
+    // holds far more than its degree share — both contributions > 0
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L)).toDF("src", "dst")
+    val labels = ((0L to 4L).map(v => (v, 1L)) ++ (10L to 14L).map(v => (v, 2L)))
+      .toDF("vec_id", "label")
+    val r = GraphRank.modularityOverEdges(edges, labels)
+      .select("label", "l_within", "contrib_ppm").as[(Long, Long, Long)].collect()
+    assert(r.length == 2)
+    r.foreach { case (l, w, ppm) =>
+      assert(w == 10L, s"label $l: clique has 10 internal edges, got $w")
+      assert(ppm > 0, s"label $l: clean clique scored non-positive: $ppm")
+    }
+  }
+
+  test("random graphs: modularity table == BigInt driver replay (incl. negatives)") {
+    val rng = new scala.util.Random(321)
+    for (trial <- 1 to 3) {
+      val nv = 20 + rng.nextInt(20)
+      val edges = (0 until nv * 3)
+        .map(_ => (rng.nextInt(nv).toLong, rng.nextInt(nv).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val labels = (0L until nv.toLong).map(v => (v, (v % 3)))
+      val got = GraphRank.modularityOverEdges(
+          edges.toDF("src", "dst"), labels.toDF("vec_id", "label"))
+        .select("label", "contrib_num", "contrib_ppm")
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val lab = labels.toMap
+      val m = und.size
+      val classes = und.toSeq.flatMap(e => Seq(lab(e._1), lab(e._2))).distinct
+      classes.foreach { c =>
+        val lw = und.count(e => lab(e._1) == c && lab(e._2) == c)
+        val ds = und.toSeq.map(e =>
+          (if (lab(e._1) == c) 1 else 0) + (if (lab(e._2) == c) 1 else 0)).sum
+        val cn = BigInt(4) * m * lw - BigInt(ds) * ds
+        val ppm = cn * 1000000 / (BigInt(4) * m * m) // BigInt / truncates toward zero
+        val (gn, gp) = got(c)
+        assert(gn == cn.toLong && gp == ppm.toLong,
+          s"trial $trial class $c: got ($gn, $gp) want ($cn, $ppm)")
+      }
+    }
+  }
+
   // -------------------------------------- random-input property armor
 
   test("random events: blocked interval join == driver brute force") {
