@@ -34,7 +34,13 @@ object PlanAudit {
     "multivector_maxsim_ivf" -> "routed candidates: probed-cell doc set from a broadcast centroid equi-join — the corpus-wide cross join never forms; exact scoring tail over candidates only",
     "bm25_delete" -> "merge-on-read: tombstones broadcast into an ANTI join inside the postings scan; df/dl/totals adjust by deletion-sized aggregates — no documents scan, no layout rewrite",
     "dedup_jaccard_prefix" -> "prefix-filtered exact all-pairs: wordcount-shaped postings/df/rank shuffles, candidate-bounded verify join — the quadratic pair scan and the lossy df cap both gone",
-    "sketch_distinct_kmv" -> "bounded bottom-k aggregate partial-aggregates map-side (ObjectHashAggregate); only k longs per group cross the exchange")
+    "sketch_distinct_kmv" -> "bounded bottom-k aggregate partial-aggregates map-side (ObjectHashAggregate); only k longs per group cross the exchange",
+    "events_interval_join" -> "banded range join planned as an EQUI-join on (user, bucket) — no BroadcastNestedLoop/Cartesian anywhere; 2× click replication replaces the per-user pair scan",
+    "text_collocations" -> "global top-20 executes as TakeOrderedAndProject (per-partition partial top-k, never a single-partition sort); marginals derive from the one bigram-count aggregate",
+    "q_cube" -> "all four grouping sets via ONE Expand + one partially-aggregated exchange — never four scans",
+    "events_outliers" -> "3-long-per-group stats broadcast back; flagging is a codegen filter inside the scan stage",
+    "graph_triangles" -> "degree-oriented wedge and closure stages are plain equi-joins — no nested loop, no cross product",
+    "sketch_distinct_hll" -> "register grid partial-aggregates map-side; 64 (register, max-ρ) longs per group cross the exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
