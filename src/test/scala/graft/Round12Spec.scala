@@ -275,6 +275,22 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("edge cases: empty sides and degenerate partitions behave, not throw") {
+    // clicks with no purchases → empty result, no error
+    val onlyClicks = Seq((1L, 1L, "click", 100L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    assert(Relational.intervalPairs(onlyClicks, 100L).count() == 0)
+    // single-label modularity: a perfectly self-contained partition has
+    // contribution numerator exactly 0 (4m·m − (2m)² = 0)
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val oneLabel = (0L to 2L).map(v => (v, 9L)).toDF("vec_id", "label")
+    assert(GraphRank.modularityOverEdges(tri, oneLabel)
+      .select("contrib_num").as[Long].collect().toSeq == Seq(0L))
+    // an edgeless graph yields an empty triangle table
+    assert(GraphRank.trianglesOverEdges(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
+
   // -------------------------------------- random-input property armor
 
   test("random events: blocked interval join == driver brute force") {
