@@ -542,7 +542,89 @@ object Sketches {
        |FROM ex JOIN agg USING (event_type)
        |ORDER BY event_type""".stripMargin
 
+  /** COLUMN-PROFILE report — the Deequ-shaped table a pipeline runs
+    * before it curates: per column, row/null/exact-distinct counts,
+    * the HLL estimate BESIDE the exact count (the at-scale substitute,
+    * accuracy visible on the gate), and integer min/max (cents for the
+    * money column, NULL for categorical). One projection feeds every
+    * branch (persisted — the bm25 single-scan discipline); each
+    * column's metrics are wordcount-shaped aggregates, and the HLL
+    * estimate reuses the register machinery verbatim on a
+    * column-tagged hash basis. Output is one row per column — a
+    * dimension-bounded report at any corpus size. */
+  def dataProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        col("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def prof(cn: String, numeric: Boolean): DataFrame = {
+      val sv = col(cn).cast("string")
+      val grid = e.filter(col(cn).isNotNull)
+        .select(shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+          concat(lit(s"prof:$cn:"), sv)), 1).as("h"))
+        .select(expr(s"h % $HllM").as("j"), expr("shiftright(h, 6)").as("w"))
+        .groupBy("j")
+        .agg(max(when(col("w") === 0L, 58L)
+          .otherwise(lit(58L) - length(bin(col("w"))))).as("m"))
+      val est = broadcast(s.range(HllM).select(col("id").as("j")))
+        .join(grid, Seq("j"), "left")
+        .withColumn("m", coalesce(col("m"), lit(0L)))
+        .agg(sum(expr("cast(shiftleft(1L, cast(58 - m as int)) as decimal(38,0))")).as("sden"))
+        .select(expr(s"cast(cast(${HllAlphaPpm * HllM * HllM} as decimal(38,0))" +
+          s" * 288230376151711744 div sden div 1000000 as long)").as("est_hll"))
+      val base = e.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(cn).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(cn)).as("n_distinct"),
+        (if (numeric) min(col(cn)).cast("long") else lit(null).cast("long")).as("min_long"),
+        (if (numeric) max(col(cn)).cast("long") else lit(null).cast("long")).as("max_long"))
+      base.crossJoin(est).select(lit(cn).as("col_name"), col("n_rows"),
+        col("n_null"), col("n_distinct"), col("est_hll"),
+        col("min_long"), col("max_long"))
+    }
+    prof("event_id", numeric = true)
+      .unionAll(prof("user_id", numeric = true))
+      .unionAll(prof("value_cents", numeric = true))
+      .unionAll(prof("event_type", numeric = false))
+      .orderBy("col_name")
+  }
+
+  val dataProfileSql: String = {
+    def one(cn: String, numeric: Boolean): String = {
+      val minMax =
+        if (numeric)
+          s"CAST(min($cn) AS BIGINT) AS min_long, CAST(max($cn) AS BIGINT) AS max_long"
+        else "CAST(NULL AS BIGINT) AS min_long, CAST(NULL AS BIGINT) AS max_long"
+      s"""SELECT '$cn' AS col_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $cn) AS BIGINT) AS n_distinct,
+         |  (WITH hh AS (SELECT DISTINCT
+         |      CAST((md5_number_lower('prof:$cn:' || CAST($cn AS VARCHAR)) >> 1) AS BIGINT) AS h
+         |      FROM e WHERE $cn IS NOT NULL),
+         |    rr AS (SELECT h % $HllM AS j,
+         |      CAST(max(CASE WHEN (h >> 6) = 0 THEN 58
+         |                    ELSE 58 - length(bin(h >> 6)) END) AS BIGINT) AS m
+         |      FROM hh GROUP BY 1),
+         |    reg AS (SELECT gs.j, COALESCE(rr.m, 0) AS m
+         |      FROM range($HllM) gs(j) LEFT JOIN rr ON rr.j = gs.j)
+         |    SELECT CAST(${HllAlphaPpm * HllM * HllM}::HUGEINT * 288230376151711744
+         |      // sum(1::HUGEINT << CAST(58 - m AS INT)) // 1000000 AS BIGINT) FROM reg
+         |  ) AS est_hll,
+         |  $minMax
+         |FROM e""".stripMargin
+    }
+    s"""WITH e AS (SELECT event_id, user_id,
+       |  CAST(round(value*100) AS BIGINT) AS value_cents, event_type FROM events)
+       |${Seq(one("event_id", true), one("user_id", true),
+      one("value_cents", true), one("event_type", false))
+      .mkString("\n(", ")\nUNION ALL\n(", ")")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_profile" -> (dataProfile _),
     "sketch_distinct_hll" -> (sketchDistinctHll _),
     "sketch_hll_setops" -> (sketchHllSetOps _),
     "sketch_distinct_kmv" -> (sketchDistinctKmv _),
@@ -550,6 +632,7 @@ object Sketches {
     "sketch_set_ops" -> (sketchSetOps _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _))
   val oracles: Map[String, String] = Map(
+    "data_profile" -> dataProfileSql,
     "sketch_distinct_hll" -> sketchDistinctHllSql,
     "sketch_hll_setops" -> sketchHllSetOpsSql,
     "sketch_distinct_kmv" -> sketchDistinctKmvSql,

@@ -291,6 +291,19 @@ class Round12Spec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
 
+  test("data profile: key column detected unique, categorical min/max null, counts consistent") {
+    val rows = Sketches.dataProfile(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n, nn, nd, est, mn, mx) = rows("event_id")
+    assert(nd == n && nn == 0L, "event_id must profile as a unique non-null key")
+    assert(mn.contains(0L) && mx.contains(n - 1), "event_id min/max wrong")
+    assert(est > 0)
+    val et = rows("event_type")
+    assert(et._6.isEmpty && et._7.isEmpty, "categorical column must carry NULL min/max")
+    assert(rows.values.map(_._2).toSet.size == 1, "n_rows must be identical across columns")
+  }
+
   // -------------------------------------- random-input property armor
 
   test("random events: blocked interval join == driver brute force") {
