@@ -623,6 +623,44 @@ object Sketches {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** The profile columns WITHOUT the exact distinct — the STREAMING
+    * twin's oracle (the stream_kmv discipline: a live profiler keeps
+    * bounded state — counters, min/max, ≤m registers per column —
+    * forever, while count(DISTINCT) would grow state with the column's
+    * cardinality, so the streamed report carries only the sketch
+    * estimate). */
+  val dataProfileStreamSql: String = {
+    def one(cn: String, numeric: Boolean): String = {
+      val minMax =
+        if (numeric)
+          s"CAST(min($cn) AS BIGINT) AS min_long, CAST(max($cn) AS BIGINT) AS max_long"
+        else "CAST(NULL AS BIGINT) AS min_long, CAST(NULL AS BIGINT) AS max_long"
+      s"""SELECT '$cn' AS col_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  (WITH hh AS (SELECT DISTINCT
+         |      CAST((md5_number_lower('prof:$cn:' || CAST($cn AS VARCHAR)) >> 1) AS BIGINT) AS h
+         |      FROM e WHERE $cn IS NOT NULL),
+         |    rr AS (SELECT h % $HllM AS j,
+         |      CAST(max(CASE WHEN (h >> 6) = 0 THEN 58
+         |                    ELSE 58 - length(bin(h >> 6)) END) AS BIGINT) AS m
+         |      FROM hh GROUP BY 1),
+         |    reg AS (SELECT gs.j, COALESCE(rr.m, 0) AS m
+         |      FROM range($HllM) gs(j) LEFT JOIN rr ON rr.j = gs.j)
+         |    SELECT CAST(${HllAlphaPpm * HllM * HllM}::HUGEINT * 288230376151711744
+         |      // sum(1::HUGEINT << CAST(58 - m AS INT)) // 1000000 AS BIGINT) FROM reg
+         |  ) AS est_hll,
+         |  $minMax
+         |FROM e""".stripMargin
+    }
+    s"""WITH e AS (SELECT event_id, user_id,
+       |  CAST(round(value*100) AS BIGINT) AS value_cents, event_type FROM events)
+       |${Seq(one("event_id", true), one("user_id", true),
+      one("value_cents", true), one("event_type", false))
+      .mkString("\n(", ")\nUNION ALL\n(", ")")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_profile" -> (dataProfile _),
     "sketch_distinct_hll" -> (sketchDistinctHll _),

@@ -1084,6 +1084,57 @@ object StreamingQueries {
     out.orderBy("event_id")
   }
 
+  /** Streaming COLUMN PROFILER — data_profile run LIVE with bounded
+    * state: per column the state store keeps counters, min/max, and
+    * ≤ m = 64 max-ρ registers FOREVER at any throughput (exact
+    * distinct would grow state with cardinality, so the streamed
+    * report deliberately carries only the HLL estimate — the
+    * stream_kmv discipline). Two complete-mode aggregations share one
+    * arrival stream (rows explode to per-column cells): base stats
+    * keyed by column, registers keyed by (column, register); the
+    * drained grids finalize through the SAME estimate arithmetic as
+    * the batch profiler, so every emitted cell equals the batch
+    * report's minus the n_distinct column. */
+  def streamProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // (col_name, string value for hashing | null, numeric value | null)
+    val rows = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      .flatMap { case (eid, uid, vc, et) => Seq(
+        ("event_id", eid.toString, Option(eid)),
+        ("user_id", uid.toString, Option(uid)),
+        ("value_cents", vc.toString, Option(vc)),
+        ("event_type", et, Option.empty[Long]))
+      }
+    val base = drain(s, split3(rows), "complete", sinkName("stream_prof_base")) { ds =>
+      ds.toDF("col_name", "sv", "v")
+        .groupBy("col_name").agg(count(lit(1)).as("n_rows"),
+          sum(when(col("sv").isNull, 1L).otherwise(0L)).as("n_null"),
+          min(col("v")).as("min_long"), max(col("v")).as("max_long"))
+    }.as[(String, Long, Long, Option[Long], Option[Long])].collect().toSeq
+      .toDF("col_name", "n_rows", "n_null", "min_long", "max_long")
+    val grid = drain(s, split3(rows), "complete", sinkName("stream_prof_reg")) { ds =>
+      ds.toDF("col_name", "sv", "v")
+        .filter(col("sv").isNotNull)
+        .select(col("col_name"),
+          shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
+            concat(lit("prof:"), col("col_name"), lit(":"), col("sv"))), 1).as("h"))
+        .select(col("col_name"), expr(s"h % ${Sketches.HllM}").as("j"),
+          expr("shiftright(h, 6)").as("w"))
+        .groupBy("col_name", "j")
+        .agg(max(when(col("w") === 0L, 58L)
+          .otherwise(lit(58L) - length(bin(col("w"))))).as("m"))
+    }.as[(String, Long, Long)].collect().toSeq
+      .toDF("event_type", "j", "m") // hllFinalize's group key name
+    val est = Sketches.hllFinalize(s, grid)
+      .select(col("event_type").as("col_name"), col("est_hll"))
+    base.join(est, "col_name")
+      .select("col_name", "n_rows", "n_null", "est_hll", "min_long", "max_long")
+      .orderBy("col_name")
+  }
+
   /** Stream-stream INTERVAL JOIN — the Structured Streaming native
     * form of events_interval_join: clicks and purchases arrive as two
     * event-time streams (two filters of one source), each watermarked,
@@ -1157,7 +1208,8 @@ object StreamingQueries {
     "stream_maxsim" -> (streamMaxsim _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_hll" -> (streamHll _),
-    "stream_outliers" -> (streamOutliers _))
+    "stream_outliers" -> (streamOutliers _),
+    "stream_profile" -> (streamProfile _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -1189,6 +1241,8 @@ object StreamingQueries {
     m += "stream_hll" -> Sketches.sketchHllStreamSql
     // stream-served quarantine == batch flagging off the same snapshot
     m += "stream_outliers" -> Relational.eventsOutliersSql
+    // bounded-state live profiler — exact distinct deliberately absent
+    m += "stream_profile" -> Sketches.dataProfileStreamSql
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
     if (lastStreamIvfCodedCentroids != null)
