@@ -826,7 +826,200 @@ object Relational {
       |WHERE dv.dv > 3 * mad.mad
       |ORDER BY event_id""".stripMargin
 
+  /** TPC-H Q13-shaped customer order-count DISTRIBUTION: how many
+    * customers placed exactly k (non-urgent) orders, zero included —
+    * the outer-join double-aggregation shape (a LEFT join whose
+    * unmatched side must survive into the first GROUP BY, then a
+    * second aggregation over the grouped counts). Scale: the first
+    * aggregate is keyed by customer (hash exchange on the natural key,
+    * map-side combinable); the second input is at most
+    * |distinct counts| rows. Output integer-exact end to end. */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer").select("c_custkey")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    * quantity clears a threshold, joined back to customer — the
+    * aggregate-HAVING-then-semi-join shape. The qty aggregate is the
+    * only fact-sized stage (map-side combinable, keyed on the natural
+    * join key so the join back to orders reuses the exchange);
+    * customer is broadcast. Money leaves as exact cents. */
+  val BigOrderQty = 250L
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > BigOrderQty)
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        cents("o_totalprice").as("totalprice_cents"))
+    val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "totalprice_cents", "sum_qty")
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey").asc)
+  }
+
+  val q18BigOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents, sum_qty
+       |FROM orders
+       |JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |      FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > $BigOrderQty) b
+       |  ON o_orderkey = b.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY totalprice_cents DESC, o_orderkey ASC""".stripMargin
+
+  /** TPC-H Q19-shaped DISJUNCTIVE-predicate join: revenue over
+    * lineitem⋈part where three OR'd (brand, size-band, qty-band)
+    * branches qualify — the shape that tests OR-predicate planning
+    * (one equi-join on the part key with the disjunction evaluated as
+    * a post-join codegen filter; part broadcasts). The empty-match
+    * case returns an explicit 0 row on both engines. */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val li = Tables.load(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"),
+      (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev"))
+    val qualify =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#33" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 50))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey") && qualify)
+      .agg((coalesce(sum(col("rev")), lit(0L)).cast("double") / 10000.0).as("revenue"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount*100) AS BIGINT))), 0) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** TPC-H Q21-shaped "sole-problem supplier" count: per supplier, the
+    * finished-order 'R' lineitems where ANOTHER supplier was also on
+    * the order (correlated EXISTS → left-semi) but NO other supplier
+    * had an 'R' item on it (correlated NOT EXISTS → left-anti) — the
+    * double-correlated-subquery shape, planned as two self-joins of
+    * the fact table on its natural key (both shuffle on l_orderkey and
+    * AQE/salting compose; the reference Q21 correlates on
+    * receipt-vs-commit dates, which this schema does not carry — the
+    * returnflag stands in, same plan shape). Top-20 by count. */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame =
+    q21Core(
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag"),
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+      Tables.load(s, dir, "supplier").select("s_suppkey", "s_name"))
+
+  /** The Q21 core over any (l_orderkey, l_suppkey, l_returnflag) /
+    * (o_orderkey, o_orderstatus) / (s_suppkey, s_name) frames —
+    * injectable for the spec's planted multi-supplier orders. */
+  private[graft] def q21Core(liRaw: DataFrame, ord: DataFrame,
+                             supp: DataFrame): DataFrame = {
+    val li = liRaw.select("l_orderkey", "l_suppkey")
+    val l1 = liRaw.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val ordF = ord.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val base = l1.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey")
+    val withOther = base.alias("a").join(li.alias("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+    val soleProblem = withOther.alias("a").join(l1.alias("c"),
+      col("a.l_orderkey") === col("c.l_orderkey") &&
+        col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
+    soleProblem.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  val q21WaitingSql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
+
+  /** TPC-H Q22-shaped global-customer analysis: customers whose
+    * balance clears the GLOBAL positive-balance average (a scalar
+    * aggregate subquery — broadcast as one row, compared by exact
+    * integer cross-multiplication cb·n > Σcb so the float average is
+    * never formed) and who placed no URGENT order (anti join on a
+    * filtered fact side), grouped by a derived country code. The
+    * reference Q22 codes on a phone prefix this schema doesn't carry;
+    * custkey mod 7 stands in — same scalar-subquery + NOT EXISTS +
+    * group shape. Money leaves as exact cents. */
+  def q22Global(s: SparkSession, dir: String): DataFrame =
+    q22Core(
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), cents("c_acctbal").as("cb")),
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+
+  /** The Q22 core over any (c_custkey, cb-cents) / (o_custkey) frames
+    * — injectable for the spec's at-the-average boundary pins. */
+  private[graft] def q22Core(c: DataFrame, urgent: DataFrame): DataFrame = {
+    val pos = c.filter(col("cb") > 0)
+      .agg(sum("cb").as("spos"), count(lit(1)).as("npos"))
+    c.crossJoin(broadcast(pos))
+      .filter(col("cb") * col("npos") > col("spos"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("cntrycode", col("c_custkey") % 7)
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        (sum("cb").cast("double") / 100.0).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val q22GlobalSql: String =
+    """WITH c AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS cb FROM customer),
+      |pos AS (SELECT CAST(sum(cb) AS BIGINT) AS spos, CAST(count(*) AS BIGINT) AS npos
+      |        FROM c WHERE cb > 0)
+      |SELECT c_custkey % 7 AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(cb) AS DOUBLE)/100.0 AS totacctbal
+      |FROM c CROSS JOIN pos
+      |WHERE cb * npos > spos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> (q13Custdist _),
+    "q18_big_orders" -> (q18BigOrders _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_waiting" -> (q21Waiting _),
+    "q22_global" -> (q22Global _),
     "events_gapfill" -> (eventsGapfill _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "q_cube" -> (qCube _),
@@ -858,6 +1051,11 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" -> q13CustdistSql,
+    "q18_big_orders" -> q18BigOrdersSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q21_waiting" -> q21WaitingSql,
+    "q22_global" -> q22GlobalSql,
     "events_gapfill" -> eventsGapfillSql,
     "events_anomaly_mad" -> eventsAnomalyMadSql,
     "q_cube" -> qCubeSql,
