@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.OracleSql
 
@@ -498,7 +500,227 @@ object GraphRank {
        |  CAST((cn * 1000000) // (4::HUGEINT * m * m) AS BIGINT) AS contrib_ppm
        |FROM t ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------ k-core peel
+
+  /** K-CORE PEELING over the similarity graph (Seidman '83; the
+    * coreness ladder a curation pipeline reads to separate densely
+    * embedded regions from fringe/outlier shells): repeatedly remove
+    * every node whose surviving undirected degree is below k until
+    * fixpoint — what survives is the k-core, and the ROUND at which a
+    * node is peeled is its shell depth (peel_round 1 = the sparsest
+    * fringe, 0 = in-core at fixpoint). Each round is wordcount-shaped
+    * (degree aggregate over surviving edges + two semi joins), so a
+    * round costs O(|edges|) shuffle at any scale and the number of
+    * rounds is the peel depth — on the K-regular-ish kNN graph the
+    * cascade resolves in ≤4 rounds (degeneracy ordering at 100 TB
+    * would batch shells the same way). The graded query runs T fixed
+    * rounds and REQUIRES the fixpoint landed inside them (loud
+    * failure, never a silent partial core), so the unrolled SQL twin
+    * replays the identical T rounds — all integer, bit-exact. */
+  val KCoreK = 11
+  val KCoreT = 8
+
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreOverEdges(VectorSearch.knnGraph(s, dir)
+      .select(col("qid").as("src"), col("vec_id").as("dst")))
+      .orderBy("vec_id")
+
+  private[graft] def kcoreOverEdges(rawEdges: DataFrame): DataFrame = {
+    val ss = rawEdges.sparkSession
+    val und0 = rawEdges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes0 = und0.select(col("u").as("id")).union(und0.select(col("v").as("id")))
+      .distinct()
+    val deg0 = nodes0.join(
+        und0.select(col("u").as("id")).union(und0.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dg"), lit(0L)).as("deg0"))
+      .localCheckpoint(false)
+    var alive = deg0.select("id")
+    var edges = und0.select("u", "v")
+    var peeled = ss.createDataFrame(ss.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("peel_round", LongType))))
+    for (t <- 1 to KCoreT) {
+      val dg = edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+      val withDeg = alive.join(dg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("dg"), lit(0L)).as("dg"))
+        .localCheckpoint(false)
+      peeled = peeled.union(
+        withDeg.filter(col("dg") < KCoreK)
+          .select(col("id"), lit(t.toLong).as("peel_round")))
+      alive = withDeg.filter(col("dg") >= KCoreK).select("id")
+        .localCheckpoint(false)
+      edges = edges
+        .join(alive.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(false)
+    }
+    // fixpoint guard: one more peel must remove nothing — a silent
+    // partial core would grade as if it were the k-core
+    val lastDg = edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val leftover = alive.join(lastDg, Seq("id"), "left")
+      .filter(coalesce(col("dg"), lit(0L)) < KCoreK).count()
+    require(leftover == 0,
+      s"k-core peel did not reach fixpoint in $KCoreT rounds ($leftover nodes still under $KCoreK)")
+    deg0.join(peeled, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("deg0"),
+        coalesce(col("peel_round"), lit(0L)).as("peel_round"))
+  }
+
+  val kcoreSql: String = {
+    val rounds = (1 to KCoreT).map { t =>
+      s"""kdg$t AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+         |          SELECT u AS id FROM ks${t - 1} UNION ALL SELECT v FROM ks${t - 1}) GROUP BY 1),
+         |kw$t AS MATERIALIZED (SELECT ka${t - 1}.id, COALESCE(kdg$t.dg, 0) AS dg
+         |          FROM ka${t - 1} LEFT JOIN kdg$t ON kdg$t.id = ka${t - 1}.id),
+         |kp$t AS (SELECT id, ${t}::BIGINT AS peel_round FROM kw$t WHERE dg < $KCoreK),
+         |ka$t AS MATERIALIZED (SELECT id FROM kw$t WHERE dg >= $KCoreK),
+         |ks$t AS MATERIALIZED (SELECT s.u, s.v FROM ks${t - 1} s
+         |          JOIN ka$t x ON x.id = s.u JOIN ka$t y ON y.id = s.v)""".stripMargin
+    }.mkString(",\n")
+    val peelUnion = (1 to KCoreT).map(t => s"SELECT * FROM kp$t").mkString(" UNION ALL ")
+    s"""WITH $edgeCtesMat,
+       |ks0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+       |ka0 AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |        SELECT u AS id FROM ks0 UNION ALL SELECT v FROM ks0)),
+       |kd0 AS (SELECT ka0.id, CAST(count(*) AS BIGINT) AS deg0 FROM ka0
+       |        JOIN (SELECT u AS id FROM ks0 UNION ALL SELECT v FROM ks0) e
+       |          ON e.id = ka0.id GROUP BY 1),
+       |$rounds,
+       |kpeel AS ($peelUnion)
+       |SELECT kd0.id AS vec_id, kd0.deg0, COALESCE(kpeel.peel_round, 0) AS peel_round
+       |FROM kd0 LEFT JOIN kpeel ON kpeel.id = kd0.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------- label propagation communities
+
+  /** LABEL-PROPAGATION COMMUNITIES over the similarity graph (Raghavan
+    * et al. 2007, made deterministic): every node starts in its own
+    * community (label = id); each SYNCHRONOUS round it adopts the most
+    * frequent label among its undirected neighbors, ties broken toward
+    * the SMALLEST label (the deterministic variant — the classic
+    * random-order asynchronous sweep is irreproducible by design).
+    * T fixed rounds; the graded table is the community assignment
+    * after round T. Scale shape: a round is one edge⋈label join (both
+    * directions), one (node, label) count, one argmax window —
+    * shuffles bounded by 2·|edges|; the argmax partitions by node, so
+    * AQE/salting handle degree skew like any aggregation. Communities
+    * here are the near-dup/topic blobs label-blocked dedup wants
+    * WITHOUT needing the label column — the unsupervised sibling of
+    * graph_label_modularity's supervised eval. */
+  val LpaT = 4
+
+  def lpa(s: SparkSession, dir: String): DataFrame =
+    lpaOverEdges(VectorSearch.knnGraph(s, dir)
+      .select(col("qid").as("src"), col("vec_id").as("dst")))
+      .orderBy("vec_id")
+
+  private[graft] def lpaOverEdges(rawEdges: DataFrame,
+                                  rounds: Int = LpaT): DataFrame = {
+    val und = rawEdges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val adj = und.select(col("u").as("id"), col("v").as("nb"))
+      .union(und.select(col("v").as("id"), col("u").as("nb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select("id").distinct().localCheckpoint(false)
+    var lab = nodes.withColumn("lab", col("id"))
+    for (_ <- 1 to rounds) {
+      val cnt = adj.join(lab.withColumnRenamed("id", "nb"), "nb")
+        .groupBy("id", "lab").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("cnt").desc, col("lab").asc)
+      lab = cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select("id", "lab")
+        .localCheckpoint(false)
+    }
+    lab.select(col("id").as("vec_id"), col("lab").as("comm"))
+  }
+
+  val lpaSql: String = {
+    val rounds = (1 to LpaT).map { t =>
+      s"""lc$t AS (SELECT adj.id, ll${t - 1}.lab, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM adj JOIN ll${t - 1} ON ll${t - 1}.id = adj.nb GROUP BY 1, 2),
+         |ll$t AS MATERIALIZED (SELECT id, lab FROM (
+         |         SELECT id, lab, row_number() OVER (PARTITION BY id
+         |           ORDER BY cnt DESC, lab ASC) AS rk FROM lc$t) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtesMat,
+       |lund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+       |adj AS MATERIALIZED (SELECT u AS id, v AS nb FROM lund
+       |        UNION ALL SELECT v, u FROM lund),
+       |ll0 AS (SELECT DISTINCT id, id AS lab FROM adj),
+       |$rounds
+       |SELECT id AS vec_id, lab AS comm FROM ll$LpaT ORDER BY vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------- link prediction
+
+  /** COMMON-NEIGHBOR LINK PREDICTION over the similarity graph (the
+    * Liben-Nowell & Kleinberg '03 baseline): for every NON-adjacent
+    * pair sharing at least one neighbor, the common-neighbor count and
+    * the neighborhood-Jaccard cn·10⁶ div (d_u + d_v − cn) — the "these
+    * two documents should be near-dups but the kNN cut missed the
+    * edge" candidates a graph-ANN maintenance pass re-scores. Wedge
+    * generation groups on the MIDDLE node (each common neighbor z of
+    * (x, y) is enumerated exactly once as the wedge x–z–y with
+    * x < y), so the work is Σ deg(z)² — bounded on the K-out-degree
+    * kNN graph; a power-law graph caps or samples hub middles (the
+    * triangles operator's degree orientation does not apply: OPEN
+    * wedges at the middle are precisely what is being counted).
+    * Existing edges leave by an anti join on the undirected edge set;
+    * top-20 by (cn DESC, u, v) — all integers, bit-exact. */
+  val LinkTopN = 20
+
+  def linkPredict(s: SparkSession, dir: String): DataFrame =
+    linkPredictOverEdges(VectorSearch.knnGraph(s, dir)
+      .select(col("qid").as("src"), col("vec_id").as("dst")))
+
+  private[graft] def linkPredictOverEdges(rawEdges: DataFrame): DataFrame = {
+    val und = rawEdges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = und.select(col("u").as("id"), col("v").as("nb"))
+      .union(und.select(col("v").as("id"), col("u").as("nb")))
+    val deg = adj.groupBy("id").agg(count(lit(1)).as("dg"))
+    val wedges = adj.alias("a").join(adj.alias("b"),
+        col("a.id") === col("b.id") && col("a.nb") < col("b.nb"))
+      .select(col("a.nb").as("u"), col("b.nb").as("v"))
+    val cn = wedges.groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      .join(und, Seq("u", "v"), "left_anti")
+    cn.join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        expr("cn * 1000000 div (du + dv - cn)").as("jac_ppm"))
+      .orderBy(col("cn").desc, col("u").asc, col("v").asc)
+      .limit(LinkTopN)
+  }
+
+  val linkPredictSql: String =
+    s"""WITH $edgeCtesMat,
+       |pund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+       |padj AS MATERIALIZED (SELECT u AS id, v AS nb FROM pund
+       |         UNION ALL SELECT v, u FROM pund),
+       |pdeg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM padj GROUP BY 1),
+       |pw AS (SELECT a.nb AS u, b.nb AS v FROM padj a JOIN padj b
+       |       ON a.id = b.id AND a.nb < b.nb),
+       |pcn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn FROM pw GROUP BY 1, 2),
+       |pnov AS (SELECT pcn.* FROM pcn LEFT JOIN pund
+       |          ON pund.u = pcn.u AND pund.v = pcn.v
+       |         WHERE pund.u IS NULL)
+       |SELECT pnov.u, pnov.v, pnov.cn,
+       |  (pnov.cn * 1000000) // (du.dg + dv.dg - pnov.cn) AS jac_ppm
+       |FROM pnov JOIN pdeg du ON du.id = pnov.u JOIN pdeg dv ON dv.id = pnov.v
+       |ORDER BY cn DESC, u ASC, v ASC LIMIT $LinkTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (kcore _),
+    "graph_lpa" -> (lpa _),
+    "graph_link_predict" -> (linkPredict _),
     "graph_label_modularity" -> (labelModularity _),
     "graph_triangles" -> (triangles _),
     "graph_hits" -> (hits _),
@@ -507,6 +729,9 @@ object GraphRank {
     "dedup_canonical_rank" -> (canonicalRank _))
 
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreSql,
+    "graph_lpa" -> lpaSql,
+    "graph_link_predict" -> linkPredictSql,
     "graph_label_modularity" -> labelModularitySql,
     "graph_triangles" -> trianglesSql,
     "graph_hits" -> hitsSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Relational
+import graft.operators.{GraphRank, Relational}
 
 /** Round 13: the relational core widens with the harder TPC-H shapes
   * (Q13 outer-join double aggregation, Q18 aggregate-HAVING semi-join,
@@ -117,5 +117,87 @@ class Round13Spec extends SparkTestBase {
     val keys = Relational.q22Core(c, spark.emptyDataset[Long].toDF("o_custkey"))
       .select("numcust").as[Long].collect().toList
     assert(keys.sum == 1L, s"expected only the 300-balance customer, got $keys")
+  }
+
+  // ------------------------------------------------------ graph_kcore
+
+  test("kcore: planted clique survives, pendant cascade peels in order") {
+    // K13 clique (deg 12 >= k=11): in-core. Node 60 hangs off 11
+    // degree-1 pendants (70..80): the pendants peel in round 1, which
+    // drops 60 from deg 11 to 0 -> peeled round 2 (the cascade).
+    val clique = for (i <- 0L until 13L; j <- (i + 1) until 13L) yield (i, j)
+    val star = (70L to 80L).map(p => (60L, p))
+    val edges = (clique ++ star).toDF("src", "dst")
+    val got = GraphRank.kcoreOverEdges(edges)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, d0, pr) => id -> ((d0, pr)) }.toMap
+    for (i <- 0L until 13L)
+      assert(got(i) == ((12L, 0L)), s"clique node $i: ${got(i)}")
+    assert(got(60L) == ((11L, 2L)), s"hub: ${got(60L)}")
+    for (p <- 70L to 80L)
+      assert(got(p) == ((1L, 1L)), s"pendant $p: ${got(p)}")
+  }
+
+  test("kcore: fixpoint guard fires loudly on a cascade deeper than T") {
+    // Chain of K12 cliques, each with one internal edge (a_i, b_i)
+    // removed and b_i bridged to a_{i+1}: the chain unravels ~3 rounds
+    // per clique from BOTH ends simultaneously (a_1 and the last b_m
+    // both start at deg 10), so 6 cliques need 9 rounds — past
+    // KCoreT=8, and the operator must REFUSE (a silent partial core
+    // would grade as if it were the k-core).
+    val cliques = for {
+      i <- 1L to 6L
+      x <- 0L until 12L; y <- (x + 1) until 12L
+      if !(x == 0L && y == 1L) // the removed (a_i, b_i) edge
+    } yield (i * 100 + x, i * 100 + y)
+    val bridges = (1L to 5L).map(i => (i * 100 + 1, (i + 1) * 100))
+    val edges = (cliques ++ bridges).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      GraphRank.kcoreOverEdges(edges).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"), e.getMessage)
+  }
+
+  // -------------------------------------------------------- graph_lpa
+
+  test("lpa: planted cliques collapse to their min-id labels") {
+    val c1 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val c2 = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val got = GraphRank.lpaOverEdges((c1 ++ c2).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    for (i <- 1L to 5L) assert(got(i) == 1L, s"node $i -> ${got(i)}")
+    for (i <- 10L to 14L) assert(got(i) == 10L, s"node $i -> ${got(i)}")
+  }
+
+  test("lpa: smallest label wins a tie; frequency beats smallness") {
+    // one round, all labels distinct: node 0's neighbors {5, 9} tie at
+    // count 1 -> adopt the SMALLER label 5
+    val tie = GraphRank.lpaOverEdges(
+      Seq((0L, 5L), (0L, 9L)).toDF("src", "dst"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(tie(0L) == 5L, s"tie broke to ${tie(0L)}")
+    // two rounds: after r1, node 20's neighbors carry labels
+    // {7, 7, 3} (21 and 22 each adopted 7, 23 adopted 3) -> the
+    // MORE FREQUENT 7 must beat the smaller 3
+    val edges = Seq((20L, 21L), (20L, 22L), (20L, 23L),
+      (21L, 7L), (22L, 7L), (23L, 3L)).toDF("src", "dst")
+    val got = GraphRank.lpaOverEdges(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(20L) == 7L, s"node 20 adopted ${got(20L)}, expected the majority label 7")
+  }
+
+  // ----------------------------------------------- graph_link_predict
+
+  test("link predict: the missing clique edge ranks first with full Jaccard") {
+    // K5 minus the (2,4) edge: 2 and 4 share neighbors {1,3,5} and
+    // are non-adjacent -> cn=3, jac = 3e6/(3+3-3) = 1e6, rank 1
+    val edges = (for (i <- 1L to 5L; j <- (i + 1) to 5L
+                      if !(i == 2 && j == 4)) yield (i, j)).toDF("src", "dst")
+    val got = GraphRank.linkPredictOverEdges(edges)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.head == ((2L, 4L, 3L, 1000000L)), s"got ${got.head}")
+    // adjacent pairs never appear
+    val undirected = Set((1L,2L),(1L,3L),(1L,4L),(1L,5L),(2L,3L),(2L,5L),(3L,4L),(3L,5L),(4L,5L))
+    assert(got.forall { case (u, v, _, _) => !undirected((u, v)) })
   }
 }
