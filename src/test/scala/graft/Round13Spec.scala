@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphRank, Relational}
+import graft.operators.{Curation, GraphRank, Relational}
 
 /** Round 13: the relational core widens with the harder TPC-H shapes
   * (Q13 outer-join double aggregation, Q18 aggregate-HAVING semi-join,
@@ -199,5 +199,24 @@ class Round13Spec extends SparkTestBase {
     // adjacent pairs never appear
     val undirected = Set((1L,2L),(1L,3L),(1L,4L),(1L,5L),(2L,3L),(2L,5L),(3L,4L),(3L,5L),(4L,5L))
     assert(got.forall { case (u, v, _, _) => !undirected((u, v)) })
+  }
+
+  // ------------------------------------------------- cluster_topics
+
+  test("cluster topics: planted skew pins labels and exact lifts") {
+    // two clusters, each with a dominant term plus a uniform term:
+    // the dominant term lifts to exactly 2e6 ppm (double its corpus
+    // share), the uniform term sits at exactly 1e6 (no lift), and
+    // sub-support terms (tf 3 < 5) never appear
+    val nd = (Seq.fill(3)((0, "alpha alpha beta common common")) ++
+      Seq.fill(3)((1, "gamma gamma delta common common")))
+      .toDF("centroid", "text")
+    val got = Curation.clusterTopicsOn(nd)
+      .as[(Int, Long, String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0, 1L, "alpha", 6L, 15L, 2000000L),
+      (0, 2L, "common", 6L, 15L, 1000000L),
+      (1, 1L, "gamma", 6L, 15L, 2000000L),
+      (1, 2L, "common", 6L, 15L, 1000000L)), s"got $got")
   }
 }
