@@ -718,7 +718,98 @@ object TextOps {
        |      FROM m LEFT JOIN tw ON m.doc_id = tw.doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- RAKE keywords
+
+  /** RAKE keyword extraction (Rose et al. 2010 — Rapid Automatic
+    * Keyword Extraction): candidate PHRASES are the maximal runs of
+    * non-stopword tokens (stopwords and empty tokens are the phrase
+    * delimiters; the stoplist is the union of the engine's langid
+    * marker sets, shared with the SQL twin), each word scores
+    * deg(w)/freq(w) — freq = occurrences across all phrase instances,
+    * deg = Σ of the containing phrase's length (co-occurrence degree,
+    * self included) — and a phrase scores the SUM of its words'
+    * scores. Integer-exact: word score is the rational
+    * (deg·10⁶) div freq and the phrase score a sum of longs (order
+    * independent), so the top-20 table reproduces digit-for-digit
+    * under the unique order (score DESC, phrase ASC).
+    *
+    * Scale shape: phrase assembly is one window pass per doc
+    * (gaps-and-islands on the token positions — shuffle keyed by
+    * doc_id, text never moves again after tokenize); word stats are
+    * vocabulary-sized; distinct-phrase scoring joins the phrase's own
+    * words back against the broadcastable word-score table; the final
+    * cut is TakeOrdered (partial top-k per partition, no global
+    * sort). */
+  val RakeStops: Seq[String] = MarkEn ++ MarkEs ++ MarkDe ++ MarkFr
+  val RakeTopN = 20
+
+  def textRake(s: SparkSession, dir: String): DataFrame =
+    rakeOn(Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  private[graft] def rakeOn(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val words = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+      .withColumnRenamed("col", "word")
+      .filter(!col("word").isInCollection(RakeStops) && col("word") =!= "")
+    val islands = words.withColumn("grp", col("pos") - row_number().over(w))
+    val phraseInst = islands.groupBy("doc_id", "grp")
+      .agg(sort_array(collect_list(struct(col("pos").as("p"), col("word").as("w"))))
+        .as("pw"))
+      .select(expr("transform(pw, x -> x.w)").as("ws"))
+      .select(array_join(col("ws"), " ").as("phrase"),
+        size(col("ws")).cast("long").as("len"))
+    val memb = phraseInst.select(col("len"), explode(split(col("phrase"), " ")).as("word"))
+    val wscore = memb.groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("word"), expr("(deg * 1000000) div freq").as("wscore"))
+    val dp = phraseInst.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), min("len").as("n_words"))
+    val scored = dp.select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(broadcast(wscore), "word")
+      .groupBy("phrase").agg(sum("wscore").as("score_ppm"))
+      .join(dp, "phrase")
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+      .limit(RakeTopN)
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+    scored.withColumn("rank", row_number().over(rw).cast("long"))
+      .select("rank", "phrase", "n_words", "n_occ", "score_ppm")
+      .orderBy("rank")
+  }
+
+  val textRakeSql: String = {
+    val stops = RakeStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |           FROM documents),
+       |wd AS (SELECT doc_id, p, w[CAST(p AS INT) + 1] AS word
+       |       FROM t, unnest(range(0, len(w))) u(p)),
+       |ct AS (SELECT doc_id, p, word FROM wd
+       |       WHERE word NOT IN ($stops) AND word <> ''),
+       |isl AS (SELECT doc_id, p, word,
+       |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |        FROM ct),
+       |ph AS MATERIALIZED (SELECT doc_id, grp,
+       |        string_agg(word, ' ' ORDER BY p) AS phrase,
+       |        CAST(count(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2),
+       |memb AS (SELECT len, unnest(string_split(phrase, ' ')) AS word FROM ph),
+       |ws AS (SELECT word, (CAST(sum(len) AS BIGINT) * 1000000)
+       |         // CAST(count(*) AS BIGINT) AS wscore FROM memb GROUP BY 1),
+       |dp AS MATERIALIZED (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+       |        CAST(min(len) AS BIGINT) AS n_words FROM ph GROUP BY 1),
+       |dpw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM dp),
+       |sc AS (SELECT dpw.phrase, CAST(sum(ws.wscore) AS BIGINT) AS score_ppm
+       |       FROM dpw JOIN ws USING (word) GROUP BY 1),
+       |rr AS (SELECT dp.phrase, dp.n_words, dp.n_occ, sc.score_ppm,
+       |         row_number() OVER (ORDER BY sc.score_ppm DESC, dp.phrase ASC) AS rank
+       |       FROM dp JOIN sc USING (phrase))
+       |SELECT CAST(rank AS BIGINT) AS rank, phrase, n_words, n_occ, score_ppm
+       |FROM rr WHERE rank <= $RakeTopN ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake" -> (textRake _),
     "text_repetition" -> (textRepetition _),
     "data_sample_stratified" -> (dataSampleStratified _),
     "data_sample_bottomk" -> (dataSampleBottomk _),
@@ -740,6 +831,7 @@ object TextOps {
     "dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "text_rake" -> textRakeSql,
     "text_repetition" -> textRepetitionSql,
     "data_sample_stratified" -> dataSampleStratifiedSql,
     "data_sample_bottomk" -> dataSampleBottomkSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, GraphRank, Relational}
+import graft.operators.{Curation, GraphRank, Relational, TextOps}
 
 /** Round 13: the relational core widens with the harder TPC-H shapes
   * (Q13 outer-join double aggregation, Q18 aggregate-HAVING semi-join,
@@ -218,5 +218,33 @@ class Round13Spec extends SparkTestBase {
       (0, 2L, "common", 6L, 15L, 1000000L),
       (1, 1L, "gamma", 6L, 15L, 2000000L),
       (1, 2L, "common", 6L, 15L, 1000000L)), s"got $got")
+  }
+
+  // ------------------------------------------------------ text_rake
+
+  test("rake: hand-computed phrase scores on a planted corpus") {
+    // "alpha beta" twice + "gamma" once, split by the stopword 'the':
+    // freq(alpha)=freq(beta)=2, deg=4 each -> wscore 2e6;
+    // gamma freq 1 deg 1 -> 1e6. Phrase scores: 4e6 and 1e6.
+    val docs = Seq((1L, "alpha beta the alpha beta the gamma"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rakeOn(docs)
+      .as[(Long, String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, "alpha beta", 2L, 2L, 4000000L),
+      (2L, "gamma", 1L, 1L, 1000000L)), s"got $got")
+  }
+
+  test("rake: stopwords never enter phrases; multi-doc degs combine") {
+    // the same phrase split across docs: instances count corpus-wide
+    val docs = Seq((1L, "alpha beta"), (2L, "the alpha beta of x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rakeOn(docs)
+      .as[(Long, String, Long, Long, Long)].collect().toList
+    // freq(alpha)=2 deg=4, beta same; x freq 1 deg 1
+    assert(got == List(
+      (1L, "alpha beta", 2L, 2L, 4000000L),
+      (2L, "x", 1L, 1L, 1000000L)), s"got $got")
+    assert(got.forall(r => !TextOps.RakeStops.exists(r._2.split(" ").contains)))
   }
 }
