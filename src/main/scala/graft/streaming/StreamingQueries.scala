@@ -174,6 +174,58 @@ object StreamingQueries {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Streaming CONVERSION FUNNEL — events_funnel live (the signup →
+    * first-later-purchase sequence detection a product-analytics
+    * ingest runs continuously): per-user keyed state is exactly TWO
+    * longs (min signup ts; min qualifying purchase ts) no matter how
+    * many events stream through. Correctness under time-ordered
+    * arrival: the first signup seen IS the min (later signups have
+    * larger ts), and any purchase with ts strictly greater than the
+    * min signup necessarily arrives in the same or a later trigger —
+    * so judging each purchase against the post-batch min-signup is
+    * exact, and within a trigger the batch is folded signups-first
+    * (iterator order never matters). Per-user poison rows flush the
+    * final rows in append mode (the sessionize pattern); only users
+    * with a signup emit, matching the batch LEFT-join shape. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, String, Long)].collect().sortBy(e => (e._3, e._1))
+    val poison = rows.map(_._1).distinct.sorted
+      .map(u => (u, "_flush", Long.MaxValue)).toSeq
+    val out = drain(s, split3(rows) :+ poison, "append",
+      sinkName("stream_funnel"))(funnelServe)
+    out.orderBy("user_id")
+  }
+
+  /** The funnel's keyed-state serve over (user_id, event_type, ts_us)
+    * rows — two longs of state per user; "_flush" rows emit+clear. */
+  private[graft] def funnelServe(ds: Dataset[(Long, String, Long)]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Option[Long], Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (sg, pu) = state.getOption.getOrElse((Long.MaxValue, Long.MaxValue))
+          val batch = it.toArray
+          batch.foreach { case (_, t, ts) =>
+            if (t == "signup" && ts < sg) sg = ts }
+          batch.foreach { case (_, t, ts) =>
+            if (t == "purchase" && ts > sg && ts < pu) pu = ts }
+          if (batch.exists(_._2 == "_flush")) {
+            state.remove()
+            if (sg != Long.MaxValue)
+              Iterator((uid, sg,
+                if (pu != Long.MaxValue) Some(pu) else None,
+                if (pu != Long.MaxValue) 1 else 0))
+            else Iterator.empty
+          } else { state.update((sg, pu)); Iterator.empty }
+      }.toDF("user_id", "signup_us", "purchase_us", "converted")
+  }
+
   /** Online serving: QUERY vectors stream in against the static corpus
     * (stream-static cross join scored by the codegen cosine), keyed
     * state keeps the per-query exact top-k. Each query's candidates
@@ -1191,6 +1243,7 @@ object StreamingQueries {
     "stream_decontaminate" -> (streamDecontaminate _),
     "stream_zorder_ingest" -> (streamZorderIngest _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_funnel" -> (streamFunnel _),
     "stream_knn" -> (streamKnn _),
     "stream_ivf" -> (streamIvf _),
     "stream_ivf_coded" -> (streamIvfCoded _),
@@ -1223,6 +1276,8 @@ object StreamingQueries {
     // the batch z layout serves, so the batch twin grades the write path
     m += "stream_zorder_ingest" -> graft.operators.LayoutQueries.eventsZorderSql
     m += "stream_sessionize" -> Relational.eventsSessionizeSql
+    // two-long keyed state + poison flush == the batch funnel LEFT join
+    m += "stream_funnel" -> Relational.eventsFunnelSql
     m += "stream_knn" -> VectorSearch.knnCosineSql
     m += "stream_topk" -> VectorSearch.knnCosineSql
     m += "stream_dedup" -> Dedup.dedupMinhashLshSql

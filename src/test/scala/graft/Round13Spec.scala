@@ -247,4 +247,33 @@ class Round13Spec extends SparkTestBase {
       (2L, "x", 1L, 1L, 1000000L)), s"got $got")
     assert(got.forall(r => !TextOps.RakeStops.exists(r._2.split(" ").contains)))
   }
+
+  // ---------------------------------------------------- stream_funnel
+
+  test("stream funnel: tie excluded, pre-signup purchase excluded, 2-long state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingQueries.funnelServe(input.toDS())
+      .writeStream.format("memory").queryName("funnel_r13")
+      .outputMode("append").start()
+    // trigger 1: u2's purchase BEFORE its signup (same trigger, must
+    // not qualify), u1 signup + a tie-ts purchase (strict >, excluded)
+    input.addData((2L, "purchase", 50L), (2L, "signup", 60L),
+      (1L, "signup", 100L), (1L, "purchase", 100L))
+    q.processAllAvailable()
+    // trigger 2: u1's qualifying purchase arrives later; u3 purchase-only
+    input.addData((1L, "purchase", 150L), (3L, "purchase", 10L))
+    q.processAllAvailable()
+    input.addData((1L, "_flush", Long.MaxValue), (2L, "_flush", Long.MaxValue),
+      (3L, "_flush", Long.MaxValue))
+    q.processAllAvailable()
+    val got = spark.table("funnel_r13")
+      .as[(Long, Long, Option[Long], Int)].collect().toSet
+    q.stop()
+    assert(got == Set(
+      (1L, 100L, Some(150L), 1),   // tie at 100 excluded, 150 converts
+      (2L, 60L, None, 0)),         // pre-signup purchase never qualifies
+      s"got $got")                 // u3 (no signup) emits nothing
+  }
 }
