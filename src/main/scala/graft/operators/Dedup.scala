@@ -403,7 +403,7 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  private def semDedupSql(centroids: Array[Array[Double]]): String = {
+  private[graft] def semDedupSql(centroids: Array[Array[Double]]): String = {
     import graft.OracleSql
     s"""WITH base AS (
        |  SELECT vec_id, embedding FROM embeddings

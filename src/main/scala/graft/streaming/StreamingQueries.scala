@@ -546,6 +546,68 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming SEMANTIC-DEDUP GATE — semdedup run at ingest (the
+    * production shape: arriving vectors are checked against the
+    * at-rest clustered index and flagged before they pollute the
+    * corpus): each arrival routes to its k-means cell by the same
+    * codegen NearestCentroidExpr as every serving path, stream-static
+    * EQUI-joins the centroid-partitioned layout on `centroid` (the
+    * clustering IS the blocking — per-trigger compare work is bounded
+    * by cell size, and the layout's salting/sub-splits compose on hot
+    * cells), keeps earlier-id rows with cosine ≥ τ, and a keyed
+    * min-witness state (ONE long per flagged arrival) emits dup_of.
+    * Arrival in vec_id order aligns "earlier row wins" with ingest
+    * order — each arrival's full candidate set is on the static side
+    * in its own trigger, so every emission is final and the table
+    * equals batch semdedup bit-for-bit (the SAME planted corpus and
+    * the SAME stashed-centroid SQL twin grade both). */
+  def streamEmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") < Dedup.SemPlantN)
+        .select((col("vec_id") + Dedup.SemPlantBase).as("vec_id"), col("embedding")))
+    val centroids = IvfIndex.trainCentroids(
+      IvfIndex.trainSample(emb), Dedup.SemDedupNlist, 10)
+    lastStreamSemCentroids = centroids
+    val rows = planted.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    graft.Mat.withScratchDirs("stream_semdedup_index") { case Seq(idx) =>
+      IvfIndex.assign(planted, centroids)
+        .write.partitionBy("centroid").mode("overwrite").parquet(idx)
+      val loaded = s.read.parquet(idx).select(col("vec_id").as("vid_b"),
+        col("embedding").as("emb_b"), col("centroid").cast("int").as("centroid"))
+      val out = drain(s, split3(rows), "update", sinkName("stream_embed_dedup")) { ds =>
+        val arriving = IvfIndex.assign(ds.toDF("vec_id", "embedding"), centroids)
+          .select(col("vec_id").as("vid_a"), col("embedding").as("emb_a"),
+            col("centroid"))
+        arriving.join(loaded, Seq("centroid"))
+          .filter(col("vid_b") < col("vid_a"))
+          .withColumn("score",
+            graft.functions.VectorOps.cosineSim(col("emb_a"), col("emb_b")))
+          .filter(col("score") >= Dedup.SemDedupTau)
+          .select(col("vid_a"), col("vid_b")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (Long, Long)](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (vid: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
+              var m = state.getOption.getOrElse(Long.MaxValue)
+              it.foreach { case (_, b) => if (b < m) m = b }
+              state.update(m)
+              Iterator((vid, m))
+          }.toDF("vec_id", "dup_of")
+      }
+      val full = s.read.parquet(idx)
+        .select(col("vec_id"), col("centroid").cast("int").as("centroid"))
+        .join(out, Seq("vec_id"), "left")
+        .withColumn("keep", col("dup_of").isNull)
+        .select("vec_id", "centroid", "keep", "dup_of")
+        .orderBy("vec_id")
+      graft.Mat.detach(full)
+    }
+  }
+  @volatile private var lastStreamSemCentroids: Array[Array[Double]] = _
+
   /** Incremental index ingest: streamed vectors are centroid-routed by
     * the same codegen NearestCentroidExpr as the batch build — the
     * writeStream.partitionBy landing path of stream_sink. Output is
@@ -1244,6 +1306,7 @@ object StreamingQueries {
     "stream_zorder_ingest" -> (streamZorderIngest _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_funnel" -> (streamFunnel _),
+    "stream_embed_dedup" -> (streamEmbedDedup _),
     "stream_knn" -> (streamKnn _),
     "stream_ivf" -> (streamIvf _),
     "stream_ivf_coded" -> (streamIvfCoded _),
@@ -1298,6 +1361,8 @@ object StreamingQueries {
     m += "stream_outliers" -> Relational.eventsOutliersSql
     // bounded-state live profiler — exact distinct deliberately absent
     m += "stream_profile" -> Sketches.dataProfileStreamSql
+    if (lastStreamSemCentroids != null)
+      m += "stream_embed_dedup" -> Dedup.semDedupSql(lastStreamSemCentroids)
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
     if (lastStreamIvfCodedCentroids != null)

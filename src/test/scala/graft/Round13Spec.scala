@@ -276,4 +276,16 @@ class Round13Spec extends SparkTestBase {
       (2L, 60L, None, 0)),         // pre-signup purchase never qualifies
       s"got $got")                 // u3 (no signup) emits nothing
   }
+
+  // ------------------------------------------------ stream_embed_dedup
+
+  test("stream embed dedup == batch semdedup row-for-row") {
+    val stream = graft.streaming.StreamingQueries
+      .queries("stream_embed_dedup")(spark, sfDir)
+      .as[(Long, Int, Boolean, Option[Long])].collect().toSet
+    val batch = graft.operators.Dedup.queries("semdedup")(spark, sfDir)
+      .as[(Long, Int, Boolean, Option[Long])].collect().toSet
+    assert(stream == batch, "ingest-gate flagging diverged from batch semdedup")
+    assert(stream.exists(!_._3), "vacuous: no duplicate flagged at this SF")
+  }
 }
