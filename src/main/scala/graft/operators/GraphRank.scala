@@ -658,6 +658,66 @@ object GraphRank {
        |SELECT id AS vec_id, lab AS comm FROM ll$LpaT ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------------------------------- BFS seed levels
+
+  /** BFS HOP LEVELS from the seed set over the similarity graph — the
+    * "how far is everything from my curated seeds" table (the
+    * hop-count companion to graph_ppr's proximity mass; seeds are the
+    * engine's query-doc convention vec_id < Seeds): T synchronous
+    * relaxation rounds of dist(v) = min(dist(v), 1 + min over
+    * undirected neighbors u of dist(u)) — each round one adj⋈dist
+    * join + one min aggregate, shuffle bounded by 2·|edges| (the
+    * Pregel-as-DataFrame loop); nodes unreached after T rounds carry
+    * NULL (T bounds the frontier depth exactly like an iterative
+    * cluster job's superstep budget — all integer, the unrolled twin
+    * replays every round). */
+  val BfsT = 4
+
+  def bfsLevels(s: SparkSession, dir: String): DataFrame =
+    bfsOverEdges(VectorSearch.knnGraph(s, dir)
+      .select(col("qid").as("src"), col("vec_id").as("dst")), Seeds)
+      .orderBy("vec_id")
+
+  private[graft] def bfsOverEdges(rawEdges: DataFrame, seedsBelow: Long): DataFrame = {
+    val und = rawEdges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val adj = und.select(col("u").as("id"), col("v").as("nb"))
+      .union(und.select(col("v").as("id"), col("u").as("nb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select("id").distinct().localCheckpoint(false)
+    var dist = nodes.withColumn("dist",
+      when(col("id") < seedsBelow, lit(0L)))
+    for (_ <- 1 to BfsT) {
+      val relaxed = adj.join(dist.select(col("id").as("nb"), col("dist").as("nd")), "nb")
+        .filter(col("nd").isNotNull)
+        .groupBy("id").agg(min(col("nd") + 1L).as("via"))
+      dist = dist.join(relaxed, Seq("id"), "left")
+        .select(col("id"),
+          least(col("dist"), col("via")).as("dist"))
+        .localCheckpoint(false)
+    }
+    dist.select(col("id").as("vec_id"), col("dist"))
+  }
+
+  val bfsLevelsSql: String = {
+    val rounds = (1 to BfsT).map { t =>
+      s"""bx$t AS (SELECT badj.id, CAST(min(bd${t - 1}.dist + 1) AS BIGINT) AS via
+         |         FROM badj JOIN bd${t - 1} ON bd${t - 1}.id = badj.nb
+         |         WHERE bd${t - 1}.dist IS NOT NULL GROUP BY 1),
+         |bd$t AS MATERIALIZED (SELECT bd${t - 1}.id,
+         |         least(bd${t - 1}.dist, bx$t.via) AS dist
+         |       FROM bd${t - 1} LEFT JOIN bx$t ON bx$t.id = bd${t - 1}.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtesMat,
+       |bund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM g),
+       |badj AS MATERIALIZED (SELECT u AS id, v AS nb FROM bund
+       |        UNION ALL SELECT v, u FROM bund),
+       |bd0 AS (SELECT DISTINCT id,
+       |          CASE WHEN id < $Seeds THEN 0::BIGINT END AS dist FROM badj),
+       |$rounds
+       |SELECT id AS vec_id, dist FROM bd$BfsT ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------- link prediction
 
   /** COMMON-NEIGHBOR LINK PREDICTION over the similarity graph (the
@@ -720,6 +780,7 @@ object GraphRank {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_kcore" -> (kcore _),
     "graph_lpa" -> (lpa _),
+    "graph_bfs_levels" -> (bfsLevels _),
     "graph_link_predict" -> (linkPredict _),
     "graph_label_modularity" -> (labelModularity _),
     "graph_triangles" -> (triangles _),
@@ -731,6 +792,7 @@ object GraphRank {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> kcoreSql,
     "graph_lpa" -> lpaSql,
+    "graph_bfs_levels" -> bfsLevelsSql,
     "graph_link_predict" -> linkPredictSql,
     "graph_label_modularity" -> labelModularitySql,
     "graph_triangles" -> trianglesSql,

@@ -1014,7 +1014,135 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q7-shaped VOLUME SHIPPING: revenue flowing between two
+    * nations in both directions by order year — the two-dimension
+    * dimension-pair aggregation (supplier nation × customer nation),
+    * with all four dims broadcast and the fact-fact join on the
+    * natural key. Exact cents. */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+      .groupBy("supp_nation", "cust_nation", "o_year")
+      .agg((sum(col("rev")).cast("double") / 10000.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "o_year")
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+      |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8-shaped MARKET SHARE: per order year, one nation's share
+    * of the revenue sold into a region — numerator and denominator as
+    * exact cents off ONE aggregation pass (a conditional sum, no
+    * second scan), the share itself a single IEEE division of the two
+    * exact longs. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.load(s, dir, "nation")
+    val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val custAsia = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      (cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === "NATION_12", col("rev"))
+          .otherwise(0L)).as("num_cents"),
+        sum(col("rev")).as("denom_cents"))
+      .withColumn("mkt_share",
+        col("num_cents").cast("double") / col("denom_cents").cast("double"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """WITH base AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, sn.n_name AS supp_nation,
+      |    CAST(round(l_extendedprice*100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE EXISTS (SELECT 1 FROM customer
+      |                JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |                JOIN region ON cn.n_regionkey = r_regionkey
+      |                WHERE c_custkey = o_custkey AND r_name = 'ASIA'))
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN rev ELSE 0 END) AS BIGINT) AS num_cents,
+      |  CAST(sum(rev) AS BIGINT) AS denom_cents,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN rev ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(rev) AS DOUBLE) AS mkt_share
+      |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Value DECILES per event type: ntile(10) over the deterministic
+    * (value cents, event_id) order — the equi-depth histogram profile
+    * (bucket sizes differ by at most one; both engines implement the
+    * standard balanced-bucket rule over the same unique order, so the
+    * per-bucket counts and exact cent boundaries grade bit-exactly).
+    * Output is |types|·10 rows at any corpus size. */
+  def eventsNtile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val w = Window.partitionBy("event_type").orderBy(col("vc").asc, col("event_id").asc)
+    e.withColumn("decile", ntile(10).over(w))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"), min("vc").as("min_vc"), max("vc").as("max_vc"))
+      .orderBy("event_type", "decile")
+  }
+
+  val eventsNtileSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |             CAST(round(value*100) AS BIGINT) AS vc FROM events),
+      |d AS (SELECT event_type, vc,
+      |        ntile(10) OVER (PARTITION BY event_type
+      |          ORDER BY vc ASC, event_id ASC) AS decile FROM e)
+      |SELECT event_type, CAST(decile AS INT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(vc) AS BIGINT) AS min_vc, CAST(max(vc) AS BIGINT) AS max_vc
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "events_ntile" -> (eventsNtile _),
     "q13_custdist" -> (q13Custdist _),
     "q18_big_orders" -> (q18BigOrders _),
     "q19_disjunctive" -> (q19Disjunctive _),
@@ -1051,6 +1179,9 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q7_nation_volume" -> q7NationVolumeSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "events_ntile" -> eventsNtileSql,
     "q13_custdist" -> q13CustdistSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "q19_disjunctive" -> q19DisjunctiveSql,

@@ -288,4 +288,52 @@ class Round13Spec extends SparkTestBase {
     assert(stream == batch, "ingest-gate flagging diverged from batch semdedup")
     assert(stream.exists(!_._3), "vacuous: no duplicate flagged at this SF")
   }
+
+  // -------------------------------------------------- graph_bfs_levels
+
+  test("bfs levels: planted path pins hop counts and the T-round horizon") {
+    // path 0-20-21-22-23-24 from seed 0 (seedsBelow=1), star leaf 30:
+    // hops 1..4 inside the horizon, node 24 at hop 5 stays NULL
+    val edges = Seq((0L, 20L), (20L, 21L), (21L, 22L), (22L, 23L),
+      (23L, 24L), (0L, 30L)).toDF("src", "dst")
+    val got = GraphRank.bfsOverEdges(edges, seedsBelow = 1L)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(0L -> Some(0L), 20L -> Some(1L), 21L -> Some(2L),
+      22L -> Some(3L), 23L -> Some(4L), 24L -> None, 30L -> Some(1L)),
+      s"got $got")
+  }
+
+  // ------------------------------------------------------ events_ntile
+
+  test("ntile deciles: counts conserve, buckets balanced, bounds ordered") {
+    val rows = Relational.eventsNtile(spark, sfDir)
+      .as[(String, Int, Long, Long, Long)].collect()
+    val byType = rows.groupBy(_._1)
+    val totals = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    for ((t, rs) <- byType) {
+      assert(rs.map(_._3).sum == totals(t), s"$t: counts lost")
+      assert(rs.map(_._2).sorted.toList == (1 to 10).toList, s"$t: deciles missing")
+      // balanced: sizes differ by at most one
+      assert(rs.map(_._3).max - rs.map(_._3).min <= 1, s"$t: unbalanced")
+      // boundaries non-decreasing across deciles
+      val ordered = rs.sortBy(_._2)
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 <= b._4, s"$t: decile ${a._2} max > decile ${b._2} min")
+      case _ => }
+    }
+  }
+
+  // ------------------------------------------------- q8_market_share
+
+  test("q8: share is exactly num/denom of the same exact cents") {
+    val rows = Relational.q8MarketShare(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (y, num, denom, share) =>
+      assert(num >= 0L && num <= denom, s"$y: numerator out of range")
+      assert(share == num.toDouble / denom.toDouble, s"$y: share not the exact quotient")
+    }
+  }
 }
