@@ -1139,7 +1139,168 @@ object Relational {
       |  CAST(min(vc) AS BIGINT) AS min_vc, CAST(max(vc) AS BIGINT) AS max_vc
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Event-type TRIGRAM mining — the sequential-pattern table (the
+    * n-gram sweep of user journeys: which 3-step behavior paths are
+    * common): per user the events order by (ts, event_id) — one
+    * window pass keyed by user_id, no global sort — consecutive
+    * type triples count corpus-wide (wordcount-shaped, map-side
+    * combinable) and the top-10 cut runs as TakeOrdered. Integer
+    * counts; the unique order (n DESC, t1, t2, t3) pins the limit. */
+  def eventsTypeTrigrams(s: SparkSession, dir: String): DataFrame =
+    trigramsCore(Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  private[graft] def trigramsCore(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    e.select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("t1"))
+      .withColumn("t2", lead("t1", 1).over(w))
+      .withColumn("t3", lead("t1", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(10)
+  }
+
+  val eventsTypeTrigramsSql: String =
+    """WITH s AS (SELECT user_id, event_type AS t1,
+      |  lead(event_type)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+      |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      |FROM events)
+      |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      |FROM s WHERE t3 IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin
+
+  /** MARKET-BASKET brand pairs — association mining over orders
+    * (Agrawal & Srikant '94 support/confidence, plus lift): the
+    * distinct (order, brand) set joins itself within the order key
+    * (pair work bounded by basket size, never a corpus cross; a
+    * pathological mega-basket salts like any hot join key), support =
+    * co-occurring orders, confidence and lift as exact ppm rationals
+    * off the per-brand order counts and the basket total — all
+    * integers (DECIMAL-widened lift product), top-20 by
+    * (support DESC, brand_a, brand_b). */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    val b = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBrand = b.groupBy("p_brand").agg(count(lit(1)).as("c1"))
+    val nOrders = b.select("l_orderkey").distinct().count()
+    val pairs = b.alias("x").join(b.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.p_brand") < col("y.p_brand"))
+      .select(col("x.p_brand").as("brand_a"), col("y.p_brand").as("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("support"))
+    pairs
+      .join(broadcast(cBrand.select(col("p_brand").as("brand_a"), col("c1").as("ca"))), "brand_a")
+      .join(broadcast(cBrand.select(col("p_brand").as("brand_b"), col("c1").as("cb"))), "brand_b")
+      .select(col("brand_a"), col("brand_b"), col("support"), col("ca"), col("cb"),
+        expr("(support * 1000000) div ca").as("conf_ab_ppm"),
+        expr("(support * 1000000) div cb").as("conf_ba_ppm"),
+        expr(s"cast(cast(support as decimal(38,0)) * $nOrders * 1000000" +
+          s" div (cast(ca as decimal(38,0)) * cb) as long)").as("lift_ppm"))
+      .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  val qBasketPairsSql: String =
+    """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, p_brand
+      |      FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |c1 AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      |nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+      |p AS (SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+      |        CAST(count(*) AS BIGINT) AS support
+      |      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+      |        AND x.p_brand < y.p_brand
+      |      GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, support, ca.c AS ca, cb.c AS cb,
+      |  (support * 1000000) // ca.c AS conf_ab_ppm,
+      |  (support * 1000000) // cb.c AS conf_ba_ppm,
+      |  CAST((support::HUGEINT * nn.n * 1000000) // (ca.c::HUGEINT * cb.c) AS BIGINT) AS lift_ppm
+      |FROM p JOIN c1 ca ON ca.p_brand = brand_a
+      |JOIN c1 cb ON cb.p_brand = brand_b CROSS JOIN nn
+      |ORDER BY support DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
+  /** DISTRIBUTION DRIFT between two time windows — the data-quality
+    * monitor a production ingest runs (did the value distribution
+    * move?): the corpus splits at the midpoint of the global ts range
+    * (one 2-long aggregate broadcast back — a map-only split, no
+    * global sort), per (event_type, fixed-width value bucket) counts
+    * full-outer join across the halves, and the drift per type is the
+    * exact TOTAL-VARIATION distance in ppm — Σ|na·NB − nb·NA| over
+    * buckets, scaled by 10⁶ div (2·NA·NB), every product
+    * DECIMAL-widened so nothing wraps at any corpus size. TV is the
+    * bounded [0, 1e6] metric PSI's log can't grade exactly; both
+    * engines reproduce every cell digit-for-digit. */
+  val DriftBucketCents = 500L
+  def eventsDrift(s: SparkSession, dir: String): DataFrame =
+    driftCore(Tables.load(s, dir, "events")
+      .select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc")))
+
+  /** The TV-drift core over any (event_type, ts, vc) frame —
+    * injectable for the spec's identical/disjoint halves. */
+  private[graft] def driftCore(e: DataFrame): DataFrame = {
+    val span = e.agg(min("ts").as("lo"), max("ts").as("hi"))
+    val tagged = e.crossJoin(broadcast(span))
+      .withColumn("win", when(col("ts") <= expr("lo + (hi - lo) div 2"), "a")
+        .otherwise("b"))
+      .withColumn("bucket", expr(s"vc div $DriftBucketCents"))
+    val cnt = tagged.groupBy("event_type", "win", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val a = cnt.filter(col("win") === "a")
+      .select(col("event_type"), col("bucket"), col("n").as("na"))
+    val bb = cnt.filter(col("win") === "b")
+      .select(col("event_type"), col("bucket"), col("n").as("nb"))
+    val joined = a.join(bb, Seq("event_type", "bucket"), "full_outer")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = joined.groupBy("event_type")
+      .agg(sum("na").as("tot_a"), sum("nb").as("tot_b"))
+    joined.join(broadcast(tot), "event_type")
+      .filter(col("tot_a") > 0 && col("tot_b") > 0)
+      .withColumn("dev",
+        expr("abs(cast(na as decimal(38,0)) * tot_b - cast(nb as decimal(38,0)) * tot_a)"))
+      .groupBy("event_type", "tot_a", "tot_b")
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("cast(sum(dev) * 1000000 div (2 * cast(max(tot_a) as decimal(38,0)) * max(tot_b)) as long)")
+          .as("tv_ppm"))
+      .select("event_type", "tot_a", "tot_b", "n_buckets", "tv_ppm")
+      .orderBy("event_type")
+  }
+
+  val eventsDriftSql: String =
+    s"""WITH e AS (SELECT event_type, epoch_ns(ts) AS tsn,
+       |             CAST(round(value*100) AS BIGINT) AS vc FROM events),
+       |sp AS (SELECT min(tsn) AS lo, max(tsn) AS hi FROM e),
+       |tg AS (SELECT event_type,
+       |         CASE WHEN tsn <= lo + (hi - lo) // 2 THEN 'a' ELSE 'b' END AS win,
+       |         vc // $DriftBucketCents AS bucket
+       |       FROM e CROSS JOIN sp),
+       |c AS (SELECT event_type, win, bucket, CAST(count(*) AS BIGINT) AS n
+       |      FROM tg GROUP BY 1, 2, 3),
+       |j AS (SELECT COALESCE(x.event_type, y.event_type) AS event_type,
+       |        COALESCE(x.bucket, y.bucket) AS bucket,
+       |        COALESCE(x.n, 0) AS na, COALESCE(y.n, 0) AS nb
+       |      FROM (SELECT * FROM c WHERE win = 'a') x
+       |      FULL OUTER JOIN (SELECT * FROM c WHERE win = 'b') y
+       |        ON x.event_type = y.event_type AND x.bucket = y.bucket),
+       |t AS (SELECT event_type, CAST(sum(na) AS BIGINT) AS tot_a,
+       |        CAST(sum(nb) AS BIGINT) AS tot_b FROM j GROUP BY 1)
+       |SELECT j.event_type, t.tot_a, t.tot_b,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(abs(j.na::HUGEINT * t.tot_b - j.nb::HUGEINT * t.tot_a)) * 1000000
+       |    // (2 * t.tot_a::HUGEINT * t.tot_b) AS BIGINT) AS tv_ppm
+       |FROM j JOIN t ON t.event_type = j.event_type
+       |WHERE t.tot_a > 0 AND t.tot_b > 0
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_type_trigrams" -> (eventsTypeTrigrams _),
+    "q_basket_pairs" -> (qBasketPairs _),
+    "events_drift" -> (eventsDrift _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
     "events_ntile" -> (eventsNtile _),
@@ -1179,6 +1340,9 @@ object Relational {
     "events_tumbling" -> (eventsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "events_type_trigrams" -> eventsTypeTrigramsSql,
+    "q_basket_pairs" -> qBasketPairsSql,
+    "events_drift" -> eventsDriftSql,
     "q7_nation_volume" -> q7NationVolumeSql,
     "q8_market_share" -> q8MarketShareSql,
     "events_ntile" -> eventsNtileSql,

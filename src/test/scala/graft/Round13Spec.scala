@@ -325,6 +325,53 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  // -------------------------------------------------- events_drift
+
+  test("drift: identical halves measure 0, disjoint halves 1e6") {
+    // window split is the ts-range midpoint; value distribution equal
+    // in both halves -> TV = 0 exactly
+    val same = (0L until 100L).map(i =>
+      ("click", i * 1000L, (i % 10) * 600L)).toDF("event_type", "ts", "vc")
+    val tv0 = Relational.driftCore(same)
+      .select("tv_ppm").as[Long].collect()
+    assert(tv0.toList == List(0L), s"identical halves drifted: ${tv0.toList}")
+    // first half all in bucket 0, second half all in bucket 10 -> TV = 1
+    val flip = (0L until 100L).map(i =>
+      ("click", i * 1000L, if (i < 50) 0L else 5000L)).toDF("event_type", "ts", "vc")
+    val tv1 = Relational.driftCore(flip)
+      .select("tv_ppm").as[Long].collect()
+    assert(tv1.toList == List(1000000L), s"disjoint halves: ${tv1.toList}")
+  }
+
+  // -------------------------------------------- events_type_trigrams
+
+  test("trigrams: planted journey counts exactly, sequences never cross users") {
+    val e = Seq(
+      // user 1: v v c p  -> trigrams (v,v,c), (v,c,p)
+      (1L, 10L, 1L, "v"), (1L, 20L, 2L, "v"), (1L, 30L, 3L, "c"), (1L, 40L, 4L, "p"),
+      // user 2: v v c    -> (v,v,c); its tail never chains into user 3
+      (2L, 10L, 5L, "v"), (2L, 20L, 6L, "v"), (2L, 30L, 7L, "c"),
+      (3L, 5L, 8L, "p"), (3L, 6L, 9L, "p")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Relational.trigramsCore(e)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(("v", "v", "c", 2L), ("v", "c", "p", 1L)), s"got $got")
+  }
+
+  // ---------------------------------------------------- q_basket_pairs
+
+  test("basket pairs: support bounded by both marginals, ratios exact") {
+    val rows = Relational.qBasketPairs(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, sup, ca, cb, cab, cba, _) =>
+      assert(a < b, "pair not canonically ordered")
+      assert(sup <= ca && sup <= cb, s"($a,$b): support exceeds a marginal")
+      assert(cab == sup * 1000000L / ca && cba == sup * 1000000L / cb,
+        s"($a,$b): confidence not the exact rational")
+    }
+  }
+
   // ------------------------------------------------- q8_market_share
 
   test("q8: share is exactly num/denom of the same exact cents") {
