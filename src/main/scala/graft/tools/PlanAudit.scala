@@ -40,7 +40,16 @@ object PlanAudit {
     "q_cube" -> "all four grouping sets via ONE Expand + one partially-aggregated exchange — never four scans",
     "events_outliers" -> "3-long-per-group stats broadcast back; flagging is a codegen filter inside the scan stage",
     "graph_triangles" -> "degree-oriented wedge and closure stages are plain equi-joins — no nested loop, no cross product",
-    "sketch_distinct_hll" -> "register grid partial-aggregates map-side; 64 (register, max-ρ) longs per group cross the exchange")
+    "sketch_distinct_hll" -> "register grid partial-aggregates map-side; 64 (register, max-ρ) longs per group cross the exchange",
+    "q19_disjunctive" -> "disjunctive-predicate join: ONE broadcast equi-join on the part key, the three OR'd branches a codegen post-join filter — no nested loop",
+    "q21_waiting" -> "double-correlated subqueries as left-semi + left-anti self-joins on the fact's natural key; supplier dim broadcast",
+    "q22_global" -> "scalar positive-balance aggregate broadcast as one row; urgent-order anti join; the average compared by integer cross-multiply inside the scan filter",
+    "cluster_topics" -> "ONE tokenize pass; (centroid, term) count is the only corpus-sized exchange; per-cluster token totals and the corpus scalar broadcast",
+    "text_rake" -> "phrase assembly = one gaps-and-islands window keyed by doc_id; word-score table broadcast into the distinct-phrase join; top-20 as TakeOrderedAndProject",
+    "q_basket_pairs" -> "basket-bounded self equi-join on the order key (never a corpus cross); brand marginals broadcast",
+    "events_drift" -> "2-long ts-span aggregate broadcast back (map-only window split); per-type totals broadcast into the bucket join",
+    "events_ntile" -> "one window pass per type partition; output dimension-bounded at |types|·10",
+    "graph_link_predict" -> "middle-node wedge join and edge anti-join are plain equi-joins; top-20 as TakeOrderedAndProject")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
