@@ -546,6 +546,59 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming DRIFT MONITOR — events_drift run LIVE (the production
+    * shape: a REFERENCE window profile sits at rest, arrivals stream
+    * in, and the monitor reports how far the live value distribution
+    * has moved): the reference is the first half of the ts range
+    * (the batch operator's own window A), profiled once batch-side
+    * and broadcast; the second half ARRIVES as the stream, counted by
+    * a complete-mode (type, bucket) aggregation — state is one long
+    * per observed histogram cell (the dimension-bounded grid the
+    * batch operator also materializes), order-independent counts so
+    * chunking never matters. The drained grid finalizes through the
+    * SAME exact TV arithmetic as the batch operator — Σ|na·NB−nb·NA|
+    * DECIMAL-widened — so the live table equals batch events_drift
+    * bit-for-bit and the SAME SQL twin grades both. */
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Array(lo, hi) = e.agg(min("ts"), max("ts")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val mid = lo + (hi - lo) / 2
+    val bucketed = e.withColumn("bucket",
+      expr(s"vc div ${Relational.DriftBucketCents}"))
+    val refA = bucketed.filter(col("ts") <= mid)
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("na"))
+      .localCheckpoint(false)
+    val liveRows = bucketed.filter(col("ts") > mid)
+      .select(col("event_type"), col("ts"), col("bucket"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    val grid = drain(s, split3(liveRows), "complete", sinkName("stream_drift")) { ds =>
+      ds.toDF("event_type", "ts", "bucket")
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("nb"))
+    }
+    // finalize through the batch TV arithmetic over the drained grid
+    val joined = refA.join(grid, Seq("event_type", "bucket"), "full_outer")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = joined.groupBy("event_type")
+      .agg(sum("na").as("tot_a"), sum("nb").as("tot_b"))
+    joined.join(broadcast(tot), "event_type")
+      .filter(col("tot_a") > 0 && col("tot_b") > 0)
+      .withColumn("dev",
+        expr("abs(cast(na as decimal(38,0)) * tot_b - cast(nb as decimal(38,0)) * tot_a)"))
+      .groupBy("event_type", "tot_a", "tot_b")
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("cast(sum(dev) * 1000000 div (2 * cast(max(tot_a) as decimal(38,0)) * max(tot_b)) as long)")
+          .as("tv_ppm"))
+      .select("event_type", "tot_a", "tot_b", "n_buckets", "tv_ppm")
+      .orderBy("event_type")
+  }
+
   /** Streaming SEMANTIC-DEDUP GATE — semdedup run at ingest (the
     * production shape: arriving vectors are checked against the
     * at-rest clustered index and flagged before they pollute the
@@ -1307,6 +1360,7 @@ object StreamingQueries {
     "stream_sessionize" -> (streamSessionize _),
     "stream_funnel" -> (streamFunnel _),
     "stream_embed_dedup" -> (streamEmbedDedup _),
+    "stream_drift" -> (streamDrift _),
     "stream_knn" -> (streamKnn _),
     "stream_ivf" -> (streamIvf _),
     "stream_ivf_coded" -> (streamIvfCoded _),
@@ -1341,6 +1395,8 @@ object StreamingQueries {
     m += "stream_sessionize" -> Relational.eventsSessionizeSql
     // two-long keyed state + poison flush == the batch funnel LEFT join
     m += "stream_funnel" -> Relational.eventsFunnelSql
+    // live grid + batch reference finalize through the batch TV math
+    m += "stream_drift" -> Relational.eventsDriftSql
     m += "stream_knn" -> VectorSearch.knnCosineSql
     m += "stream_topk" -> VectorSearch.knnCosineSql
     m += "stream_dedup" -> Dedup.dedupMinhashLshSql
