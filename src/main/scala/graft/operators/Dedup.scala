@@ -272,6 +272,117 @@ object Dedup {
       |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
       |ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------- LSH banding tradeoff
+
+  /** MinHash-LSH BANDING TRADEOFF table — the tuning eval a dedup
+    * deployment reads before fixing (bands × rows) (the S-curve of
+    * Leskovec/Rajaraman/Ullman ch.3, MEASURED on the corpus instead
+    * of assumed): three band shapes over one shared 32-lane signature
+    * — (16×2) permissive through (4×8) strict — each generating its
+    * candidate pairs, exact-verified against the TRUE Jaccard ≥ τ
+    * pair set, with recall and precision as exact ppm rationals. The
+    * signature basis is md5 (lane value = min over shingles of the
+    * 63-bit md5 of shingle|lane), so the DuckDB twin rebuilds
+    * signatures, buckets, candidates, truth, and every count
+    * digit-for-digit — the sketch's accuracy is ON the gate, the
+    * discipline of sketch_heavy_hitters. The truth side is the
+    * quadratic exact join — an EVAL-table cost (at 100 TB this table
+    * is computed on a sample; the production dedup path is the graded
+    * dedup_minhash_lsh whose banded recall at τ is ≈1). */
+  val LshLanes = 32
+  val LshConfigs: Seq[(Int, Int)] = Seq((16, 2), (8, 4), (4, 8))
+
+  def dedupLshTradeoff(s: SparkSession, dir: String): DataFrame =
+    lshTradeoffOn(Tables.load(s, dir, "documents"))
+
+  private[graft] def lshTradeoffOn(docs: DataFrame): DataFrame = {
+    import graft.functions.TextHashOps
+    val w = expr("filter(split(text, ' '), x -> x != '')")
+    val base = docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+        .as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared 32-lane signature off the md5 basis (63-bit, KMV mapping)
+    val lanes = base.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${LshLanes - 1})")).as("lane"),
+        col("g"))
+      .select(col("doc_id"), col("lane"),
+        shiftrightunsigned(TextHashOps.md5Lower64(
+          concat(col("g"), lit("|"), col("lane").cast("string"))), 1).as("h"))
+      .groupBy("doc_id", "lane").agg(min("h").as("h"))
+      .localCheckpoint(false)
+    // truth: exact Jaccard >= 1/2 by integer cross-multiply
+    val a = base.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val b = base.select(col("doc_id").as("db"), col("sh").as("shb"))
+    val truth = a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("da", "db").localCheckpoint(false)
+    val nTrue = truth.count()
+    val rows = LshConfigs.map { case (bands, r) =>
+      val bk = lanes.withColumn("band", expr(s"lane div $r"))
+        .groupBy("doc_id", "band")
+        .agg(concat_ws(",", expr("transform(sort_array(collect_list(struct(lane, h))), x -> cast(x.h as string))"))
+          .as("key"))
+      val cand = bk.alias("x").join(bk.alias("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+        .localCheckpoint(false)
+      val nCand = cand.count()
+      val nHit = cand.join(truth, Seq("da", "db"), "left_semi").count()
+      (s"${bands}x$r", nCand, nTrue, nHit,
+        if (nTrue > 0) nHit * 1000000L / nTrue else 0L,
+        if (nCand > 0) nHit * 1000000L / nCand else 0L)
+    }
+    docs.sparkSession.createDataFrame(rows)
+      .toDF("config", "n_cand", "n_true", "n_hit", "recall_ppm", "precision_ppm")
+      .orderBy("config")
+  }
+
+  val dedupLshTradeoffSql: String = {
+    val per = LshConfigs.map { case (bands, r) =>
+      s"""bk_${bands}_$r AS (SELECT doc_id, lane // $r AS band,
+         |        string_agg(h::VARCHAR, ',' ORDER BY lane) AS key
+         |      FROM lv GROUP BY 1, 2),
+         |cd_${bands}_$r AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |      FROM bk_${bands}_$r x JOIN bk_${bands}_$r y
+         |        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |ct_${bands}_$r AS (SELECT
+         |        (SELECT count(*) FROM cd_${bands}_$r) AS n_cand,
+         |        (SELECT count(*) FROM tru) AS n_true,
+         |        (SELECT count(*) FROM cd_${bands}_$r c
+         |          JOIN tru ON tru.da = c.da AND tru.db = c.db) AS n_hit)""".stripMargin
+    }.mkString(",\n")
+    val rows = LshConfigs.map { case (bands, r) =>
+      s"""SELECT '${bands}x$r' AS config, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true ELSE 0 END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand ELSE 0 END AS BIGINT) AS precision_ppm
+         |FROM ct_${bands}_$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |        FROM documents),
+       |tt AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(w) - 1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+       |       FROM tk WHERE len(w) >= 3),
+       |lv AS (SELECT doc_id, lane,
+       |         min(CAST(md5_number_lower(g || '|' || lane) >> 1 AS BIGINT)) AS h
+       |       FROM (SELECT doc_id, unnest(sh) AS g FROM tt)
+       |       CROSS JOIN range($LshLanes) r(lane) GROUP BY 1, 2),
+       |tru AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |       FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+       |       WHERE 2 * len(list_intersect(a.sh, b.sh))
+       |         >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+       |$per
+       |$rows
+       |ORDER BY config""".stripMargin
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text")
 
@@ -819,6 +930,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_lsh_tradeoff" -> (dedupLshTradeoff _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_largestar" -> (dedupClustersLargestar _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -831,6 +943,7 @@ object Dedup {
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
     m += "dedup_minhash_lsh" -> dedupMinhashLshSql
+    m += "dedup_lsh_tradeoff" -> dedupLshTradeoffSql
     m += "dedup_clusters" -> dedupClustersSql
     m += "dedup_clusters_largestar" -> dedupClustersSql
     m += "dedup_simhash" -> dedupSimhashSql

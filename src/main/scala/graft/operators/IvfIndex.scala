@@ -702,6 +702,43 @@ object IvfIndex {
 
   @volatile private var lastSizeCentroids: Array[Array[Double]] = _
 
+  /** Cell-BALANCE diagnostics — the salting-policy input (the table
+    * adaptiveSaltTarget / writeSalted decisions read): per k-means
+    * cell its row count, its exact share of the corpus in ppm, and a
+    * HOT flag for cells above 2× fair share (n·nlist > 2·total — the
+    * integer cross-multiplied form, no division) — on a near-dup-heavy
+    * corpus these are the cells that straggle an unsalted write.
+    * One assignment pass + one |nlist|-row aggregate; the scalar total
+    * broadcasts. All integer — oracle replays assignment from this
+    * run's stashed centroid literals. */
+  def ivfCellStats(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    lastCellStatsCentroids = centroids
+    val cells = assign(emb, centroids)
+      .groupBy("centroid").agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum("n_vectors").as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("centroid"), col("n_vectors"),
+        expr("(n_vectors * 1000000) div total").as("share_ppm"),
+        (col("n_vectors") * centroids.length > col("total") * 2).as("hot"))
+      .orderBy("centroid")
+  }
+
+  @volatile private var lastCellStatsCentroids: Array[Array[Double]] = _
+
+  private def ivfCellStatsSql(centroids: Array[Array[Double]]): String =
+    s"""WITH d AS (SELECT vec_id,
+       |  ${graft.OracleSql.distList("embedding", centroids)} AS dl FROM embeddings),
+       |a AS (SELECT vec_id,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
+       |c AS (SELECT centroid, CAST(count(*) AS BIGINT) AS n_vectors FROM a GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total FROM c)
+       |SELECT centroid, n_vectors,
+       |  (n_vectors * 1000000) // total AS share_ppm,
+       |  n_vectors * ${centroids.length} > total * 2 AS hot
+       |FROM c CROSS JOIN t ORDER BY centroid""".stripMargin
+
   private def indexSizeSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, len(embedding) AS dim,
        |  ${graft.OracleSql.distList("embedding", centroids)} AS dl FROM embeddings),
@@ -855,6 +892,7 @@ object IvfIndex {
       "ivf_search_mllib" -> (ivfSearchMLlib _),
       "ivf_adaptive" -> (ivfAdaptive _),
       "index_size" -> (indexSize _),
+      "ivf_cell_stats" -> (ivfCellStats _),
       "index_save_load" -> (indexSaveLoad _),
       "index_merge" -> (indexMerge _),
       "ivf_salted" -> (ivfSalted _),
@@ -920,6 +958,8 @@ object IvfIndex {
       m += "ivf_adaptive" -> ivfAdaptiveSql(lastAdaptiveCentroids, MinCand)
     if (lastSizeCentroids != null)
       m += "index_size" -> indexSizeSql(lastSizeCentroids)
+    if (lastCellStatsCentroids != null)
+      m += "ivf_cell_stats" -> ivfCellStatsSql(lastCellStatsCentroids)
     // index_merge's twin IS the whole-corpus IVF search: shard union +
     // compaction must be invisible to the probe.
     if (lastMergeCentroids != null)

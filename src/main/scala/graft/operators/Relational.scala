@@ -1170,6 +1170,44 @@ object Relational {
       |FROM s WHERE t3 IS NOT NULL
       |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin
 
+  /** Event-type TRANSITION MATRIX — the first-order Markov model of
+    * user journeys (the bigram sibling of events_type_trigrams, with
+    * row-normalized transition probabilities): consecutive type pairs
+    * per user off one (ts, id)-ordered window pass, counted
+    * corpus-wide, each row's probability the exact rational
+    * (n·10⁶) div row_total — the table a session-simulation or
+    * next-event-prediction baseline trains from. Dimension-bounded
+    * output (|types|² rows max). */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame =
+    markovCore(Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  private[graft] def markovCore(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = e.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead("t1", 1).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("t1").agg(sum("n").as("row_total"))
+    pairs.join(broadcast(tot), "t1")
+      .withColumn("p_ppm", expr("(n * 1000000) div row_total"))
+      .select("t1", "t2", "n", "row_total", "p_ppm")
+      .orderBy("t1", "t2")
+  }
+
+  val eventsMarkovSql: String =
+    """WITH s AS (SELECT user_id, event_type AS t1,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      |FROM events),
+      |c AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n
+      |      FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT t1, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+      |SELECT c.t1, c.t2, c.n, t.row_total,
+      |  (c.n * 1000000) // t.row_total AS p_ppm
+      |FROM c JOIN t ON t.t1 = c.t1
+      |ORDER BY 1, 2""".stripMargin
+
   /** MARKET-BASKET brand pairs — association mining over orders
     * (Agrawal & Srikant '94 support/confidence, plus lift): the
     * distinct (order, brand) set joins itself within the order key
@@ -1299,6 +1337,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_type_trigrams" -> (eventsTypeTrigrams _),
+    "events_markov" -> (eventsMarkov _),
     "q_basket_pairs" -> (qBasketPairs _),
     "events_drift" -> (eventsDrift _),
     "q7_nation_volume" -> (q7NationVolume _),
@@ -1341,6 +1380,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "events_type_trigrams" -> eventsTypeTrigramsSql,
+    "events_markov" -> eventsMarkovSql,
     "q_basket_pairs" -> qBasketPairsSql,
     "events_drift" -> eventsDriftSql,
     "q7_nation_volume" -> q7NationVolumeSql,

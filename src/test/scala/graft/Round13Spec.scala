@@ -372,6 +372,67 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------ dedup_lsh_tradeoff
+
+  test("lsh tradeoff: candidates nest across band shapes; exact dups always caught") {
+    // bands align (8k..8k+7 = two 4-lane bands = four 2-lane bands), so
+    // an (4x8) collision implies an (8x4) collision implies (16x2):
+    // candidate sets nest and recall is monotone in band count
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five nine ten eleven"),       // near dup of 3
+      (5L, "totally different words appear in this document here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.lshTradeoffOn(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (permissive, mid, strict) = (got("16x2"), got("8x4"), got("4x8"))
+    assert(permissive._2 >= mid._2 && mid._2 >= strict._2, "candidates not nested")
+    assert(permissive._4 >= mid._4 && mid._4 >= strict._4, "hits not nested")
+    // the exact duplicate pair (identical signature) collides in EVERY
+    // band of every config — all three must count it as a hit
+    assert(strict._4 >= 1L, "exact dup escaped the strictest banding")
+    assert(got.values.forall(r => r._3 == permissive._3), "truth differs per config")
+  }
+
+  // ---------------------------------------------------- events_markov
+
+  test("markov: planted transitions exact, rows normalize to <= 1e6") {
+    val e = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (1L, 40L, 4L, "c"),
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    // transitions: u1 a->b, b->a, a->c; u2 a->b  => a: {b:2, c:1}, b: {a:1}
+    val got = Relational.markovCore(e)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 2L, 3L, 666666L),
+      ("a", "c", 1L, 3L, 333333L),
+      ("b", "a", 1L, 1L, 1000000L)), s"got $got")
+    // per-row ppm sums land within floor loss of exactly 1e6
+    got.groupBy(_._1).foreach { case (t1, rs) =>
+      val s = rs.toSeq.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - rs.size, s"$t1 row sums to $s")
+    }
+  }
+
+  // --------------------------------------------------- ivf_cell_stats
+
+  test("cell stats: counts conserve, shares normalize, hot flag consistent") {
+    val rows = graft.operators.IvfIndex.queries("ivf_cell_stats")(spark, sfDir)
+      .as[(Int, Long, Long, Boolean)].collect()
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.map(_._2).sum == n, "cells lost vectors")
+    val shares = rows.map(_._3).sum
+    assert(shares <= 1000000L && shares > 1000000L - rows.length)
+    rows.foreach { case (c, nv, _, hot) =>
+      assert(hot == (nv * 16L > 2L * n), s"cell $c hot flag wrong")
+    }
+  }
+
   // ------------------------------------------------- q8_market_share
 
   test("q8: share is exactly num/denom of the same exact cents") {
