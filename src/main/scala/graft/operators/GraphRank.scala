@@ -556,21 +556,30 @@ object GraphRank {
     var peeled = ss.createDataFrame(ss.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("id", LongType),
         StructField("peel_round", LongType))))
-    for (t <- 1 to KCoreT) {
+    var converged = false
+    for (t <- 1 to KCoreT if !converged) {
       val dg = edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("dg"))
       val withDeg = alive.join(dg, Seq("id"), "left")
         .select(col("id"), coalesce(col("dg"), lit(0L)).as("dg"))
         .localCheckpoint(false)
-      peeled = peeled.union(
-        withDeg.filter(col("dg") < KCoreK)
-          .select(col("id"), lit(t.toLong).as("peel_round")))
-      alive = withDeg.filter(col("dg") >= KCoreK).select("id")
+      val peeledRound = withDeg.filter(col("dg") < KCoreK)
+        .select(col("id"), lit(t.toLong).as("peel_round"))
         .localCheckpoint(false)
-      edges = edges
-        .join(alive.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
-        .join(alive.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
-        .localCheckpoint(false)
+      // fixpoint early-exit: once a round peels nothing, every later
+      // round is the identity — the unrolled SQL twin runs them all,
+      // but they cannot change anything, so skipping is value-neutral
+      // (and saves KCoreT−t corpus-sized rounds at scale)
+      if (peeledRound.isEmpty) converged = true
+      else {
+        peeled = peeled.union(peeledRound)
+        alive = withDeg.filter(col("dg") >= KCoreK).select("id")
+          .localCheckpoint(false)
+        edges = edges
+          .join(alive.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+          .join(alive.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+          .localCheckpoint(false)
+      }
     }
     // fixpoint guard: one more peel must remove nothing — a silent
     // partial core would grade as if it were the k-core

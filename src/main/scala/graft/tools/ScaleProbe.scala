@@ -754,6 +754,117 @@ object ScaleProbe {
       val s0 = (System.nanoTime() - t0) / 1e9
       println(f"[scale] collocations top-20 (20M tokens, 50k vocab): $s0%.2f s (${20e6 / s0 / 1e6}%.1f M tokens/s)")
     }
+    // Round-13 graph loops on the 1M × 10 hash graph: each round is
+    // one corpus-sized join + aggregate, so wall time ~ rounds.
+    if (wanted("kcore")) {
+      val deg = 10
+      val edges = spark.range(n).select(col("id").as("src"),
+          explode(expr(s"transform(sequence(0, ${deg - 1}), j -> " +
+            s"pmod(hash(id * 31 + j * 7), ${n}L))")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val core = graft.operators.GraphRank.kcoreOverEdges(edges)
+        .filter(col("peel_round") === 0L).count()
+      println(f"[scale] kcore k=${graft.operators.GraphRank.KCoreK} " +
+        f"(${n / 1e6}%.0fM nodes × $deg edges, ${graft.operators.GraphRank.KCoreT} rounds): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, $core in-core")
+    }
+    if (wanted("lpa")) {
+      val deg = 10
+      val edges = spark.range(n).select(col("id").as("src"),
+          explode(expr(s"transform(sequence(0, ${deg - 1}), j -> " +
+            s"pmod(hash(id * 31 + j * 7), ${n}L))")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val comms = graft.operators.GraphRank.lpaOverEdges(edges)
+        .select("comm").distinct().count()
+      println(f"[scale] lpa ${graft.operators.GraphRank.LpaT} rounds " +
+        f"(${n / 1e6}%.0fM nodes × $deg edges): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, $comms communities")
+    }
+    if (wanted("bfs")) {
+      val deg = 10
+      val edges = spark.range(n).select(col("id").as("src"),
+          explode(expr(s"transform(sequence(0, ${deg - 1}), j -> " +
+            s"pmod(hash(id * 31 + j * 7), ${n}L))")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val reached = graft.operators.GraphRank.bfsOverEdges(edges, 10L)
+        .filter(col("dist").isNotNull).count()
+      println(f"[scale] bfs ${graft.operators.GraphRank.BfsT} rounds from 10 seeds " +
+        f"(${n / 1e6}%.0fM nodes × $deg edges): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, $reached reached")
+    }
+    // Link prediction's wedge volume is Σ deg² — quadratic in degree,
+    // linear in nodes; 300k × 10-out (≈20 und-degree) ⇒ ~120M wedges.
+    if (wanted("linkpredict")) {
+      val nn = math.min(n, 300000L)
+      val deg = 10
+      val edges = spark.range(nn).select(col("id").as("src"),
+          explode(expr(s"transform(sequence(0, ${deg - 1}), j -> " +
+            s"pmod(hash(id * 31 + j * 7), ${nn}L))")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      graft.operators.GraphRank.linkPredictOverEdges(edges).count()
+      println(f"[scale] link predict (${nn / 1e3}%.0fk nodes × $deg out, " +
+        f"middle-node wedges): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // Journey mining at 20M events / 100k users: the window pass is
+    // keyed by user — no global sort anywhere.
+    if (wanted("journeys")) {
+      val nEv = 20000000L
+      val ev = spark.range(nEv).select(
+          pmod(col("id") * 2654435761L, lit(100000L)).as("user_id"),
+          (col("id") * 1000L).as("ts"), col("id").as("event_id"),
+          expr("concat('t', pmod(hash(id * 13), 8))").as("event_type"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      graft.operators.Relational.trigramsCore(ev).count()
+      val s0 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.operators.Relational.markovCore(ev).count()
+      val s1 = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] journey trigrams (20M events, 100k users): $s0%.2f s " +
+        f"(${nEv / s0 / 1e6}%.1f M events/s); markov matrix: $s1%.2f s")
+    }
+    // RAKE at 20M tokens: one gaps-and-islands window per doc + a
+    // vocabulary-sized scoring join.
+    if (wanted("rake")) {
+      val docs = spark.range(200000L).select(col("id").as("doc_id"),
+        array_join(expr(
+          """transform(sequence(0, 99), j ->
+            |  CASE WHEN pmod(hash(id * 7 + j * 3), 5) = 0 THEN 'the'
+            |       ELSE concat('w', pmod(hash(id * 101 + j), 20000)) END)"""
+            .stripMargin), " ").as("text"))
+        .repartition(64).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      graft.operators.TextOps.rakeOn(docs).count()
+      val s0 = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] rake top-20 (20M tokens, 1-in-5 stopwords): $s0%.2f s " +
+        f"(${20e6 / s0 / 1e6}%.1f M tokens/s)")
+    }
+    // TV drift at 20M events: two aggregates + a dimension-bounded
+    // bucket join — the whole monitor is wordcount-shaped.
+    if (wanted("drift")) {
+      val nEv = 20000000L
+      val ev = spark.range(nEv).select(
+          expr("concat('t', pmod(hash(id * 13), 8))").as("event_type"),
+          (col("id") * 1000L).as("ts"),
+          // second half shifted by 3 buckets: planted drift
+          expr(s"pmod(hash(id * 17), 5000) + CASE WHEN id >= ${nEv / 2} THEN 1500 ELSE 0 END")
+            .cast("long").as("vc"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val tv = graft.operators.Relational.driftCore(ev)
+        .agg(max("tv_ppm")).collect()(0).getLong(0)
+      val s0 = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] tv drift (20M events, 8 types): $s0%.2f s " +
+        f"(${nEv / s0 / 1e6}%.1f M events/s), max tv $tv ppm")
+    }
     spark.stop()
   }
 }
