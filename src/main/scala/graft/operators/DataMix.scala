@@ -215,13 +215,72 @@ object DataMix {
        |  coalesce(per.lm_ppm, 0) >= $LmKeepPpm AS keep
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // data_token_budget — fill a per-source TOKEN budget (not a doc
+  // count): the mixture-construction primitive when the training run
+  // is sized in tokens (every modern pretraining recipe). Docs within
+  // a source are taken in hash order (md5 of doc_id — a deterministic
+  // shuffle both engines reproduce) while the inclusive running token
+  // total stays within the budget; budget = corpus tokens div
+  // (2·n_sources) — half an average source's mass, derived from the
+  // corpus itself so the operator is scale-free. Emits the kept docs
+  // with their rank and running total — output bounded by
+  // n_sources·budget, NOT by corpus size.
+  //
+  // Scale shape: one scan computes (tokens, hash) per doc; the scalar
+  // budget broadcasts as one row; the cumulative sum is one window per
+  // source (shuffle keyed by source, sort by 8-byte hash — text never
+  // moves). A pathologically hot source salts into hash-range chunks
+  // with per-chunk offsets (the two-pass global_shuffle pattern) — at
+  // this corpus' source cardinality the plain window is the right plan.
+  // ---------------------------------------------------------------
+  def dataTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      graft.functions.TextHashOps
+        .md5Lower64(concat(lit("tb:"), col("doc_id")))
+        .bitwiseAND(lit(4294967295L)).as("h"))
+    val b = d.agg(expr("sum(n_tokens) div (2 * count(distinct source))")
+      .as("budget"))
+    val w = Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+    d.crossJoin(broadcast(b))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("source"), col("rk"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("budget"))
+      .orderBy("source", "rk")
+  }
+
+  val dataTokenBudgetSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |    AS n_tokens,
+      |  (md5_number_lower('tb:' || doc_id) & 4294967295) AS h
+      | FROM documents),
+      |b AS (SELECT sum(n_tokens) // (2 * count(DISTINCT source)) AS budget
+      | FROM d),
+      |c AS (SELECT source,
+      |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+      |  doc_id, n_tokens,
+      |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+      |    AS cum_tokens FROM d)
+      |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_tokens,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST(budget AS BIGINT) AS budget
+      |FROM c, b WHERE cum_tokens <= budget ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_domain_mix" -> (dataDomainMix _),
     "text_bigram_lm" -> (textBigramLm _),
-    "text_collocations" -> (textCollocations _))
+    "text_collocations" -> (textCollocations _),
+    "data_token_budget" -> (dataTokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "data_domain_mix" -> dataDomainMixSql,
     "text_bigram_lm" -> textBigramLmSql,
-    "text_collocations" -> textCollocationsSql)
+    "text_collocations" -> textCollocationsSql,
+    "data_token_budget" -> dataTokenBudgetSql)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
-import graft.operators.{Dedup, IvfIndex, Knn, Mmr, Relational, Sketches, VectorSearch}
+import graft.operators.{Dedup, IvfIndex, Knn, Mmr, Relational, Sketches, VectorSearch, Warehouse}
 
 /** GRADED streaming queries: each runs the corpus through a
   * MemoryStream in adversarial chunks, drains it with
@@ -224,6 +224,122 @@ object StreamingQueries {
             else Iterator.empty
           } else { state.update((sg, pu)); Iterator.empty }
       }.toDF("user_id", "signup_us", "purchase_us", "converted")
+  }
+
+  /** Streaming AS-OF ENRICHMENT — events_asof live (each error event
+    * stamped with the user's most recent prior click, the canonical
+    * "enrich the fact stream with latest-state" ingest pattern): keyed
+    * state is exactly ONE long per user (the last click's ts) no
+    * matter how much history streams through — where the batch twin
+    * needs a full per-user window sort. Correctness under time-ordered
+    * arrival: rows inside a trigger are re-sorted by (ts, event_id)
+    * before folding (iterator order is not guaranteed), and any click
+    * that precedes an error in event time arrives in the same or an
+    * earlier trigger, so each error's emission is final the moment it
+    * is processed — append mode, no poison rows needed. Graded against
+    * the UNCHANGED batch events_asof oracle. */
+  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // order and fold at the full ns resolution (a nanos-physical
+    // testdata drop can order differently at µs); surface µs like the
+    // batch twin
+    val rows = Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, Long)].collect().sortBy(e => (e._4, e._2))
+    val out = drain(s, split3(rows), "append", sinkName("stream_asof"))(asofServe)
+    // batch twin emits EVERY error event; ts_us fields surface as µs
+    out.select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_click_us"), col("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** The as-of serve: one long of state per user; errors emit final
+    * rows as they arrive (clicks only move the state forward). */
+  private[graft] def asofServe(ds: Dataset[(Long, Long, String, Long)]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Option[Long], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, String, Long)],
+         state: GroupState[Long]) =>
+          var lastClick = state.getOption.getOrElse(Long.MinValue) // ns
+          val out = Vector.newBuilder[(Long, Long, Long, Option[Long], Option[Long])]
+          // within-trigger order is arbitrary — restore event time (ns)
+          it.toArray.sortBy(e => (e._4, e._2)).foreach { case (_, eid, t, tsNs) =>
+            if (t == "click") { if (tsNs >= lastClick) lastClick = tsNs }
+            else {
+              // emit µs like the batch twin: floor(ns/1000) of each
+              // value independently (floor(a)−floor(b), not floor(a−b))
+              val lcUs = if (lastClick == Long.MinValue) None
+                         else Some(Math.floorDiv(lastClick, 1000L))
+              val tsUs = Math.floorDiv(tsNs, 1000L)
+              out += ((eid, uid, tsUs, lcUs, lcUs.map(tsUs - _)))
+            }
+          }
+          if (lastClick != Long.MinValue) state.update(lastClick)
+          out.result().iterator
+      }.toDF("event_id", "user_id", "ts_us", "last_click_us", "gap_us")
+  }
+
+  /** Streaming CDC APPLY — warehouse_cdc live (the materialized-view
+    * maintenance shape: a changelog streams in, the engine keeps the
+    * last-writer-wins snapshot continuously): keyed state is exactly
+    * SIX longs per key (head ts, head event_id, head op, head value,
+    * n_changes, n_deletes) at ANY history length — where the batch
+    * twin folds the whole changelog. Every fold here is COMMUTATIVE
+    * (head = max over the unique (ts, event_id) order; counts are
+    * sums), so unlike the time-ordered streaming twins this one is
+    * correct under ARBITRARY arrival order — no within-trigger sort,
+    * no ordering argument needed. Per-key poison rows (op = -1) flush
+    * the final snapshot rows in append mode (the sessionize pattern);
+    * keys whose final op is a delete flush nothing, matching the batch
+    * filter. Graded by the UNCHANGED batch warehouse_cdc SQL twin. */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", 0L).otherwise(1L),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(e => (e._2, e._3))
+    val poison = rows.map(_._1).distinct.sorted
+      .map(u => (u, 0L, 0L, -1L, 0L)).toSeq
+    val out = drain(s, split3(rows) :+ poison, "append",
+      sinkName("stream_cdc"))(cdcServe)
+    out.orderBy("user_id")
+  }
+
+  /** The CDC serve: six longs of state per key; op = -1 rows flush. */
+  private[graft] def cdcServe(
+      ds: Dataset[(Long, Long, Long, Long, Long)]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (hts, heid, hop, hvc, n, ndel) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, -1L, 0L, 0L, 0L))
+          var flush = false
+          it.foreach { case (_, tsn, eid, op, vc) =>
+            if (op < 0L) flush = true
+            else {
+              n += 1; if (op == 0L) ndel += 1
+              if (tsn > hts || (tsn == hts && eid > heid)) {
+                hts = tsn; heid = eid; hop = op; hvc = vc
+              }
+            }
+          }
+          if (flush) {
+            state.remove()
+            if (hop == 1L) Iterator((uid, hvc, n, ndel, hts / 1000L))
+            else Iterator.empty
+          } else {
+            state.update((hts, heid, hop, hvc, n, ndel)); Iterator.empty
+          }
+      }.toDF("user_id", "value_cents", "n_changes", "n_deletes",
+        "last_ts_us")
   }
 
   /** Online serving: QUERY vectors stream in against the static corpus
@@ -1359,6 +1475,8 @@ object StreamingQueries {
     "stream_zorder_ingest" -> (streamZorderIngest _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_funnel" -> (streamFunnel _),
+    "stream_asof" -> (streamAsof _),
+    "stream_cdc" -> (streamCdc _),
     "stream_embed_dedup" -> (streamEmbedDedup _),
     "stream_drift" -> (streamDrift _),
     "stream_knn" -> (streamKnn _),
@@ -1395,6 +1513,9 @@ object StreamingQueries {
     m += "stream_sessionize" -> Relational.eventsSessionizeSql
     // two-long keyed state + poison flush == the batch funnel LEFT join
     m += "stream_funnel" -> Relational.eventsFunnelSql
+    m += "stream_asof" -> Relational.eventsAsofSql
+    // commutative keyed folds + poison flush == the batch last-wins apply
+    m += "stream_cdc" -> Warehouse.warehouseCdcSql
     // live grid + batch reference finalize through the batch TV math
     m += "stream_drift" -> Relational.eventsDriftSql
     m += "stream_knn" -> VectorSearch.knnCosineSql
