@@ -285,10 +285,12 @@ object Dedup {
     * 63-bit md5 of shingle|lane), so the DuckDB twin rebuilds
     * signatures, buckets, candidates, truth, and every count
     * digit-for-digit — the sketch's accuracy is ON the gate, the
-    * discipline of sketch_heavy_hitters. The truth side is the
-    * quadratic exact join — an EVAL-table cost (at 100 TB this table
-    * is computed on a sample; the production dedup path is the graded
-    * dedup_minhash_lsh whose banded recall at τ is ≈1). */
+    * discipline of sketch_heavy_hitters. The truth side is the exact
+    * τ-threshold pair set via the PREFIX-FILTERED inverted index (the
+    * dedup_jaccard_prefix machinery — lossless, no df cap, pair work
+    * bounded by Σ prefix-df² which tracks near-dup density rather than
+    * token skew), so the whole eval runs at corpus scale, not on a
+    * sample. */
   val LshLanes = 32
   val LshConfigs: Seq[(Int, Int)] = Seq((16, 2), (8, 4), (4, 8))
 
@@ -314,23 +316,39 @@ object Dedup {
       .groupBy("doc_id", "lane").agg(min("h").as("h"))
       .localCheckpoint(false)
     // truth: exact Jaccard >= 1/2 by integer cross-multiply — via the
-    // INVERTED-INDEX set-similarity join (the dedup_ngram_jaccard
-    // shape), never an all-pairs cross: |A∩B| = co-occurrence count
-    // over the shingle postings (per-doc shingles are distinct), so
-    // pair work is bounded by Σ df² over shingles, not n²/2 array
-    // intersections (the first cut's crossJoin measured 227 s at
-    // sf0.1; this form is seconds). Hash basis for the join key —
-    // collision-freedom of the 64-bit shingle hash is certified on
-    // the gate by dedup_substring's raw-string twin.
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("ns"))
-    val posts = base.select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), TextHashOps.md5Lower64(col("g")).as("hk"))
-    val truth = posts.alias("x").join(posts.alias("y"),
+    // PREFIX-FILTERED inverted index (dedup_jaccard_prefix's machinery
+    // at the same τ, lossless by the prefix lemma: a J ≥ 1/2 pair has
+    // overlap ≥ max(|A|,|B|)/2, so under the global (df asc, hash asc)
+    // total order it must collide inside each doc's (n div 2)+1
+    // RAREST shingles). Only prefix postings self-join, so pair events
+    // are Σ prefix-df² — bounded by true near-dup density, never by
+    // token skew: a stop-shingle present in every doc never enters the
+    // index. (This replaces the uncapped full-postings self-join whose
+    // pair work was Σ df² — quadratic in the hottest shingle's df on
+    // boilerplate-heavy corpora; the earlier crossJoin form measured
+    // 227 s at sf0.1.) Verify is one O(|A|+|B|) merge pass per
+    // candidate over the sorted hash arrays with the SAME integer
+    // accept. Hash basis for keys and arrays — collision-freedom of
+    // the 64-bit shingle hash is certified on the gate by
+    // dedup_substring's raw-string twin.
+    val hashed = base.select(col("doc_id"),
+      sort_array(transform(col("sh"), g => TextHashOps.md5Lower64(g))).as("hs"))
+      .withColumn("ns", size(col("hs")))
+    val posts = hashed.select(col("doc_id"), col("ns"), explode(col("hs")).as("hk"))
+    val dfT = posts.groupBy("hk").agg(count(lit(1)).as("df"))
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("hk").asc)
+    val prefix = posts.join(dfT, "hk")
+      .withColumn("r", row_number().over(wPre))
+      .filter(col("r") <= expr("(ns div 2) + 1"))
+      .select("doc_id", "hk")
+    val truthCand = prefix.alias("x").join(prefix.alias("y"),
         col("x.hk") === col("y.hk") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("da"), col("ns").as("na"))), "da")
-      .join(broadcast(sizes.select(col("doc_id").as("db"), col("ns").as("nb"))), "db")
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+    val truth = truthCand
+      .join(hashed.select(col("doc_id").as("da"), col("hs").as("ha"), col("ns").as("na")), "da")
+      .join(hashed.select(col("doc_id").as("db"), col("hs").as("hb"), col("ns").as("nb")), "db")
+      .withColumn("inter", graft.functions.JaccardOps.sortedIntersect(col("ha"), col("hb")))
       .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
       .select("da", "db").localCheckpoint(false)
     val nTrue = truth.count()
