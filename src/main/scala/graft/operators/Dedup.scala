@@ -297,6 +297,46 @@ object Dedup {
   def dedupLshTradeoff(s: SparkSession, dir: String): DataFrame =
     lshTradeoffOn(Tables.load(s, dir, "documents"))
 
+  /** Sorted 64-bit shingle-hash arrays of (doc_id, sh: array<string>). */
+  private[graft] def hashedShingles(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+      sort_array(transform(col("sh"),
+        g => graft.functions.TextHashOps.md5Lower64(g))).as("hs"))
+      .withColumn("ns", size(col("hs")))
+
+  /** PREFIX-postings candidate pairs over (doc_id, sh: array<string>):
+    * each doc indexes only its (n div 2)+1 rarest shingles under the
+    * global (df asc, hash asc) order, so pair events are Σ prefix-df² —
+    * a superset of every J ≥ 1/2 pair by the prefix lemma, bounded by
+    * near-dup density rather than token skew. */
+  private[graft] def prefixTruthCandidates(base: DataFrame): DataFrame = {
+    val hashed = hashedShingles(base)
+    val posts = hashed.select(col("doc_id"), col("ns"), explode(col("hs")).as("hk"))
+    val dfT = posts.groupBy("hk").agg(count(lit(1)).as("df"))
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("hk").asc)
+    val prefix = posts.join(dfT, "hk")
+      .withColumn("r", row_number().over(wPre))
+      .filter(col("r") <= expr("(ns div 2) + 1"))
+      .select("doc_id", "hk")
+    prefix.alias("x").join(prefix.alias("y"),
+        col("x.hk") === col("y.hk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+  }
+
+  /** Exact J ≥ 1/2 pair set over (doc_id, sh: array<string>) — the
+    * prefix-filtered candidates verified by one merge pass per pair
+    * with the integer cross-multiply accept (lossless at τ = 1/2). */
+  private[graft] def prefixTruthPairs(base: DataFrame): DataFrame = {
+    val hashed = hashedShingles(base)
+    prefixTruthCandidates(base)
+      .join(hashed.select(col("doc_id").as("da"), col("hs").as("ha"), col("ns").as("na")), "da")
+      .join(hashed.select(col("doc_id").as("db"), col("hs").as("hb"), col("ns").as("nb")), "db")
+      .withColumn("inter", graft.functions.JaccardOps.sortedIntersect(col("ha"), col("hb")))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select("da", "db")
+  }
+
   private[graft] def lshTradeoffOn(docs: DataFrame): DataFrame = {
     import graft.functions.TextHashOps
     val w = expr("filter(split(text, ' '), x -> x != '')")
@@ -331,26 +371,7 @@ object Dedup {
     // accept. Hash basis for keys and arrays — collision-freedom of
     // the 64-bit shingle hash is certified on the gate by
     // dedup_substring's raw-string twin.
-    val hashed = base.select(col("doc_id"),
-      sort_array(transform(col("sh"), g => TextHashOps.md5Lower64(g))).as("hs"))
-      .withColumn("ns", size(col("hs")))
-    val posts = hashed.select(col("doc_id"), col("ns"), explode(col("hs")).as("hk"))
-    val dfT = posts.groupBy("hk").agg(count(lit(1)).as("df"))
-    val wPre = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df").asc, col("hk").asc)
-    val prefix = posts.join(dfT, "hk")
-      .withColumn("r", row_number().over(wPre))
-      .filter(col("r") <= expr("(ns div 2) + 1"))
-      .select("doc_id", "hk")
-    val truthCand = prefix.alias("x").join(prefix.alias("y"),
-        col("x.hk") === col("y.hk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
-    val truth = truthCand
-      .join(hashed.select(col("doc_id").as("da"), col("hs").as("ha"), col("ns").as("na")), "da")
-      .join(hashed.select(col("doc_id").as("db"), col("hs").as("hb"), col("ns").as("nb")), "db")
-      .withColumn("inter", graft.functions.JaccardOps.sortedIntersect(col("ha"), col("hb")))
-      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
-      .select("da", "db").localCheckpoint(false)
+    val truth = prefixTruthPairs(base).localCheckpoint(false)
     val nTrue = truth.count()
     val rows = LshConfigs.map { case (bands, r) =>
       val bk = lanes.withColumn("band", expr(s"lane div $r"))
