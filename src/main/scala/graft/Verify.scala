@@ -7,6 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // dev-only: restrict to named queries
+    // Refuse to grade while SURVEY §2 and the registry disagree — a
+    // query registered without its inventory line aborts the dump
+    // loudly instead of shipping an undocumented green (the drift the
+    // test-time gate can only detect after the fact).
+    SurveyInventory.driftMessage(SparkEntry.queries.keySet)
+      .foreach(m => throw new IllegalStateException(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -17,21 +17,20 @@ class Round7Spec extends SparkTestBase {
   import spark.implicits._
 
   test("SURVEY §2 inventory keys == graded query registry (no drift)") {
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val s2 = txt.split("\n## §2", 2)(1).split("\n## §3", 2)(0)
-    val keyRe = "`([a-z][a-z0-9_]*)`".r
-    // a checklist line's graded key(s) sit before the first " — "
-    val keys = s2.linesIterator
-      .filter(l => l.startsWith("- [x]") || l.startsWith("- [~]"))
-      .flatMap(l => keyRe.findAllMatchIn(l.split(" — ", 2).head).map(_.group(1)))
-      .toSet
-    // documented aliases: inventory names that grade through a sibling key
-    val aliases = Set("hnsw_partitioned", "aqe_skew_join")
-    val registry = SparkEntry.queries.keySet
-    assert((keys -- aliases) == registry,
-      s"SURVEY §2 drift — no inventory line for: ${(registry -- keys).toSeq.sorted.mkString(", ")}; " +
-        s"stale inventory keys: ${((keys -- aliases) -- registry).toSeq.sorted.mkString(", ")}")
+    // shared parser with Verify's runtime gate (which refuses to dump
+    // grading artifacts while drift exists); SURVEY.md must exist here
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get("SURVEY.md")))
+    SurveyInventory.driftMessage(SparkEntry.queries.keySet)
+      .foreach(m => fail(m))
+  }
+
+  test("Verify's drift gate fires on an unregistered key and is quiet on the registry") {
+    val keys = SurveyInventory.inventoryKeys(new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8"))
+    assert((keys -- SurveyInventory.aliases) == SparkEntry.queries.keySet)
+    val drifted = SurveyInventory.driftMessage(
+      SparkEntry.queries.keySet + "q_not_in_survey")
+    assert(drifted.exists(_.contains("q_not_in_survey")))
   }
 
   test("graded registry keys are unique across operator maps (no silent shadowing)") {
