@@ -90,8 +90,9 @@ object Warehouse {
   // count vectors; ONE single-row global aggregate folds all 20
   // moments; the 10 pair rows explode from that one row — the fact
   // table is scanned exactly once and |types|² bounds the output.
-  // Moments stay in Int64 through the certified SFs (n·Σxy ≲ 10¹²);
-  // a larger corpus widens the products to DECIMAL the q11 way.
+  // Per-user moments stay Int64 (bounded by per-user activity²); the
+  // final n·Σxy-class PRODUCTS compute in DECIMAL(38,0) / HUGEINT on
+  // the two engines — exact at any corpus size, never a silent wrap.
   // ---------------------------------------------------------------
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val TypePairs =
@@ -116,12 +117,17 @@ object Warehouse {
         col(s"sp_${a}_$b").as("sxy"),
         col(s"ss_$a").as("sxx"), col(s"ss_$b").as("syy"))
     }: _*)
-    val num = col("n") * col("sxy") - col("sx") * col("sy")
-    val da = col("n") * col("sxx") - col("sx") * col("sx")
-    val db = col("n") * col("syy") - col("sy") * col("sy")
+    // moment PRODUCTS widen to DECIMAL(38,0) (the q11 pattern): in
+    // non-ANSI Spark an Int64 n·Σxy wrap would return a silently wrong
+    // corr where the twin errors loudly — exact 38-digit intermediates
+    // make the corpora beyond the certified SFs correct, not quiet
+    val wide = (c: Column) => c.cast("decimal(38,0)")
+    val num = wide(col("n")) * col("sxy") - wide(col("sx")) * col("sy")
+    val da = wide(col("n")) * col("sxx") - wide(col("sx")) * col("sx")
+    val db = wide(col("n")) * col("syy") - wide(col("sy")) * col("sy")
     mom.select(explode(pairRows).as("r")).select(col("r.*"))
       .withColumn("corr",
-        when(da > 0L && db > 0L,
+        when(da > lit(0) && db > lit(0),
           num.cast("double") / sqrt(da.cast("double") * db.cast("double"))))
       .orderBy("type_a", "type_b")
   }
@@ -150,9 +156,11 @@ object Warehouse {
        |pr AS (
        |  $branches)
        |SELECT type_a, type_b, n, sx, sy, sxy, sxx, syy,
-       | CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
-       |   THEN CAST(n*sxy - sx*sy AS DOUBLE)
-       |     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+       | CASE WHEN CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx > 0
+       |       AND CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy > 0
+       |   THEN CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+       |     / sqrt(CAST(CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+       |          * CAST(CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS DOUBLE))
        | END AS corr
        |FROM pr ORDER BY 1, 2""".stripMargin
   }

@@ -43,8 +43,10 @@ object StreamingQueries {
     spark.table(name)
   }
 
-  private def split3[A](rows: Array[A]): Seq[Seq[A]] =
-    rows.grouped(math.max(1, rows.length / 3 + 1)).map(_.toSeq).toSeq
+  private[graft] def splitN[A](rows: Array[A], n: Int): Seq[Seq[A]] =
+    rows.grouped(math.max(1, rows.length / n + 1)).map(_.toSeq).toSeq
+
+  private def split3[A](rows: Array[A]): Seq[Seq[A]] = splitN(rows, 3)
 
   /** Tumbling 1-hour windowed counts over a streamed events table —
     * watermark + window agg, complete mode; equals the batch
@@ -238,7 +240,14 @@ object StreamingQueries {
     * earlier trigger, so each error's emission is final the moment it
     * is processed — append mode, no poison rows needed. Graded against
     * the UNCHANGED batch events_asof oracle. */
-  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+  def streamAsof(s: SparkSession, dir: String): DataFrame =
+    streamAsofChunked(s, dir, 3)
+
+  /** streamAsof with an arbitrary trigger count (chunking-invariance
+    * is spec'd at 2/3/5 ways — the emission-finality argument must not
+    * depend on where trigger boundaries fall). */
+  private[graft] def streamAsofChunked(s: SparkSession, dir: String,
+                                       ways: Int): DataFrame = {
     import s.implicits._
     // order and fold at the full ns resolution (a nanos-physical
     // testdata drop can order differently at µs); surface µs like the
@@ -247,7 +256,8 @@ object StreamingQueries {
       .filter(col("event_type").isin("click", "error"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .as[(Long, Long, String, Long)].collect().sortBy(e => (e._4, e._2))
-    val out = drain(s, split3(rows), "append", sinkName("stream_asof"))(asofServe)
+    val out = drain(s, splitN(rows, ways), "append",
+      sinkName("stream_asof"))(asofServe)
     // batch twin emits EVERY error event; ts_us fields surface as µs
     out.select(col("event_id"), col("user_id"), col("ts_us"),
         col("last_click_us"), col("gap_us"))
