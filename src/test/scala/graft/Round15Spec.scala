@@ -76,6 +76,27 @@ class Round15Spec extends SparkTestBase {
     assert(nCand >= nDups.toLong, s"prefix filter lost planted pairs: $nCand")
   }
 
+  test("link_predict: a planted super-cap hub middle generates ZERO wedge events") {
+    import graft.operators.GraphRank
+    // star K1,60: every candidate pair's only common neighbor is the hub
+    val star = (1L to 60L).map(i => (0L, i)).toDF("src", "dst")
+    val uncapped = GraphRank.linkPredictOverEdges(star, Long.MaxValue).count()
+    val capped = GraphRank.linkPredictOverEdges(star, 50L).count()
+    assert(uncapped > 0L, "fixture: the hub should generate wedges uncapped")
+    assert(capped == 0L, s"hub middle above the cap still produced $capped pairs")
+  }
+
+  test("link_predict: capped path is bit-equal to uncapped on the regular graded graph") {
+    import graft.operators.GraphRank
+    val edges = GraphRank.sharedEdges(spark, sfDir)
+    val graded = GraphRank.linkPredictOverEdges(edges)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val exact = GraphRank.linkPredictOverEdges(edges, Long.MaxValue)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(graded.nonEmpty && graded == exact,
+      "LinkMiddleCap fired on the K-regular kNN graph — it must sit above its degrees")
+  }
+
   test("SortedIntersectL codegen == driver merge count on random sorted arrays") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { i =>
