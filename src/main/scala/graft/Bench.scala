@@ -116,6 +116,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson = header(0) + fullQs + "}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson + "\n")
+    // Append-only history: the driver's BENCH_r{N}.json keeps only the
+    // above-cutoff stdout tail, so cross-round per-query diffs (the
+    // regression signal) need the COMPLETE table somewhere durable —
+    // one full-fidelity line per bench run, stamped.
+    val stamped = s"""{"at":"${java.time.Instant.now()}",""" + fullJson.drop(1)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (stamped + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     // The stdout copy must survive the driver's bounded stdout-tail window
     // (~2000 chars, shared with sbt's trailing "[success]" line): emit the
     // totals plus as many per-query entries as fit a hard character budget,
