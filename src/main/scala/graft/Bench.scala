@@ -44,7 +44,10 @@ object Bench {
       * artifacts whose own canary read 1.7×/8.8× and whose per-query
       * numbers were then unusable as a regression signal. */
     val DriftLimit = 2.0
-    val MaxPasses = 3
+    // Certification runs on a deliberately-contended host set this to 1
+    // (the artifact then reports its own drift honestly instead of
+    // burning three passes chasing a quiet window that won't come).
+    val MaxPasses = sys.env.getOrElse("SPARK_GRAFT_MAX_PASSES", "3").toInt
     // min-of-n per point (same steady-state philosophy as the
     // per-query min-of-3): the canary must measure the HOST, not the
     // JIT ramp. The start point of the FIRST pass sits before any real
