@@ -49,7 +49,8 @@ object PlanAudit {
     "q_basket_pairs" -> "basket-bounded self equi-join on the order key (never a corpus cross); brand marginals broadcast",
     "events_drift" -> "2-long ts-span aggregate broadcast back (map-only window split); per-type totals broadcast into the bucket join",
     "events_ntile" -> "one window pass per type partition; output dimension-bounded at |types|·10",
-    "graph_link_predict" -> "middle-node wedge join and edge anti-join are plain equi-joins; top-20 as TakeOrderedAndProject")
+    "graph_link_predict" -> "middle-node wedge join and edge anti-join are plain equi-joins (hub middles above LinkMiddleCap leave by a broadcast anti-join before wedge generation); top-20 as TakeOrderedAndProject",
+    "dedup_lsh_tradeoff" -> "truth side = prefix-filtered postings self-join (each doc indexes only its rarest half): a stop-shingle's df-squared pair melt never enters candidate generation; verify is a candidate-bounded join with a single merge-pass intersection per pair")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
