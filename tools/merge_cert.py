@@ -7,6 +7,7 @@ import json, sys, os
 BATCHES = [  # (sf label, artifact) — later entries override earlier on match
     ("sf0.05", "/root/repo/.tmp/SF005_CHECK_D.json"),
     ("sf0.5", "/root/repo/.tmp/SF05_CHECK_G.json"),
+    ("sf0.5", "/root/repo/.tmp/SF05_CHECK_C.json"),
     ("sf1", "/root/repo/.tmp/SF1_CHECK_A.json"),
     ("sf1", "/root/repo/.tmp/SF1_CHECK_G4.json"),
     ("sf1", "/root/repo/.tmp/SF1_CHECK_G4b.json"),
