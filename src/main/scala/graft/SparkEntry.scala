@@ -50,4 +50,11 @@ object SparkEntry {
           |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
           |  CAST(64 AS INT) AS dim
           |FROM documents ORDER BY vec_id""".stripMargin)
+
+  /** Feasible-at-scale twin OVERRIDES for the large-SF certification
+    * (dumped by Verify as oracle_sql_scaled.json; the driver's graded
+    * gate keeps the quadratic `oracleSql` twins). Keys not present
+    * here certify against the graded twin unchanged. */
+  def oracleSqlScaled: Map[String, String] =
+    Dedup.oraclesScaled ++ TextOps.oraclesScaled
 }

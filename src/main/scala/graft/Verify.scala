@@ -46,6 +46,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // certification-only twin overrides (prefix-filtered doc-pair
+    // oracles); the driver's gate never reads this file
+    val scaled = SparkEntry.oracleSqlScaled
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scaled.json"), scaled)
     spark.stop()
   }
 }

@@ -374,9 +374,16 @@ object Dedup {
     val truth = prefixTruthPairs(base).localCheckpoint(false)
     val nTrue = truth.count()
     val rows = LshConfigs.map { case (bands, r) =>
+      // band bucket key: the 63-bit md5 of the lane-ordered signature
+      // slice (the engine's standing hash basis) — shuffling one long
+      // per (doc, band) instead of an r-lane decimal string (~10×
+      // narrower exchange at scale; the twin hashes the identical
+      // string, so collisions — 2⁻⁶³, and certified harmless on the
+      // gate the same way as every other md5Lower64 key — are shared)
       val bk = lanes.withColumn("band", expr(s"lane div $r"))
         .groupBy("doc_id", "band")
-        .agg(concat_ws(",", expr("transform(sort_array(collect_list(struct(lane, h))), x -> cast(x.h as string))"))
+        .agg(shiftrightunsigned(TextHashOps.md5Lower64(
+          concat_ws(",", expr("transform(sort_array(collect_list(struct(lane, h))), x -> cast(x.h as string))"))), 1)
           .as("key"))
       val cand = bk.alias("x").join(bk.alias("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -397,7 +404,8 @@ object Dedup {
   val dedupLshTradeoffSql: String = {
     val per = LshConfigs.map { case (bands, r) =>
       s"""bk_${bands}_$r AS (SELECT doc_id, lane // $r AS band,
-         |        string_agg(h::VARCHAR, ',' ORDER BY lane) AS key
+         |        CAST(md5_number_lower(string_agg(h::VARCHAR, ',' ORDER BY lane)) >> 1
+         |          AS BIGINT) AS key
          |      FROM lv GROUP BY 1, 2),
          |cd_${bands}_$r AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
          |      FROM bk_${bands}_$r x JOIN bk_${bands}_$r y
@@ -433,6 +441,111 @@ object Dedup {
        |$rows
        |ORDER BY config""".stripMargin
   }
+
+  // ------------------------- scaled twins (large-SF certification)
+
+  /** The graded doc-pair oracles above stay QUADRATIC on purpose: at
+    * the driver's SF they are the maximally independent check (no
+    * shared algorithmic lemma with the engine). Above sf0.1 the Θ(n²)
+    * `list_intersect` all-pairs join is the measured wall (>1 h per
+    * query at 5k docs — SF1_CERT.md), so the large-SF certification
+    * grades against these SCALED twins instead: identical exact
+    * semantics, with candidate generation prefix-filtered by the
+    * AllPairs/PPJoin lemma — over the RAW STRING shingles under
+    * DuckDB's own string total order (df asc, shingle asc), sharing
+    * neither hash basis nor order with the engine's prefix index.
+    * Scaled ≡ graded twin is itself certified in-DuckDB at the graded
+    * SFs (tools/cert_scaled.py equivalence mode), so the two-stage
+    * argument is: quadratic == prefix twin where both run, engine ==
+    * prefix twin everywhere. */
+
+  /** replace() that REFUSES to no-op: a drifted anchor would otherwise
+    * silently leave the scaled twin identical to the quadratic one. */
+  private[graft] def mustReplace(s: String, from: String, to: String): String = {
+    require(s.contains(from),
+      s"scaled-twin rewrite anchor missing: ${from.linesIterator.next()}")
+    s.replace(from, to)
+  }
+
+  /** shingleCte with the multi-referenced shingle table pinned
+    * MATERIALIZED (the prefix twin reads it three times). */
+  private val shingleCteMat: String =
+    mustReplace(shingleCte, "t AS (SELECT", "t AS MATERIALIZED (SELECT")
+
+  /** Prefix-candidate CTE chain over t(doc_id, sh) at τ = 1/2:
+    * postings + global df + per-doc rarity rank, index only the first
+    * (n div 2)+1 shingles, self-join prefixes. Emits pr_cand(da, db). */
+  private val prefixCandCtes: String =
+    """pr_post AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t),
+      |pr_df AS (SELECT g, count(*) AS df FROM pr_post GROUP BY 1),
+      |pr_pre AS MATERIALIZED (SELECT doc_id, g FROM (
+      |    SELECT p.doc_id, p.g, p.n,
+      |      row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df ASC, p.g ASC) AS r
+      |    FROM pr_post p JOIN pr_df d ON d.g = p.g)
+      |  WHERE r <= n // 2 + 1),
+      |pr_cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM pr_pre x JOIN pr_pre y ON x.g = y.g AND x.doc_id < y.doc_id)""".stripMargin
+
+  val dedupMinhashLshScaledSql: String =
+    s"""WITH $shingleCteMat,
+       |$prefixCandCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |FROM pr_cand c JOIN t a ON a.doc_id = c.da JOIN t b ON b.doc_id = c.db
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+
+  val dedupClustersScaledSql: String =
+    s"""WITH RECURSIVE $shingleCteMat,
+       |$prefixCandCtes,
+       |p AS (SELECT c.da AS doc_a, c.db AS doc_b
+       | FROM pr_cand c JOIN t a ON a.doc_id = c.da JOIN t b ON b.doc_id = c.db
+       | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, comp) AS (
+       | SELECT id, id FROM nodes
+       | UNION
+       | SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src)
+       |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** dedupLshTradeoffSql with the truth side prefix-filtered (the
+    * engine's own round-11 fix, expressed in the oracle too) and the
+    * multi-referenced corpus/truth CTEs pinned MATERIALIZED. */
+  val dedupLshTradeoffScaledSql: String = mustReplace(
+    mustReplace(dedupLshTradeoffSql, "tt AS (SELECT", "tt AS MATERIALIZED (SELECT"),
+      """tru AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |       FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+        |       WHERE 2 * len(list_intersect(a.sh, b.sh))
+        |         >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),""".stripMargin,
+      """tp AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM tt),
+        |tdf AS (SELECT g, count(*) AS df FROM tp GROUP BY 1),
+        |tpre AS MATERIALIZED (SELECT doc_id, g FROM (
+        |    SELECT p.doc_id, p.g, p.n,
+        |      row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df ASC, p.g ASC) AS r
+        |    FROM tp p JOIN tdf d ON d.g = p.g)
+        |  WHERE r <= n // 2 + 1),
+        |tcand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM tpre x JOIN tpre y ON x.g = y.g AND x.doc_id < y.doc_id),
+        |tru AS MATERIALIZED (SELECT c.da, c.db
+        |       FROM tcand c JOIN tt a ON a.doc_id = c.da JOIN tt b ON b.doc_id = c.db
+        |       WHERE 2 * len(list_intersect(a.sh, b.sh))
+        |         >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),""".stripMargin)
+
+  /** Twin overrides used ONLY by the large-SF certification tooling
+    * (Verify dumps them as oracle_sql_scaled.json; the driver's graded
+    * gate keeps reading the quadratic oracle_sql.json). */
+  val oraclesScaled: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> dedupMinhashLshScaledSql,
+    "stream_dedup" -> dedupMinhashLshScaledSql,
+    "dedup_clusters" -> dedupClustersScaledSql,
+    "dedup_clusters_largestar" -> dedupClustersScaledSql,
+    "dedup_lsh_tradeoff" -> dedupLshTradeoffScaledSql)
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashNearDups(Tables.load(s, dir, "documents"), "doc_id", "text")

@@ -752,7 +752,7 @@ object GraphRank {
     * x < y), so the work is Σ deg(z)² — bounded on the K-out-degree
     * kNN graph; on a POWER-LAW graph a hub middle alone is quadratic,
     * so middles with deg > LinkMiddleCap are EXCLUDED from wedge
-    * generation (the MaxPostingDf discipline: the cap sits far above
+    * generation (a posting-df-cap-style guard: the cap sits far above
     * the graded kNN graph's K-regular degrees, so graded results are
     * unchanged — Round15Spec pins capped == uncapped there AND pins
     * that a planted super-cap hub generates zero wedge events; the
@@ -760,6 +760,12 @@ object GraphRank {
     * wedges at the middle are precisely what is being counted, and a
     * celebrity hub's n² open wedges are prediction noise anyway —
     * Adamic-Adar discounts them 1/log·deg for the same reason).
+    * The cap is part of the query's CONTRACT, not an engine shortcut:
+    * the twin filters the same super-cap middles out of wedge
+    * generation (pmid), so engine and oracle compute one function on
+    * EVERY input — including a future data drop with a genuine hub —
+    * rather than diverging exactly where the uncapped quadratic twin
+    * becomes infeasible to run.
     * Existing edges leave by an anti join on the undirected edge set;
     * top-20 by (cn DESC, u, v) — all integers, bit-exact. */
   val LinkTopN = 20
@@ -803,8 +809,10 @@ object GraphRank {
        |padj AS MATERIALIZED (SELECT u AS id, v AS nb FROM pund
        |         UNION ALL SELECT v, u FROM pund),
        |pdeg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM padj GROUP BY 1),
+       |pmid AS (SELECT id FROM pdeg WHERE dg <= $LinkMiddleCap),
        |pw AS (SELECT a.nb AS u, b.nb AS v FROM padj a JOIN padj b
-       |       ON a.id = b.id AND a.nb < b.nb),
+       |       ON a.id = b.id AND a.nb < b.nb
+       |       JOIN pmid ON pmid.id = a.id),
        |pcn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn FROM pw GROUP BY 1, 2),
        |pnov AS (SELECT pcn.* FROM pcn LEFT JOIN pund
        |          ON pund.u = pcn.u AND pund.v = pcn.v

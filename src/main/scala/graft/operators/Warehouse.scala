@@ -91,8 +91,11 @@ object Warehouse {
   // moments; the 10 pair rows explode from that one row — the fact
   // table is scanned exactly once and |types|² bounds the output.
   // Per-user moments stay Int64 (bounded by per-user activity²); the
-  // final n·Σxy-class PRODUCTS compute in DECIMAL(38,0) / HUGEINT on
-  // the two engines — exact at any corpus size, never a silent wrap.
+  // GLOBAL sums accumulate in DECIMAL(38,0) / HUGEINT (a plain long
+  // sum() would wrap silently in non-ANSI mode once Σ c_a·c_b crosses
+  // 2⁶³ — ~10¹² users at 10⁶ per-user products), and the n·Σxy-class
+  // PRODUCTS stay in the same 38-digit arithmetic — exact at any
+  // corpus size, never a silent wrap.
   // ---------------------------------------------------------------
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val TypePairs =
@@ -104,12 +107,17 @@ object Warehouse {
     val cCols = EventTypes.map(t =>
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
     val per = ev.groupBy("user_id").agg(cCols.head, cCols.tail: _*)
+    // widen INSIDE the aggregate: the per-user terms are Int64-safe,
+    // but their corpus-wide sums accumulate in decimal(38,0) so the
+    // accumulator itself can never wrap (DuckDB's sum(BIGINT) returns
+    // HUGEINT for the same reason)
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
     val momCols: Seq[Column] =
       Seq(count(lit(1)).as("n")) ++
-        EventTypes.map(t => sum(col(s"c_$t")).as(s"s_$t")) ++
-        EventTypes.map(t => sum(col(s"c_$t") * col(s"c_$t")).as(s"ss_$t")) ++
+        EventTypes.map(t => sum(d38(col(s"c_$t"))).as(s"s_$t")) ++
+        EventTypes.map(t => sum(d38(col(s"c_$t")) * col(s"c_$t")).as(s"ss_$t")) ++
         TypePairs.map { case (a, b) =>
-          sum(col(s"c_$a") * col(s"c_$b")).as(s"sp_${a}_$b") }
+          sum(d38(col(s"c_$a")) * col(s"c_$b")).as(s"sp_${a}_$b") }
     val mom = per.agg(momCols.head, momCols.tail: _*)
     val pairRows = array(TypePairs.map { case (a, b) =>
       struct(lit(a).as("type_a"), lit(b).as("type_b"), col("n"),
@@ -138,10 +146,10 @@ object Warehouse {
       .mkString(",\n  ")
     val momCols = (
       Seq("CAST(count(*) AS BIGINT) AS n") ++
-        EventTypes.map(t => s"CAST(sum(c_$t) AS BIGINT) AS s_$t") ++
-        EventTypes.map(t => s"CAST(sum(c_$t*c_$t) AS BIGINT) AS ss_$t") ++
+        EventTypes.map(t => s"CAST(sum(c_$t) AS DECIMAL(38,0)) AS s_$t") ++
+        EventTypes.map(t => s"CAST(sum(c_$t*c_$t) AS DECIMAL(38,0)) AS ss_$t") ++
         TypePairs.map { case (a, b) =>
-          s"CAST(sum(c_$a*c_$b) AS BIGINT) AS sp_${a}_$b" }
+          s"CAST(sum(c_$a*c_$b) AS DECIMAL(38,0)) AS sp_${a}_$b" }
       ).mkString(",\n  ")
     val branches = TypePairs.map { case (a, b) =>
       s"SELECT '$a' AS type_a, '$b' AS type_b, n, s_$a AS sx, s_$b AS sy, " +

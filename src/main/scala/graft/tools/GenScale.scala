@@ -36,11 +36,22 @@ object GenScale {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
     def replicate(t: String, keys: Seq[String])
-                 (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+                 (mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      // the shift is only collision-free while every source key fits
+      // under it — scaling an already-scaled dir (max key ≥ Off) would
+      // silently produce duplicate primary keys and broken star joins
+      val src0 = read(t)
+      keys.foreach { c =>
+        val mx = src0.agg(max(col(c).cast("long"))).head.getLong(0)
+        require(mx < Off,
+          s"$t.$c max $mx >= copy shift $Off — cross-copy key collision; " +
+            "scale from the original (unscaled) source dir")
+      }
       (0 until copies).map { i =>
-        val shifted = keys.foldLeft(read(t))((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
+        val shifted = keys.foldLeft(src0)((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
         mutate(shifted, i)
       }.reduce(_ unionAll _)
+    }
 
     def write(df: DataFrame, t: String): Unit = {
       val tmp = s"$dst/_tmp_$t"

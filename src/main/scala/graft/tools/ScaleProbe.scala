@@ -472,13 +472,14 @@ object ScaleProbe {
       val cb = graft.operators.ProductQuant.train(sample, m = 8, k = 16)
       graft.operators.ProductQuant.adcSearchAdaptive(corpus, queries, cb, 10).count()
     })
-    // Prefix-filtered exact Jaccard all-pairs vs the df-capped inverted
-    // index at 200k docs × 32 tokens, with TWO universal stop shingles
-    // in every doc (the df² melt case: uncapped co-occurrence would be
-    // 200k²/2 = 2·10¹⁰ pair events off the stop shingles alone) and a
-    // planted near-dup per 10 docs. The capped operator survives only
-    // by DROPPING the hot shingles (lossy beyond the cap); the prefix
-    // join is exact with no cap — candidates track dup density.
+    // Prefix-filtered exact Jaccard all-pairs at 200k docs × 32 tokens,
+    // with TWO universal stop shingles in every doc (the df² melt case:
+    // an uncapped postings co-occurrence would be 200k²/2 = 2·10¹⁰ pair
+    // events off the stop shingles alone — the shape that used to force
+    // dedup_ngram_jaccard's lossy df cap, retired round 12) and a
+    // planted near-dup per 10 docs. The prefix join is exact with no
+    // cap — stop shingles never enter any doc's rarity prefix, so
+    // candidates track dup density, not token skew.
     if (wanted("jaccard")) {
       val nDocs = 200000L
       val docs = spark.range(nDocs).select(col("id").as("doc_id"),
@@ -495,11 +496,6 @@ object ScaleProbe {
       val sPfx = (System.nanoTime() - t0) / 1e9
       println(f"[scale] jaccard prefix-join (200k docs, 2 stop shingles): " +
         f"$sPfx%.2f s, $nPfx pairs (exact, no cap)")
-      val t1 = System.nanoTime()
-      val nCap = graft.operators.TextOps.ngramJaccardPairs(docs).count()
-      val sCap = (System.nanoTime() - t1) / 1e9
-      println(f"[scale] jaccard df-capped index  (same corpus): " +
-        f"$sCap%.2f s, $nCap pairs (lossy above cap)")
     }
     // KMV distinct sketch vs count(DISTINCT): 50M rows, 32 groups,
     // (almost) all values distinct — the regime that matters at 100 TB,
@@ -812,6 +808,63 @@ object ScaleProbe {
       graft.operators.GraphRank.linkPredictOverEdges(edges).count()
       println(f"[scale] link predict (${nn / 1e3}%.0fk nodes × $deg out, " +
         f"middle-node wedges): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // POWER-LAW graph probe (round 12): the graded kNN graphs are
+    // K-regular, so graph_link_predict's hub cap and the iterative
+    // families' integer-range widenings never bind there — this
+    // measures WHERE they bind. 10M directed edges over 2M nodes:
+    // ~6M uniform (und-degree ~6) plus 20 planted mega-hubs at ~200k
+    // in-edges each — the celebrity-node shape of a real similarity
+    // graph over a corpus with boilerplate clusters.
+    if (wanted("powerlaw")) {
+      val nn = 2000000L
+      val mUniform = 6000000L
+      val hubs = 20
+      val perHub = 200000L
+      val uni = spark.range(mUniform).select(
+        pmod(hash(col("id") * 31), lit(nn)).cast("long").as("src"),
+        pmod(hash(col("id") * 77 + 13), lit(nn)).cast("long").as("dst"))
+      val hub = spark.range(hubs * perHub).select(
+        pmod(hash(col("id") * 53 + 7), lit(nn)).cast("long").as("src"),
+        pmod(col("id"), lit(hubs.toLong)).as("dst"))
+      val edges = uni.unionAll(hub)
+        .filter(col("src") =!= col("dst"))
+        .repartition(32).localCheckpoint(true)
+      val gr = graft.operators.GraphRank
+      // degree census: the knee, computed exactly without materializing
+      // a single wedge — Σ deg·(deg−1)/2 per middle is the wedge volume
+      // linkPredict would generate
+      val und = edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val deg = und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+      val Row2 = deg.agg(max("dg"),
+        sum(expr("dg * (dg - 1) div 2")),
+        sum(expr(s"CASE WHEN dg <= ${gr.LinkMiddleCap} THEN dg * (dg - 1) div 2 ELSE 0 END")),
+        sum(expr(s"CASE WHEN dg > ${gr.LinkMiddleCap} THEN 1 ELSE 0 END"))).collect()(0)
+      val (maxDg, wAll, wCap, nHot) =
+        (Row2.getLong(0), Row2.getLong(1), Row2.getLong(2), Row2.getLong(3))
+      println(f"[scale] powerlaw degree census: max deg $maxDg, " +
+        f"$nHot middles above cap ${gr.LinkMiddleCap}; wedge volume " +
+        f"uncapped ${wAll / 1e9}%.2f B vs capped ${wCap / 1e6}%.1f M " +
+        f"(the cap removes ${(wAll - wCap) * 100.0 / wAll}%.1f%% of the work)")
+      val t0 = System.nanoTime()
+      gr.linkPredictOverEdges(edges).count()
+      println(f"[scale] powerlaw link predict CAPPED (10M edges, 20 hubs): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(uncapped would enumerate ${wAll / 1e9}%.2f B wedges — not run)")
+      // hits: raw half-step sums are Σ over in-neighbors of scores
+      // ≤ Scale, so Int64 holds while max-deg · Scale < 2⁶³ — the
+      // widening knee is deg > ~9.2M; report this graph's headroom
+      val t1 = System.nanoTime()
+      gr.hitsOverEdges(edges).count()
+      println(f"[scale] powerlaw hits ${gr.HitsT} iters: " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s; raw-sum headroom " +
+        f"${Long.MaxValue / (maxDg * gr.Scale)}x (knee at deg ~${Long.MaxValue / gr.Scale / 1e6}%.1f M)")
+      val t2 = System.nanoTime()
+      gr.pagerankOverEdges(edges, 5).count()
+      println(f"[scale] powerlaw pagerank ${gr.T} iters (superstep checkpoints on): " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s")
     }
     // Journey mining at 20M events / 100k users: the window pass is
     // keyed by user — no global sort anywhere.

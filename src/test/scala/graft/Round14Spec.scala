@@ -148,8 +148,13 @@ class Round14Spec extends SparkTestBase {
   // ------------------------------------------------------------- events_corr
 
   test("events_corr: moments are exact and corr matches a driver-side Pearson") {
+    // the graded moments are decimal(38,0) (wrap-proof accumulators);
+    // at this SF they fit in Long, so the driver twin compares as Long
     val rows = Warehouse.eventsCorr(spark, sfDir)
-      .select("type_a", "type_b", "n", "sx", "sy", "sxy", "sxx", "syy", "corr")
+      .select(col("type_a"), col("type_b"), col("n"),
+        col("sx").cast("long"), col("sy").cast("long"),
+        col("sxy").cast("long"), col("sxx").cast("long"),
+        col("syy").cast("long"), col("corr"))
       .as[(String, String, Long, Long, Long, Long, Long, Long, Option[Double])]
       .collect()
     assert(rows.length == 10)

@@ -68,12 +68,19 @@ def run_one(sfdir, outdir, name, sql, q):
 def main():
     sfdir, outdir, outjson, timeout = sys.argv[1], sys.argv[2], sys.argv[3], float(sys.argv[4])
     only = set(sys.argv[5:])
-    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    oracle_json = os.environ.get("ORACLE_JSON",
+                                 os.path.join(outdir, "oracle_sql.json"))
+    oracles = json.load(open(oracle_json))
     results = []
     # resume: skip queries already recorded in outjson
     done = {}
     if os.path.exists(outjson):
         done = {r["query"]: r for r in json.load(open(outjson)).get("results", [])}
+    # a subset re-run must not drop prior rows: seed results with done
+    # entries the subset (or a shrunk oracle set) excludes from the loop
+    for name, r in sorted(done.items()):
+        if (only and name not in only) or name not in oracles:
+            results.append(r)
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue

@@ -1,23 +1,32 @@
 #!/usr/bin/env python3
 """Merge the per-batch check_timed artifacts of a large-SF certification
 into one CORRECTNESS_SF1.json: per query the HIGHEST SF at which the
-DuckDB twin matched, with wall time. Usage: merge_cert.py <out.json>"""
-import json, sys, os
+DuckDB twin matched, with wall time. Batches are the committed copies
+under cert/ (reproducible from a fresh clone), named
+SF<label>_CHECK_*.json where <label> encodes the SF with the dot
+removed (SF005 = sf0.05, SF05 = sf0.5, SF1 = sf1).
+Usage: merge_cert.py <out.json> [batch_dir=cert] [oracle_sql.json]"""
+import glob
+import json
+import os
+import re
+import sys
 
-BATCHES = [  # (sf label, artifact) — later entries override earlier on match
-    ("sf0.05", "/root/repo/.tmp/SF005_CHECK_D.json"),
-    ("sf0.5", "/root/repo/.tmp/SF05_CHECK_G.json"),
-    ("sf0.5", "/root/repo/.tmp/SF05_CHECK_C.json"),
-    ("sf1", "/root/repo/.tmp/SF1_CHECK_A.json"),
-    ("sf1", "/root/repo/.tmp/SF1_CHECK_G4.json"),
-    ("sf1", "/root/repo/.tmp/SF1_CHECK_G4b.json"),
-]
+LABELS = {"SF001": "sf0.01", "SF005": "sf0.05", "SF01": "sf0.1",
+          "SF05": "sf0.5", "SF1": "sf1"}
+
+batch_dir = sys.argv[2] if len(sys.argv) > 2 else \
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cert")
+batches = []
+for path in sorted(glob.glob(os.path.join(batch_dir, "SF*_CHECK_*.json"))):
+    m = re.match(r"(SF\d+)_CHECK_", os.path.basename(path))
+    if not m or m.group(1) not in LABELS:
+        sys.exit(f"unrecognized batch name: {path}")
+    batches.append((LABELS[m.group(1)], path))
 
 best = {}
 fails = {}
-for sf, path in BATCHES:
-    if not os.path.exists(path):
-        continue
+for sf, path in batches:
     for r in json.load(open(path))["results"]:
         q = r["query"]
         if r["match"]:
@@ -38,7 +47,6 @@ for q, v in best.items():
     out["by_sf"][v["sf"]] = out["by_sf"].get(v["sf"], 0) + 1
 json.dump(out, open(sys.argv[1], "w"), indent=1)
 print("certified:", len(best), "by_sf:", out["by_sf"])
-missing = set()
-ora = json.load(open("/root/repo/.tmp/v_sf1/oracle_sql.json"))
-missing = sorted(set(ora) - set(best))
-print("not certified above sf0.01:", missing)
+if len(sys.argv) > 3:
+    ora = json.load(open(sys.argv[3]))
+    print("not certified above the graded SF:", sorted(set(ora) - set(best)))
