@@ -88,9 +88,16 @@ def equivalence(sfdir, outdir):
     scaled = json.load(open(os.path.join(outdir, "oracle_sql_scaled.json")))
     con = connect(sfdir)
     n_bad = 0
+    seen = {}  # (graded, scaled) SQL pair -> verdict; aliased keys share twins
     for name, ssql in sorted(scaled.items()):
         if ssql == graded[name]:
             print(f"SKIP {name}: scaled twin identical to graded")
+            continue
+        key = (graded[name], ssql)
+        if key in seen:
+            print(("PASS" if seen[key] is None else "FAIL"), name,
+                  "(cached: same twin pair as an earlier key)", seen[key] or "")
+            n_bad += seen[key] is not None
             continue
         t0 = time.time()
         g = con.execute(graded[name]).df()
@@ -98,6 +105,7 @@ def equivalence(sfdir, outdir):
         s = con.execute(ssql).df()
         t2 = time.time()
         err = frames_equal(g, s)
+        seen[key] = err
         print(("PASS" if err is None else "FAIL"), name,
               f"graded {t1-t0:.1f}s scaled {t2-t1:.1f}s", err or "")
         sys.stdout.flush()

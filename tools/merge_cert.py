@@ -31,7 +31,10 @@ for sf, path in batches:
         q = r["query"]
         if r["match"]:
             cur = best.get(q)
-            if cur is None or float(sf[2:]) > float(cur["sf"][2:]):
+            # >= : later batches (sorted filename order) override earlier
+            # ones at the same SF, so re-graded queries carry the row
+            # from the freshest engine
+            if cur is None or float(sf[2:]) >= float(cur["sf"][2:]):
                 best[q] = {"sf": sf, "sec": r["sec"], "rows": r["rows"]}
         else:
             fails.setdefault(q, []).append({"sf": sf, "err": r["err"], "sec": r["sec"]})
