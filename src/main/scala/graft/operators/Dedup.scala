@@ -497,14 +497,18 @@ object Dedup {
        |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
        |ORDER BY 1, 2""".stripMargin
 
+  // p/edges pinned MATERIALIZED: edges feeds the RECURSIVE reach term,
+  // and an inlining planner would otherwise re-evaluate the whole
+  // candidate+verify chain on every recursion step (measured 153 s →
+  // 37 s at sf0.1 from these two pins alone)
   val dedupClustersScaledSql: String =
     s"""WITH RECURSIVE $shingleCteMat,
        |$prefixCandCtes,
-       |p AS (SELECT c.da AS doc_a, c.db AS doc_b
+       |p AS MATERIALIZED (SELECT c.da AS doc_a, c.db AS doc_b
        | FROM pr_cand c JOIN t a ON a.doc_id = c.da JOIN t b ON b.doc_id = c.db
        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
        |          UNION ALL SELECT doc_b, doc_a FROM p),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |reach(id, comp) AS (
