@@ -24,7 +24,9 @@ def load(spec):
     if spec.startswith("hist:"):
         lines = open("BENCH_HISTORY.jsonl").read().splitlines()
         return json.loads(lines[int(spec[5:])])
-    return json.load(open(spec))
+    d = json.load(open(spec))
+    # driver-written BENCH_r*.json wraps the bench line under "parsed"
+    return d.get("parsed", d)
 
 
 def main():
