@@ -50,7 +50,7 @@ object PlanAudit {
     "events_drift" -> "2-long ts-span aggregate broadcast back (map-only window split); per-type totals broadcast into the bucket join",
     "events_ntile" -> "one window pass per type partition; output dimension-bounded at |types|·10",
     "graph_link_predict" -> "middle-node wedge join and edge anti-join are plain equi-joins (hub middles above LinkMiddleCap leave by a broadcast anti-join before wedge generation); top-20 as TakeOrderedAndProject",
-    "dedup_lsh_tradeoff" -> "truth side = prefix-filtered postings self-join (each doc indexes only its rarest half): a stop-shingle's df-squared pair melt never enters candidate generation; verify is a candidate-bounded join with a single merge-pass intersection per pair")
+    "dedup_lsh_tradeoff" -> "truth side = prefix-filtered postings self-join (each doc indexes only its rarest half): a stop-shingle's df-squared pair melt never enters candidate generation; verify is a candidate-bounded join with a single merge-pass intersection per pair; band bucket keys are 63-bit md5 longs of the lane-ordered signature slice (round 12 — one long per (doc, band) crosses the bucket exchange instead of an r-lane decimal string)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
