@@ -106,7 +106,15 @@ object Warehouse {
     val ev = Tables.load(s, dir, "events")
     val cCols = EventTypes.map(t =>
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
-    val per = ev.groupBy("user_id").agg(cCols.head, cCols.tail: _*)
+    corrFromPerUser(ev.groupBy("user_id").agg(cCols.head, cCols.tail: _*))
+  }
+
+  /** Moments + correlation over a per-user count table (c_<type> long
+    * columns) — the seam the wrap-proofing spec injects through:
+    * Round16Spec feeds synthetic per-user counts whose moment sums
+    * genuinely exceed Int64 and pins the decimal accumulators against
+    * a driver-side BigInt replay. */
+  private[graft] def corrFromPerUser(per: DataFrame): DataFrame = {
     // widen INSIDE the aggregate: the per-user terms are Int64-safe,
     // but their corpus-wide sums accumulate in decimal(38,0) so the
     // accumulator itself can never wrap (DuckDB's sum(BIGINT) returns

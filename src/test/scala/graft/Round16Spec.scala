@@ -68,6 +68,43 @@ class Round16Spec extends SparkTestBase {
         "would diverge on any input with a genuine hub")
   }
 
+  test("events_corr: decimal moment accumulators == BigInt replay beyond the Int64 wrap point") {
+    import graft.operators.Warehouse
+    // synthetic per-user counts at ~4e9: each per-user cross product
+    // c_a*c_b ~ 1.6e19 already exceeds Long.MaxValue (9.2e18), and the
+    // 10k-user sums sit near 1.6e23 — the regime the round-12 ADVICE
+    // fix (decimal(38,0) accumulation inside the aggregate) exists for
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val n = 10000
+    val rows = (0 until n).map { u =>
+      (u.toLong,
+        4000000000L + u * 7L, 4000000000L + u * 11L, 4000000000L + u * 13L,
+        4000000000L + u * 17L, 4000000000L + u * 19L)
+    }
+    val per = rows.toDF("user_id", "c_click", "c_error", "c_purchase", "c_signup", "c_view")
+    val got = Warehouse.corrFromPerUser(per)
+      .select("type_a", "type_b", "n", "sx", "sy", "sxy", "sxx", "syy")
+      .collect()
+    assert(got.length == 10)
+    val vecs = rows.map(r => Seq(r._2, r._3, r._4, r._5, r._6).map(BigInt(_)))
+    got.foreach { r =>
+      val (i, j) = (types.indexOf(r.getString(0)), types.indexOf(r.getString(1)))
+      assert(r.getLong(2) == n.toLong)
+      def big(k: Int): BigInt = BigInt(r.getDecimal(k).toBigInteger)
+      assert(big(3) == vecs.map(_(i)).sum, "sx")
+      assert(big(4) == vecs.map(_(j)).sum, "sy")
+      assert(big(5) == vecs.map(v => v(i) * v(j)).sum, "sxy — the sum a Long accumulator would wrap")
+      assert(big(6) == vecs.map(v => v(i) * v(i)).sum, "sxx")
+      assert(big(7) == vecs.map(v => v(j) * v(j)).sum, "syy")
+      // and the wrap is REAL at these magnitudes: the old plain-long
+      // per-user product already differs from the exact value
+      val exactFirst = vecs.head(i) * vecs.head(j)
+      assert(BigInt(rows.head.productElement(1 + i).asInstanceOf[Long] *
+        rows.head.productElement(1 + j).asInstanceOf[Long]) != exactFirst,
+        "test magnitudes no longer exceed Int64 — raise them")
+    }
+  }
+
   test("dedup_ngram_jaccard == dedup_jaccard_prefix on a stop-shingle corpus (cap retired, one exact function)") {
     // every doc shares a boilerplate shingle (the df-melt shape that
     // used to force the capped variant); planted near-dup pairs 2i/2i+1
