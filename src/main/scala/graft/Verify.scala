@@ -22,13 +22,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Gate-compat schema guard: the driver hashes CANONICAL STRINGS of
+    // each value; DuckDB's pandas bridge renders DECIMAL(38,0) as
+    // float64 ('19863.0') while Spark's parquet decimal128 arrives as
+    // Decimal('19863') — identical values, divergent hashes (the exact
+    // trap events_corr fell into at r12). Wide decimal arithmetic
+    // stays INTERNAL to a query; graded outputs are long/double. A
+    // decimal column in any dump aborts the whole dump loudly.
+    def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case s: org.apache.spark.sql.types.StructType  => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType   => hasDecimal(a.elementType)
+      case m: org.apache.spark.sql.types.MapType     => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    final class GateSchemaViolation(msg: String) extends IllegalStateException(msg)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        val df = fn(spark, sfDir)
+        val dec = df.schema.fields.filter(f => hasDecimal(f.dataType)).map(_.name)
+        if (dec.nonEmpty) throw new GateSchemaViolation(
+          s"[verify] $name emits DecimalType column(s) ${dec.mkString(", ")} — " +
+            "graded outputs must be long/double (decimal hashes diverge " +
+            "between Spark decimal128 and DuckDB float64 rendering)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch {
+        case e: GateSchemaViolation => throw e
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

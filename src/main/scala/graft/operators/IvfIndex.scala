@@ -727,6 +727,99 @@ object IvfIndex {
 
   @volatile private var lastCellStatsCentroids: Array[Array[Double]] = _
 
+  /** Centroid REFRESH over the at-rest layout — the maintenance pass
+    * that closes the index lifecycle loop (stats → salt → compact →
+    * merge → REFRESH): read the PERSISTED centroid buckets, recompute
+    * each cell's exact member mean, measure how far the serving
+    * codebook has drifted from the data it now routes (old-centroid ↔
+    * new-mean cosine, floor-ppm), and emit the rebalance decision
+    * (split cells over 2× fair share — ivf_cell_stats' hot rule —
+    * merge cells under ¼ fair share; integer cross-multiplied, no
+    * division).
+    *
+    * Bit-exactness: the mean reuses vector_avg's discipline — each
+    * cell folds ascending vec_id inside one partition (double addition
+    * is order-sensitive) and the twin replays the identical left-assoc
+    * fold with a recursive CTE over list(embedding ORDER BY vec_id);
+    * the drift cosine is CosineSimD's association against this run's
+    * stashed centroid literals; the emitted drift is the floor-ppm of
+    * one IEEE product (long, never decimal).
+    *
+    * Scale shape: per-bucket parquet read (embarrassingly parallel,
+    * partition-pruned layout), ONE shuffle by centroid for the
+    * deterministic fold (at 100 TB the plain sum+count partial-agg
+    * replaces the order pin — the pin exists for bit-replay grading),
+    * a |nlist|-row broadcast join against the codebook, one scalar
+    * total broadcast. Empty cells have no members at rest and emit no
+    * row — their rebalance is the codebook owner's trivial drop. */
+  def ivfCentroidRefresh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    lastRefreshCentroids = centroids
+    val nlist = centroids.length
+    graft.Mat.withScratchDirs("centroid_refresh") { case Seq(out) =>
+      assign(emb, centroids).write.partitionBy("centroid").mode("overwrite").parquet(out)
+      val means = s.read.parquet(out)
+        .repartition(col("centroid"))
+        .sortWithinPartitions("centroid", "vec_id")
+        .groupBy("centroid")
+        .agg(graft.functions.VectorAggOps.vectorAvg(col("embedding")).as("new_mean"),
+          count(lit(1)).as("n_vectors"))
+      val oldDf = s.createDataFrame(
+          centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) })
+        .toDF("centroid", "old_vec")
+      val tot = means.agg(sum("n_vectors").as("total"))
+      graft.Mat.detach(means.join(broadcast(oldDf), "centroid")
+        .crossJoin(broadcast(tot))
+        .select(col("centroid").cast("int").as("centroid"), col("n_vectors"),
+          floor(graft.functions.VectorOps.cosineSim(col("new_mean"), col("old_vec"))
+            * lit(1000000.0)).cast("long").as("cos_ppm"),
+          when(col("n_vectors") * nlist > col("total") * 2, "split")
+            .when(col("n_vectors") * nlist * 4 < col("total"), "merge")
+            .otherwise("keep").as("action"))
+        .orderBy("centroid"))
+    }
+  }
+
+  @volatile private var lastRefreshCentroids: Array[Array[Double]] = _
+
+  /** Refresh twin: replay assignment from the stashed centroid
+    * literals, fold each cell's mean ascending vec_id (recursive CTE,
+    * the vector_avg replay), cosine against the same literals. */
+  private def centroidRefreshSql(centroids: Array[Array[Double]]): String = {
+    import graft.OracleSql
+    val nlist = centroids.length
+    val ocRows = centroids.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(OracleSql.dlit).mkString(", ")}])" }.mkString(",\n    ")
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
+       |g AS MATERIALIZED (SELECT centroid, list(embedding ORDER BY vec_id) AS vs,
+       |      CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+       |it(centroid, i, acc) AS (
+       |  SELECT centroid, 1, list_transform(vs[1], x -> CAST(x AS DOUBLE)) FROM g
+       |  UNION ALL
+       |  SELECT it.centroid, it.i + 1,
+       |    list_transform(range(1, ${OracleSql.Dim + 1}),
+       |      j -> it.acc[j] + CAST(g.vs[it.i + 1][j] AS DOUBLE))
+       |  FROM it JOIN g ON g.centroid = it.centroid
+       |  WHERE it.i < g.n),
+       |mn AS (SELECT it.centroid, list_transform(it.acc, x -> x / g.n) AS m, g.n
+       |       FROM it JOIN g ON g.centroid = it.centroid WHERE it.i = g.n),
+       |oc(centroid, v) AS (VALUES
+       |    $ocRows),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM mn)
+       |SELECT mn.centroid, mn.n AS n_vectors,
+       |  CAST(floor(${OracleSql.cosine("mn.m", "oc.v")} * 1000000e0) AS BIGINT) AS cos_ppm,
+       |  CASE WHEN mn.n * $nlist > t.total * 2 THEN 'split'
+       |       WHEN mn.n * $nlist * 4 < t.total THEN 'merge'
+       |       ELSE 'keep' END AS action
+       |FROM mn JOIN oc ON oc.centroid = mn.centroid CROSS JOIN t
+       |ORDER BY mn.centroid""".stripMargin
+  }
+
   private def ivfCellStatsSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id,
        |  ${graft.OracleSql.distList("embedding", centroids)} AS dl FROM embeddings),
@@ -893,6 +986,7 @@ object IvfIndex {
       "ivf_adaptive" -> (ivfAdaptive _),
       "index_size" -> (indexSize _),
       "ivf_cell_stats" -> (ivfCellStats _),
+      "ivf_centroid_refresh" -> (ivfCentroidRefresh _),
       "index_save_load" -> (indexSaveLoad _),
       "index_merge" -> (indexMerge _),
       "ivf_salted" -> (ivfSalted _),
@@ -960,6 +1054,8 @@ object IvfIndex {
       m += "index_size" -> indexSizeSql(lastSizeCentroids)
     if (lastCellStatsCentroids != null)
       m += "ivf_cell_stats" -> ivfCellStatsSql(lastCellStatsCentroids)
+    if (lastRefreshCentroids != null)
+      m += "ivf_centroid_refresh" -> centroidRefreshSql(lastRefreshCentroids)
     // index_merge's twin IS the whole-corpus IVF search: shard union +
     // compaction must be invisible to the probe.
     if (lastMergeCentroids != null)

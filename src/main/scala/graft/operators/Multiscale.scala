@@ -107,6 +107,18 @@ object Multiscale {
     * picks, coalesce supplies the fallback — the same shape a catalog
     * of real device fleets would run at scale. NULL = unconstrained,
     * as in the reference. */
+  /** The reference's static mobile-tier catalog
+    * (projection.py:439-455 `get_matryoshka_dim_for_mobile_tier`):
+    * tier → recommended dim, absorbed as literal rows of the same
+    * device catalog (tier_unknown carries the reference's
+    * `.get(default=256)` fallback). Footprint uses the mobile
+    * profile's fleet size so the row shape matches the computed
+    * branch. */
+  private val MobileTiers = Seq(
+    ("tier_high", 512), ("tier_mid", 256), ("tier_low", 128),
+    ("tier_ultra_low", 64), ("tier_unknown", 256))
+  private val MobileTierVectors = 100000L
+
   def deviceDim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // (device, memory_mb nullable, latency_ms nullable, num_vectors)
@@ -124,11 +136,14 @@ object Multiscale {
           col("num_vectors") * col("dim") * 2L <= col("memory_mb") * (1L << 20)) &&
         (col("latency_ms").isNull || col("dim") <= col("latency_ms") * 1000L))
       .groupBy("device").agg(max(col("dim")).as("fit_dim"))
-    profiles.join(fits, Seq("device"), "left")
+    val computed = profiles.join(fits, Seq("device"), "left")
       .select(col("device"),
         coalesce(col("fit_dim"), lit(Scales.min)).as("dim"),
         (col("num_vectors") * coalesce(col("fit_dim"), lit(Scales.min)) * 2L).as("fp16_bytes"))
-      .orderBy("device")
+    val tiers = MobileTiers.toDF("device", "dim")
+      .select(col("device"), col("dim"),
+        (lit(MobileTierVectors) * col("dim") * 2L).as("fp16_bytes"))
+    computed.unionByName(tiers).orderBy("device")
   }
 
   private val deviceDimSql: String = {
@@ -143,11 +158,16 @@ object Multiscale {
        |      WHERE (p.memory_mb IS NULL
        |             OR p.num_vectors * d.dim * 2 <= p.memory_mb * 1048576)
        |        AND (p.latency_ms IS NULL OR d.dim <= p.latency_ms * 1000)
-       |      GROUP BY 1)
+       |      GROUP BY 1),
+       |t(device, dim) AS (VALUES ${MobileTiers.map { case (n, d) => s"('$n', $d)" }.mkString(", ")})
        |SELECT p.device, CAST(coalesce(f.fit_dim, ${Scales.min}) AS INT) AS dim,
        |  CAST(p.num_vectors * coalesce(f.fit_dim, ${Scales.min}) * 2 AS BIGINT) AS fp16_bytes
        |FROM p LEFT JOIN f ON f.device = p.device
-       |ORDER BY p.device""".stripMargin
+       |UNION ALL
+       |SELECT t.device, CAST(t.dim AS INT) AS dim,
+       |  CAST($MobileTierVectors * t.dim * 2 AS BIGINT) AS fp16_bytes
+       |FROM t
+       |ORDER BY device""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

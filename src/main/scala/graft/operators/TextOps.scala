@@ -256,7 +256,18 @@ object TextOps {
     * legitimately IS contained everywhere — that output is the
     * semantics, not a blowup). Candidates verify with exact integer
     * |A∩B| over the sorted hash arrays; one IEEE division. */
-  val ContainTau = 0.9
+  // τ_c as an EXACT rational: every prefix cutoff (engine filter and
+  // scaled certification twin) derives ⌈τ·n⌉ from these integers, so
+  // lowering the threshold can never silently leave a stale hardcoded
+  // cutoff behind (a too-short prefix drops true pairs — lossy, and
+  // only caught by re-running the equivalence mode)
+  private[graft] val ContainTauNum = 9
+  private[graft] val ContainTauDen = 10
+  /** A-prefix length n − ⌈τ·n⌉ + 1 in integer SQL (Spark `div` /
+    * DuckDB `//` spell the operator differently; caller passes it). */
+  private def containPrefixCut(intDiv: String): String =
+    s"n - (($ContainTauNum * n + ${ContainTauDen - 1}) $intDiv $ContainTauDen) + 1"
+  val ContainTau: Double = ContainTauNum.toDouble / ContainTauDen
   def dedupContainment(s: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.load(s, dir, "documents")).orderBy("doc_a", "doc_b")
 
@@ -265,11 +276,12 @@ object TextOps {
     val t = shingled(d0)
     val posting = t.select(col("doc_id"), col("source"), col("n"), explode(col("sh")).as("shh"))
     val dfT = posting.groupBy("source", "shh").agg(count(lit(1)).as("df"))
-    // τ_c = 9/10 ⟹ A-prefix length = n − ⌈9n/10⌉ + 1, all-integer
+    // A-prefix length = n − ⌈τ·n⌉ + 1, all-integer, derived from the
+    // same rational constants as the verify threshold
     val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shh").asc)
     val prefixA = posting.join(dfT, Seq("source", "shh"))
       .withColumn("r", row_number().over(w))
-      .filter(col("r") <= expr("n - ((9 * n + 9) div 10) + 1"))
+      .filter(col("r") <= expr(containPrefixCut("div")))
       .select(col("doc_id").as("doc_a"), col("source"), col("shh"))
     val cand = prefixA
       .join(posting.select(col("doc_id").as("doc_b"), col("source"), col("shh")),
@@ -357,7 +369,7 @@ object TextOps {
        |    SELECT p.doc_id, p.source, p.g, p.n,
        |      row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df ASC, p.g ASC) AS r
        |    FROM post p JOIN dfq d ON d.source = p.source AND d.g = p.g)
-       |  WHERE r <= n - (9 * n + 9) // 10 + 1),
+       |  WHERE r <= ${containPrefixCut("//")}),
        |cand AS (SELECT DISTINCT preA.doc_id AS da, post.doc_id AS db, preA.source
        |  FROM preA JOIN post
        |    ON post.source = preA.source AND post.g = preA.g

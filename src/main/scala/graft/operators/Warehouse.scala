@@ -109,12 +109,38 @@ object Warehouse {
     corrFromPerUser(ev.groupBy("user_id").agg(cCols.head, cCols.tail: _*))
   }
 
-  /** Moments + correlation over a per-user count table (c_<type> long
-    * columns) — the seam the wrap-proofing spec injects through:
-    * Round16Spec feeds synthetic per-user counts whose moment sums
-    * genuinely exceed Int64 and pins the decimal accumulators against
-    * a driver-side BigInt replay. */
+  /** Graded output contract: moments EMIT as BIGINT. Accumulation and
+    * the n·Σxy-class products stay decimal(38,0) (wrap-proof), but the
+    * emitted sums cast back to long behind a loud range check — an
+    * out-of-Int64 corpus fails the query noisily (widen the output
+    * contract then) instead of shipping a schema the gate's canonical
+    * string hashing renders differently per engine (Spark decimal128
+    * `Decimal('19863')` vs DuckDB-pandas float64 `19863.0`). Same
+    * discipline as bm25_wide's CAST(sum(..) AS BIGINT). */
+  private val MomentCols = Seq("sx", "sy", "sxy", "sxx", "syy")
+  private def longChecked(nm: String): Column = {
+    val c   = col(nm)
+    val lim = lit(Long.MaxValue).cast("decimal(38,0)")
+    when(c > lim, raise_error(format_string(
+      "events_corr: moment %s = %s exceeds Int64 — widen the output contract",
+      lit(nm), c.cast("string"))).cast("decimal(38,0)"))
+      .otherwise(c).cast("long").as(nm)
+  }
+
   private[graft] def corrFromPerUser(per: DataFrame): DataFrame = {
+    val wideMom = corrFromPerUserWide(per)
+    wideMom.select(
+      (Seq("type_a", "type_b", "n").map(col) ++
+        MomentCols.map(longChecked) :+ col("corr")): _*)
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Moments + correlation over a per-user count table (c_<type> long
+    * columns), moments still decimal(38,0) — the seam the
+    * wrap-proofing spec injects through: Round16Spec feeds synthetic
+    * per-user counts whose moment sums genuinely exceed Int64 and pins
+    * the decimal accumulators against a driver-side BigInt replay. */
+  private[graft] def corrFromPerUserWide(per: DataFrame): DataFrame = {
     // widen INSIDE the aggregate: the per-user terms are Int64-safe,
     // but their corpus-wide sums accumulate in decimal(38,0) so the
     // accumulator itself can never wrap (DuckDB's sum(BIGINT) returns
@@ -145,7 +171,6 @@ object Warehouse {
       .withColumn("corr",
         when(da > lit(0) && db > lit(0),
           num.cast("double") / sqrt(da.cast("double") * db.cast("double"))))
-      .orderBy("type_a", "type_b")
   }
 
   val eventsCorrSql: String = {
@@ -171,7 +196,10 @@ object Warehouse {
        | FROM per),
        |pr AS (
        |  $branches)
-       |SELECT type_a, type_b, n, sx, sy, sxy, sxx, syy,
+       |SELECT type_a, type_b, n,
+       | CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       | CAST(sxy AS BIGINT) AS sxy,
+       | CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
        | CASE WHEN CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx > 0
        |       AND CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy > 0
        |   THEN CAST(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)

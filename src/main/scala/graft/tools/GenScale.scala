@@ -42,7 +42,11 @@ object GenScale {
       // silently produce duplicate primary keys and broken star joins
       val src0 = read(t)
       keys.foreach { c =>
-        val mx = src0.agg(max(col(c).cast("long"))).head.getLong(0)
+        val row = src0.agg(max(col(c).cast("long"))).head
+        require(!row.isNullAt(0),
+          s"$t.$c has no numeric keys (empty table or all-null/non-castable " +
+            "column) — cannot verify the copy shift is collision-free")
+        val mx = row.getLong(0)
         require(mx < Off,
           s"$t.$c max $mx >= copy shift $Off — cross-copy key collision; " +
             "scale from the original (unscaled) source dir")

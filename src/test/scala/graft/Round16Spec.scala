@@ -82,7 +82,7 @@ class Round16Spec extends SparkTestBase {
         4000000000L + u * 17L, 4000000000L + u * 19L)
     }
     val per = rows.toDF("user_id", "c_click", "c_error", "c_purchase", "c_signup", "c_view")
-    val got = Warehouse.corrFromPerUser(per)
+    val got = Warehouse.corrFromPerUserWide(per)
       .select("type_a", "type_b", "n", "sx", "sy", "sxy", "sxx", "syy")
       .collect()
     assert(got.length == 10)
@@ -103,6 +103,17 @@ class Round16Spec extends SparkTestBase {
         rows.head.productElement(1 + j).asInstanceOf[Long]) != exactFirst,
         "test magnitudes no longer exceed Int64 — raise them")
     }
+    // the GRADED path emits BIGINT (gate contract; decimal outputs hash
+    // differently per engine) — on this beyond-Int64 corpus it must
+    // fail LOUDLY at the range-checked cast, never wrap or emit decimal
+    val ex = intercept[Exception] {
+      Warehouse.corrFromPerUser(per).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("exceeds Int64"),
+      s"expected the loud range-check message, got: ${rootMsg(ex).take(300)}")
   }
 
   test("dedup_ngram_jaccard == dedup_jaccard_prefix on a stop-shingle corpus (cap retired, one exact function)") {

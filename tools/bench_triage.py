@@ -49,8 +49,8 @@ def main():
         rows.append((raw / host, raw, qa[q], qb[q], q))
     rows.sort(reverse=True)
     norm_ratios = [r[0] for r in rows if r[3] >= min_sec]
-    print(f"{len(common)} common queries; median normalized ratio "
-          f"{statistics.median(norm_ratios):.3f} "
+    med = f"{statistics.median(norm_ratios):.3f}" if norm_ratios else "n/a"
+    print(f"{len(common)} common queries; median normalized ratio {med} "
           f"(over the {len(norm_ratios)} with b >= {min_sec}s)")
     flagged = [r for r in rows if r[0] > thr and r[3] >= min_sec]
     print(f"movers (normalized > {thr}, b >= {min_sec}s): {len(flagged)}")
