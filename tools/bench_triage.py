@@ -3,7 +3,11 @@
 normalization (round 12 — closes the by-hand normalization VERDICT
 r11 task 8 called out).
 
-Usage: bench_triage.py <bench_a.json> <bench_b.json> [threshold=1.5] [min_sec=0.5]
+Usage: bench_triage.py <bench_a.json> <bench_b.json> [threshold=1.5] [min_sec=0.5] [--json out.json]
+
+--json writes the full normalized table as a committed artifact
+(BENCH_TRIAGE_r{N}.json at round close-out) so the next round's mover
+adjudication is a file read, not a re-derivation.
 
 For every query present in both artifacts prints the raw ratio b/a and
 the CANARY-NORMALIZED ratio (b/a divided by the two runs' median-canary
@@ -30,9 +34,15 @@ def load(spec):
 
 
 def main():
-    a, b = load(sys.argv[1]), load(sys.argv[2])
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    min_sec = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    a, b = load(argv[0]), load(argv[1])
+    thr = float(argv[2]) if len(argv) > 2 else 1.5
+    min_sec = float(argv[3]) if len(argv) > 3 else 0.5
     ca = statistics.median(a.get("canary_sec", [1.0]))
     cb = statistics.median(b.get("canary_sec", [1.0]))
     host = cb / ca
@@ -56,6 +66,27 @@ def main():
     print(f"movers (normalized > {thr}, b >= {min_sec}s): {len(flagged)}")
     for norm, raw, sa, sb, q in flagged:
         print(f"  {q:32s} a={sa:8.3f}s b={sb:8.3f}s raw={raw:5.2f}x norm={norm:5.2f}x")
+    if json_out:
+        art = {
+            "a": argv[0], "b": argv[1],
+            "host_factor": host,
+            "canary": {"a_median_sec": ca, "b_median_sec": cb,
+                       "a_drift": a.get("canary_drift"), "b_drift": b.get("canary_drift"),
+                       "a_noisy": a.get("noisy"), "b_noisy": b.get("noisy")},
+            "threshold": thr, "min_sec": min_sec,
+            "n_common": len(common),
+            "median_normalized_ratio":
+                statistics.median(norm_ratios) if norm_ratios else None,
+            "movers": [{"query": q, "a_sec": sa, "b_sec": sb,
+                        "raw_ratio": raw, "normalized_ratio": norm}
+                       for norm, raw, sa, sb, q in flagged],
+            "table": [{"query": q, "a_sec": sa, "b_sec": sb,
+                       "raw_ratio": raw, "normalized_ratio": norm}
+                      for norm, raw, sa, sb, q in rows],
+        }
+        with open(json_out, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":
