@@ -792,6 +792,156 @@ object IvfIndex {
 
   @volatile private var lastRefreshCentroids: Array[Array[Double]] = _
 
+  // ---------------------------------------------------------------
+  // SPLIT APPLY — the terminal step of the maintenance loop
+  // (stats → refresh decisions → APPLY): take the S largest cells
+  // (capacity policy: a rebalancer bounds its biggest bucket; the
+  // 2×-fair-share HOT rule is the skew special case of the same
+  // ordering), train 2 sub-centroids on each from its own members,
+  // rewrite ONLY those cells' directories (true incremental apply:
+  // the non-split buckets' files are never touched — at 100 TB this
+  // is an append of 2S sub-directories plus S directory deletes, not
+  // a layout rewrite), and serve with the EXTENDED codebook: probe
+  // selection ranks (dist, id) over surviving originals + subs, so a
+  // query probing a region that used to be one oversized bucket now
+  // reads only its nearer half.
+  //
+  // Exactness: sub-assignment is the same strict-< first-wins scan as
+  // assignment everywhere (NearestCentroidExpr over the 2 subs); the
+  // twin replays the two-stage assignment (original argmin, then the
+  // per-split-cell sub argmin) and the extended-codebook probe ranking
+  // from this run's stashed literals, then the standard cosine rerank.
+  // ---------------------------------------------------------------
+  val SplitTopCells = 4
+  val SplitNprobe = 4
+
+  def ivfSplitApply(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    val nlist = centroids.length
+    val assigned = assign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // capacity policy: the S largest cells by (count desc, id asc) —
+    // deterministic on any balance profile
+    val counts = assigned.groupBy("centroid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val splitIds = counts.sortBy { case (c, n) => (-n, c) }
+      .take(SplitTopCells).map(_._1).sorted
+    // per split cell: 2 sub-centroids from ITS members (deterministic
+    // md5-ordered sample; a cell without 2 distinct members is
+    // unsplittable and stays as-is)
+    val subs: Seq[(Int, Array[Array[Double]])] = splitIds.toSeq.flatMap { h =>
+      val sample = trainSample(assigned.filter(col("centroid") === h), vecCol = "embedding")
+      if (sample.map(_.toSeq).distinct.size < 2) None
+      else Some(h -> trainCentroids(sample, 2, 10))
+    }
+    lastSplitState = (centroids, subs)
+    graft.Mat.withScratchDirs("split_apply") { case Seq(out) =>
+      // the given at-rest state
+      assigned.write.partitionBy("centroid").mode("overwrite").parquet(out)
+      // incremental apply: append the 2 sub-buckets per split cell,
+      // then drop the split cell's directory — nothing else rewrites
+      subs.zipWithIndex.foreach { case ((h, sc), j) =>
+        val base = nlist + 2 * j
+        assigned.filter(col("centroid") === h)
+          .withColumn("centroid",
+            (org.apache.spark.sql.graftshim.Shims.column(NearestCentroidExpr(
+              org.apache.spark.sql.graftshim.Shims.expression(col("embedding")), sc))
+              + lit(base)).cast("int"))
+          .write.partitionBy("centroid").mode("append").parquet(out)
+        val dead = new java.io.File(s"$out/centroid=$h")
+        dead.listFiles().foreach(_.delete()); dead.delete()
+      }
+      val loaded = s.read.parquet(out)
+      // extended ACTIVE codebook: surviving originals + subs, id-keyed
+      val active: Array[(Int, Array[Double])] =
+        centroids.zipWithIndex.collect {
+          case (v, i) if !subs.exists(_._1 == i) => (i, v)
+        } ++ subs.zipWithIndex.flatMap { case ((_, sc), j) =>
+          sc.zipWithIndex.map { case (v, si) => (nlist + 2 * j + si, v) }
+        }
+      val qRows = queries.select(col("vec_id").cast("long"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))).collect()
+      val probes = qRows.flatMap { r =>
+        nearestNIds(active, r.getSeq[Double](1).toArray, SplitNprobe)
+          .map(c => (r.getLong(0), c))
+      }
+      val probeDf = s.createDataFrame(
+        s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+      graft.Mat.detach(probeLayout(loaded, probeDf,
+        probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
+    }
+  }
+
+  /** (dist, id)-ordered top-n over an id-keyed codebook — nearestN's
+    * tie rule on explicit ids (the extended-codebook probe). */
+  private[graft] def nearestNIds(entries: Array[(Int, Array[Double])],
+      v: Array[Double], n: Int): Array[Int] =
+    entries.map { case (id, ctr) =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val df = v(i) - ctr(i); d += df * df; i += 1 }
+      (d, id)
+    }.sortBy(t => (t._1, t._2)).take(n).map(_._2)
+
+  @volatile private var lastSplitState:
+    (Array[Array[Double]], Seq[(Int, Array[Array[Double]])]) = _
+
+  /** Split twin: two-stage assignment (original argmin; sub argmin
+    * inside each split cell, strict-< first-wins = `d1 < d0` keeps
+    * sub 0 on ties), extended-codebook (dist, id) probe ranking, and
+    * the standard cosine rerank — all from stashed literals. */
+  private def splitApplySql(centroids: Array[Array[Double]],
+      subs: Seq[(Int, Array[Array[Double]])]): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val nlist = centroids.length
+    val subCase = subs.zipWithIndex.map { case ((h, sc), j) =>
+      val base = nlist + 2 * j
+      s"""WHEN c0 = $h THEN (CASE WHEN ${OracleSql.l2sqLit("embedding", sc(1))}
+         |    < ${OracleSql.l2sqLit("embedding", sc(0))}
+         |    THEN ${base + 1} ELSE $base END)""".stripMargin
+    }.mkString("\n      ")
+    val active: Seq[(Int, Array[Double])] =
+      centroids.zipWithIndex.collect {
+        case (v, i) if !subs.exists(_._1 == i) => (i, v)
+      } ++ subs.zipWithIndex.flatMap { case ((_, sc), j) =>
+        sc.zipWithIndex.map { case (v, si) => (nlist + 2 * j + si, v) }
+      }
+    val actDists = active.map { case (_, v) =>
+      OracleSql.l2sqLit("embedding", v) }.mkString("[", ", ", "]")
+    val actIds = active.map(_._1).mkString("[", ", ", "]")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS c0 FROM d),
+       |a AS (SELECT vec_id, embedding,
+       |      CASE $subCase
+       |      ELSE c0 END AS centroid FROM a0),
+       |pe AS (SELECT vec_id AS qid,
+       |        unnest($actDists) AS dist,
+       |        unnest($actIds) AS c
+       |       FROM embeddings WHERE vec_id < $nq),
+       |pr AS (SELECT qid, c FROM (
+       |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
+       |   FROM pe) WHERE rn <= $SplitNprobe),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id WHERE e.vec_id < $nq),
+       |s AS (SELECT p.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM pr p JOIN a e ON e.centroid = p.c
+       |      JOIN q ON q.qid = p.qid
+       |      JOIN nrm n ON n.vec_id = e.vec_id)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Refresh twin: replay assignment from the stashed centroid
     * literals, fold each cell's mean ascending vec_id (recursive CTE,
     * the vector_avg replay), cosine against the same literals. */
@@ -996,6 +1146,7 @@ object IvfIndex {
       "index_size" -> (indexSize _),
       "ivf_cell_stats" -> (ivfCellStats _),
       "ivf_centroid_refresh" -> (ivfCentroidRefresh _),
+      "ivf_split_apply" -> (ivfSplitApply _),
       "index_save_load" -> (indexSaveLoad _),
       "index_merge" -> (indexMerge _),
       "ivf_salted" -> (ivfSalted _),
@@ -1065,6 +1216,8 @@ object IvfIndex {
       m += "ivf_cell_stats" -> ivfCellStatsSql(lastCellStatsCentroids)
     if (lastRefreshCentroids != null)
       m += "ivf_centroid_refresh" -> centroidRefreshSql(lastRefreshCentroids)
+    if (lastSplitState != null)
+      m += "ivf_split_apply" -> splitApplySql(lastSplitState._1, lastSplitState._2)
     // index_merge's twin IS the whole-corpus IVF search: shard union +
     // compaction must be invisible to the probe.
     if (lastMergeCentroids != null)

@@ -83,6 +83,31 @@ class Round17Spec extends SparkTestBase {
     assert(means(1) == expect1, s"tilted cell: ${means(1)} != $expect1")
   }
 
+  test("ivf_split_apply: complete rank lists, self-match leads every query") {
+    import graft.operators.VectorSearch
+    val rows = IvfIndex.ivfSplitApply(spark, sfDir).collect()
+    val k = VectorSearch.K
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to k), s"qid $qid ranks")
+      val scores = sorted.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"qid $qid order")
+      // the query is in the corpus; its own bucket is always probed at
+      // this SF, so the exact self-match must lead the list
+      assert(sorted.head.getLong(1) == qid && math.abs(scores.head - 1.0) < 1e-9,
+        s"qid $qid self-match missing")
+    }
+  }
+
+  test("nearestNIds: extended-codebook probe ranking breaks distance ties by id") {
+    val entries = Array(
+      (7, Array(1.0, 0.0)), (3, Array(1.0, 0.0)), (9, Array(0.0, 1.0)))
+    assert(IvfIndex.nearestNIds(entries, Array(1.0, 0.0), 2).toSeq == Seq(3, 7))
+    assert(IvfIndex.nearestNIds(entries, Array(0.0, 1.0), 1).toSeq == Seq(9))
+  }
+
   test("device_dim carries the reference's mobile-tier catalog rows (projection.py:439-455)") {
     val rows = Multiscale.deviceDim(spark, sfDir)
       .filter(col("device").startsWith("tier_"))
