@@ -875,6 +875,109 @@ object IvfIndex {
     }
   }
 
+  // ---------------------------------------------------------------
+  // MERGE APPLY — the starved-cell counterpart of the split: fold the
+  // two smallest cells into one bucket. Because partitionBy encodes
+  // the cell in the DIRECTORY NAME and not in the rows, the merge is
+  // a pure file MOVE (rename the absorbed cell's part files into the
+  // survivor's directory — zero bytes rewritten, the cheapest possible
+  // layout operation at any scale), and serving shrinks the codebook:
+  // the absorbed id leaves the probe ranking, its members are reached
+  // through the survivor's entry (the survivor keeps its centroid
+  // vector; a follow-up ivf_centroid_refresh recomputes it — that IS
+  // the loop). Twin replays the relabel and the reduced-codebook
+  // (dist, id) probe ranking from stashed literals.
+  // ---------------------------------------------------------------
+  def ivfMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    val assigned = assign(emb, centroids)
+    // starved policy: the two smallest cells by (count asc, id asc);
+    // survivor = lower id
+    val counts = assigned.groupBy("centroid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pair = counts.sortBy { case (c, n) => (n, c) }.take(2).map(_._1).sorted
+    val (keep, absorb) = (pair(0), pair(1))
+    lastMergeApplyState = (centroids, keep, absorb)
+    graft.Mat.withScratchDirs("merge_apply") { case Seq(out) =>
+      assigned.write.partitionBy("centroid").mode("overwrite").parquet(out)
+      // the merge itself: move the absorbed bucket's files — no
+      // rewrite. The move target gets a bucket-tagged name: one write
+      // job emits the SAME part-file name into every partition
+      // directory it touches, so a bare rename would silently replace
+      // the survivor's file of the same name (and trip its stale
+      // checksum sidecar). The .crc sidecars stay behind and die with
+      // the directory — a moved file without one reads unverified,
+      // which is the local-FS analogue of an object-store move.
+      val src = new java.io.File(s"$out/centroid=$absorb")
+      val dst = new java.io.File(s"$out/centroid=$keep")
+      src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        require(f.renameTo(new java.io.File(dst, s"merged-$absorb-${f.getName}")),
+          s"merge move failed: ${f.getPath}")
+      }
+      src.listFiles().foreach(_.delete()); src.delete()
+      val loaded = s.read.parquet(out)
+      val active: Array[(Int, Array[Double])] =
+        centroids.zipWithIndex.collect {
+          case (v, i) if i != absorb => (i, v) }
+      val qRows = queries.select(col("vec_id").cast("long"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))).collect()
+      val probes = qRows.flatMap { r =>
+        nearestNIds(active, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
+      }
+      val probeDf = s.createDataFrame(
+        s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+      graft.Mat.detach(probeLayout(loaded, probeDf,
+        probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
+    }
+  }
+
+  @volatile private[graft] var lastMergeApplyState:
+    (Array[Array[Double]], Int, Int) = _
+
+  /** Merge twin: flat argmin, relabel absorbed → survivor, probe over
+    * the reduced codebook, standard rerank — from stashed literals. */
+  private def mergeApplySql(centroids: Array[Array[Double]],
+      keep: Int, absorb: Int): String = {
+    import graft.OracleSql
+    val nq = VectorSearch.NQueries; val k = VectorSearch.K
+    val active = centroids.zipWithIndex.collect {
+      case (v, i) if i != absorb => (i, v) }
+    val actDists = active.map { case (_, v) =>
+      OracleSql.l2sqLit("embedding", v) }.mkString("[", ", ", "]")
+    val actIds = active.map(_._1).mkString("[", ", ", "]")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a AS (SELECT vec_id, embedding,
+       |      CASE WHEN CAST(list_position(dl, list_min(dl)) - 1 AS INT) = $absorb
+       |           THEN $keep
+       |           ELSE CAST(list_position(dl, list_min(dl)) - 1 AS INT)
+       |      END AS centroid FROM d),
+       |pe AS (SELECT vec_id AS qid,
+       |        unnest($actDists) AS dist,
+       |        unnest($actIds) AS c
+       |       FROM embeddings WHERE vec_id < $nq),
+       |pr AS (SELECT qid, c FROM (
+       |   SELECT qid, c, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c ASC) AS rn
+       |   FROM pe) WHERE rn <= 4),
+       |nrm AS (SELECT vec_id, sqrt(${OracleSql.dot("embedding", "embedding")}) AS nm
+       |        FROM embeddings),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nm AS qn
+       |      FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id WHERE e.vec_id < $nq),
+       |s AS (SELECT p.qid, e.vec_id,
+       |        ${OracleSql.dot("q.qv", "e.embedding")} / (n.nm * q.qn) AS score
+       |      FROM pr p JOIN a e ON e.centroid = p.c
+       |      JOIN q ON q.qid = p.qid
+       |      JOIN nrm n ON n.vec_id = e.vec_id)
+       |SELECT qid, vec_id, score, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rnk
+       |  FROM s)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
+
   /** (dist, id)-ordered top-n over an id-keyed codebook — nearestN's
     * tie rule on explicit ids (the extended-codebook probe). */
   private[graft] def nearestNIds(entries: Array[(Int, Array[Double])],
@@ -1147,6 +1250,7 @@ object IvfIndex {
       "ivf_cell_stats" -> (ivfCellStats _),
       "ivf_centroid_refresh" -> (ivfCentroidRefresh _),
       "ivf_split_apply" -> (ivfSplitApply _),
+      "ivf_merge_apply" -> (ivfMergeApply _),
       "index_save_load" -> (indexSaveLoad _),
       "index_merge" -> (indexMerge _),
       "ivf_salted" -> (ivfSalted _),
@@ -1218,6 +1322,9 @@ object IvfIndex {
       m += "ivf_centroid_refresh" -> centroidRefreshSql(lastRefreshCentroids)
     if (lastSplitState != null)
       m += "ivf_split_apply" -> splitApplySql(lastSplitState._1, lastSplitState._2)
+    if (lastMergeApplyState != null)
+      m += "ivf_merge_apply" -> mergeApplySql(
+        lastMergeApplyState._1, lastMergeApplyState._2, lastMergeApplyState._3)
     // index_merge's twin IS the whole-corpus IVF search: shard union +
     // compaction must be invisible to the probe.
     if (lastMergeCentroids != null)

@@ -101,6 +101,37 @@ class Round17Spec extends SparkTestBase {
     }
   }
 
+  test("ivf_merge_apply: rank lists complete after the file move; self-match absent ONLY for absorbed-cell queries") {
+    // two regressions this pins: (1) one write job emits the SAME
+    // part-file name into every partition directory, so a bare rename
+    // into the survivor's directory silently replaced a file (rows
+    // vanished from rank lists) — the tagged rename keeps all; (2) the
+    // merge's recall trade is EXACTLY scoped: a query loses its
+    // self-match iff its own flat-argmin cell is the absorbed one and
+    // the survivor's entry isn't among its probes — never otherwise
+    import graft.operators.VectorSearch
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rows = IvfIndex.ivfMergeApply(spark, sfDir).collect()
+    val (cents, _, absorb) = IvfIndex.lastMergeApplyState
+    val qVecs = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < VectorSearch.NQueries)
+      .select(col("vec_id").cast("long"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val k = VectorSearch.K
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to k), s"qid $qid ranks")
+      val selfLeads = sorted.head.getLong(1) == qid &&
+        math.abs(sorted.head.getDouble(2) - 1.0) < 1e-9
+      if (!selfLeads)
+        assert(IvfIndex.nearest(cents, qVecs(qid)) == absorb,
+          s"qid $qid lost its self-match but does NOT live in the absorbed cell")
+    }
+  }
+
   test("nearestNIds: extended-codebook probe ranking breaks distance ties by id") {
     val entries = Array(
       (7, Array(1.0, 0.0)), (3, Array(1.0, 0.0)), (9, Array(0.0, 1.0)))
