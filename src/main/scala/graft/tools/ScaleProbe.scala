@@ -918,6 +918,58 @@ object ScaleProbe {
       println(f"[scale] tv drift (20M events, 8 types): $s0%.2f s " +
         f"(${nEv / s0 / 1e6}%.1f M events/s), max tv $tv ppm")
     }
+    // INDEX-MAINTENANCE APPLY probe (round 13): what the incremental
+    // split/merge actually save vs the naive full layout rewrite, at
+    // 1M×64-d over 64 buckets. The merge is a pure file move (the
+    // partition value lives in the directory name, not the rows), the
+    // split rewrites ONLY the split cell's members — both O(affected
+    // bucket), while the rewrite is O(corpus) and scales away.
+    if (wanted("maintenance")) {
+      val cents = IvfIndex.trainCentroids(IvfIndex.trainSample(corpus), 64, 10)
+      val assigned = IvfIndex.assign(corpus, cents).localCheckpoint(true)
+      val counts = assigned.groupBy("centroid").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      graft.Mat.withScratchDirs("probe_maint") { case Seq(out) =>
+        def t(name: String)(f: => Any): Double = {
+          val t0 = System.nanoTime(); f
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] maintenance: $name: $s%.2f s"); s
+        }
+        t(f"base layout write (${n / 1e6}%.0fM rows, 64 buckets)")(
+          assigned.write.partitionBy("centroid").mode("overwrite").parquet(out))
+        val sFull = t("FULL rewrite (the naive apply)")(
+          assigned.write.partitionBy("centroid").mode("overwrite").parquet(out))
+        // incremental split of the largest cell: 2 sub-centroids, only
+        // that cell's members rewrite
+        val hot = counts.maxBy { case (c, cn) => (cn, -c) }._1
+        val sSplit = t(s"incremental SPLIT of hottest cell (cell $hot, " +
+          s"${counts.find(_._1 == hot).get._2} rows)") {
+          val members = assigned.filter(col("centroid") === hot)
+          val sub = IvfIndex.trainCentroids(IvfIndex.trainSample(members), 2, 10)
+          members.withColumn("centroid",
+            (org.apache.spark.sql.graftshim.Shims.column(
+              graft.operators.NearestCentroidExpr(
+                org.apache.spark.sql.graftshim.Shims.expression(col("embedding")), sub))
+              + lit(64)).cast("int"))
+            .write.partitionBy("centroid").mode("append").parquet(out)
+          val dead = new java.io.File(s"$out/centroid=$hot")
+          dead.listFiles().foreach(_.delete()); dead.delete()
+        }
+        // merge of the two smallest surviving cells: pure rename
+        val pair = counts.filter(_._1 != hot)
+          .sortBy { case (c, cn) => (cn, c) }.take(2).map(_._1).sorted
+        val sMerge = t(s"MERGE move of two smallest cells (${pair.mkString("+")})") {
+          val src = new java.io.File(s"$out/centroid=${pair(1)}")
+          val dst = new java.io.File(s"$out/centroid=${pair(0)}")
+          src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+            require(f.renameTo(new java.io.File(dst, s"merged-${pair(1)}-${f.getName}")))
+          }
+          src.listFiles().foreach(_.delete()); src.delete()
+        }
+        println(f"[scale] maintenance: full-rewrite/split = ${sFull / sSplit}%.1fx, " +
+          f"full-rewrite/merge = ${sFull / sMerge}%.0fx")
+      }
+    }
     spark.stop()
   }
 }
