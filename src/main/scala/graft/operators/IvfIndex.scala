@@ -1082,7 +1082,7 @@ object IvfIndex {
        |ORDER BY mn.centroid""".stripMargin
   }
 
-  private def ivfCellStatsSql(centroids: Array[Array[Double]]): String =
+  private[graft] def ivfCellStatsSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id,
        |  ${graft.OracleSql.distList("embedding", centroids)} AS dl FROM embeddings),
        |a AS (SELECT vec_id,

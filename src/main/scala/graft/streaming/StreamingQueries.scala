@@ -1471,6 +1471,40 @@ object StreamingQueries {
     out.orderBy("click_id", "purchase_id")
   }
 
+  /** Streaming CELL-BALANCE monitor — ivf_cell_stats run LIVE, the
+    * observability leg of the maintenance loop (stats → refresh →
+    * split/merge apply) moved to ingest time: the codebook is frozen
+    * (trained once on the at-rest corpus — the snapshot an ingest
+    * fleet broadcasts), arriving vectors route through the SAME
+    * NearestCentroidExpr, and a complete-mode count per cell keeps
+    * |nlist| longs of state forever at any throughput. Counts are
+    * integers — order-free — so the drained grid, finalized through
+    * the same share-ppm / cross-multiplied hot arithmetic, equals
+    * batch ivf_cell_stats bit-for-bit at any chunking, and the batch
+    * twin grades the streamed monitor. */
+  def streamCellStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(emb), 16, 10)
+    lastStreamCellStatsCentroids = centroids
+    val rows = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val out = drain(s, split3(rows), "complete", sinkName("stream_cell_stats")) { ds =>
+      IvfIndex.assign(ds.toDF("vec_id", "embedding"), centroids)
+        .groupBy("centroid").agg(count(lit(1)).as("n_vectors"))
+    }
+    val cells = out.as[(Int, Long)].collect().toSeq.toDF("centroid", "n_vectors")
+    val tot = cells.agg(sum("n_vectors").as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("centroid"), col("n_vectors"),
+        expr("(n_vectors * 1000000) div total").as("share_ppm"),
+        (col("n_vectors") * centroids.length > col("total") * 2).as("hot"))
+      .orderBy("centroid")
+  }
+
+  @volatile private var lastStreamCellStatsCentroids: Array[Array[Double]] = _
+
   private def ingestSql(centroids: Array[Array[Double]]): String =
     s"""WITH d AS (SELECT vec_id, ${graft.OracleSql.distList("embedding", centroids)} AS dl
        |           FROM embeddings)
@@ -1507,7 +1541,8 @@ object StreamingQueries {
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_hll" -> (streamHll _),
     "stream_outliers" -> (streamOutliers _),
-    "stream_profile" -> (streamProfile _))
+    "stream_profile" -> (streamProfile _),
+    "stream_cell_stats" -> (streamCellStats _))
 
   /** Every oracle is the BATCH twin's SQL: streaming must equal batch. */
   def oracles: Map[String, String] = {
@@ -1552,6 +1587,9 @@ object StreamingQueries {
       m += "stream_embed_dedup" -> Dedup.semDedupSql(lastStreamSemCentroids)
     if (lastStreamIvfCentroids != null)
       m += "stream_ivf" -> IvfIndex.ivfSql(lastStreamIvfCentroids, 4)
+    // streamed balance monitor == batch cell stats off the same codebook
+    if (lastStreamCellStatsCentroids != null)
+      m += "stream_cell_stats" -> IvfIndex.ivfCellStatsSql(lastStreamCellStatsCentroids)
     if (lastStreamIvfCodedCentroids != null)
       m += "stream_ivf_coded" -> graft.operators.BinaryQuant
         .ivfBinarySql(lastStreamIvfCodedCentroids)

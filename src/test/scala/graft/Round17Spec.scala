@@ -132,6 +132,13 @@ class Round17Spec extends SparkTestBase {
     }
   }
 
+  test("stream_cell_stats == batch ivf_cell_stats row-for-row (same deterministic codebook)") {
+    val stream = graft.streaming.StreamingQueries.streamCellStats(spark, sfDir).collect()
+    val batch = IvfIndex.ivfCellStats(spark, sfDir).collect()
+    assert(stream.length == batch.length && stream.nonEmpty)
+    stream.zip(batch).foreach { case (s0, b0) => assert(s0 == b0) }
+  }
+
   test("nearestNIds: extended-codebook probe ranking breaks distance ties by id") {
     val entries = Array(
       (7, Array(1.0, 0.0)), (3, Array(1.0, 0.0)), (9, Array(0.0, 1.0)))
