@@ -815,6 +815,45 @@ object IvfIndex {
   val SplitTopCells = 4
   val SplitNprobe = 4
 
+  // ---------------------------------------------------------------
+  // Layout file ops go through the Hadoop FileSystem API — the handle
+  // comes from the path + the session's hadoopConfiguration, so the
+  // SAME code is a local-FS move in the sandbox and an HDFS/object-
+  // store metadata call at 100 TB (java.io.File would silently be
+  // local-only). On Hadoop's checksummed local FS, listStatus hides
+  // .crc sidecars and rename moves a file's sidecar with it, so a
+  // moved bucket file stays checksum-verified — strictly better than
+  // the raw-File move this replaced (which orphaned the sidecar).
+  // ---------------------------------------------------------------
+  private def layoutFs(s: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Drop a bucket directory (split apply retires the split cell). */
+  private[graft] def deleteBucketDir(s: SparkSession, dir: String): Unit = {
+    val (fs, p) = layoutFs(s, dir)
+    require(fs.delete(p, true), s"bucket dir delete failed: $dir")
+  }
+
+  /** Merge move: rename one bucket's data files into another under a
+    * bucket-tagged name — one write job emits the SAME part-file name
+    * into every partition directory it touches, so a bare rename
+    * would silently replace the survivor's file of that name (the bug
+    * the round-13 gate caught). Pure metadata, zero bytes rewritten
+    * on any FS; the emptied source dir is dropped afterwards. */
+  private[graft] def moveBucketFiles(s: SparkSession, srcDir: String,
+      dstDir: String, tag: String): Unit = {
+    val (fs, src) = layoutFs(s, srcDir)
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    fs.listStatus(src).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+      val to = new org.apache.hadoop.fs.Path(dst, s"merged-$tag-${st.getPath.getName}")
+      require(fs.rename(st.getPath, to), s"merge move failed: ${st.getPath} -> $to")
+    }
+    require(fs.delete(src, true), s"merge source dir cleanup failed: $srcDir")
+  }
+
   def ivfSplitApply(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
@@ -837,7 +876,7 @@ object IvfIndex {
       else Some(h -> trainCentroids(sample, 2, 10))
     }
     lastSplitState = (centroids, subs)
-    graft.Mat.withScratchDirs("split_apply") { case Seq(out) =>
+    try graft.Mat.withScratchDirs("split_apply") { case Seq(out) =>
       // the given at-rest state
       assigned.write.partitionBy("centroid").mode("overwrite").parquet(out)
       // incremental apply: append the 2 sub-buckets per split cell,
@@ -850,8 +889,7 @@ object IvfIndex {
               org.apache.spark.sql.graftshim.Shims.expression(col("embedding")), sc))
               + lit(base)).cast("int"))
           .write.partitionBy("centroid").mode("append").parquet(out)
-        val dead = new java.io.File(s"$out/centroid=$h")
-        dead.listFiles().foreach(_.delete()); dead.delete()
+        deleteBucketDir(s, s"$out/centroid=$h")
       }
       val loaded = s.read.parquet(out)
       // extended ACTIVE codebook: surviving originals + subs, id-keyed
@@ -872,7 +910,7 @@ object IvfIndex {
         s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
       graft.Mat.detach(probeLayout(loaded, probeDf,
         probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
-    }
+    } finally assigned.unpersist(blocking = false)
   }
 
   // ---------------------------------------------------------------
@@ -902,21 +940,10 @@ object IvfIndex {
     lastMergeApplyState = (centroids, keep, absorb)
     graft.Mat.withScratchDirs("merge_apply") { case Seq(out) =>
       assigned.write.partitionBy("centroid").mode("overwrite").parquet(out)
-      // the merge itself: move the absorbed bucket's files — no
-      // rewrite. The move target gets a bucket-tagged name: one write
-      // job emits the SAME part-file name into every partition
-      // directory it touches, so a bare rename would silently replace
-      // the survivor's file of the same name (and trip its stale
-      // checksum sidecar). The .crc sidecars stay behind and die with
-      // the directory — a moved file without one reads unverified,
-      // which is the local-FS analogue of an object-store move.
-      val src = new java.io.File(s"$out/centroid=$absorb")
-      val dst = new java.io.File(s"$out/centroid=$keep")
-      src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-        require(f.renameTo(new java.io.File(dst, s"merged-$absorb-${f.getName}")),
-          s"merge move failed: ${f.getPath}")
-      }
-      src.listFiles().foreach(_.delete()); src.delete()
+      // the merge itself: move the absorbed bucket's files into the
+      // survivor's directory through the FS API — no rewrite.
+      moveBucketFiles(s, s"$out/centroid=$absorb", s"$out/centroid=$keep",
+        absorb.toString)
       val loaded = s.read.parquet(out)
       val active: Array[(Int, Array[Double])] =
         centroids.zipWithIndex.collect {
@@ -1006,6 +1033,10 @@ object IvfIndex {
          |    < ${OracleSql.l2sqLit("embedding", sc(0))}
          |    THEN ${base + 1} ELSE $base END)""".stripMargin
     }.mkString("\n      ")
+    // every sampled top cell unsplittable (<2 distinct members) → no
+    // split happened; a bare `CASE ELSE c0 END` is a parse error
+    val centroidExpr =
+      if (subs.isEmpty) "c0" else s"CASE $subCase\n      ELSE c0 END"
     val active: Seq[(Int, Array[Double])] =
       centroids.zipWithIndex.collect {
         case (v, i) if !subs.exists(_._1 == i) => (i, v)
@@ -1021,8 +1052,7 @@ object IvfIndex {
        |a0 AS (SELECT vec_id, embedding,
        |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS c0 FROM d),
        |a AS (SELECT vec_id, embedding,
-       |      CASE $subCase
-       |      ELSE c0 END AS centroid FROM a0),
+       |      $centroidExpr AS centroid FROM a0),
        |pe AS (SELECT vec_id AS qid,
        |        unnest($actDists) AS dist,
        |        unnest($actIds) AS c

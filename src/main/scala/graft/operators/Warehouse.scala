@@ -121,7 +121,8 @@ object Warehouse {
   private def longChecked(nm: String): Column = {
     val c   = col(nm)
     val lim = lit(Long.MaxValue).cast("decimal(38,0)")
-    when(c > lim, raise_error(format_string(
+    val lo  = lit(Long.MinValue).cast("decimal(38,0)")
+    when(c > lim || c < lo, raise_error(format_string(
       "events_corr: moment %s = %s exceeds Int64 — widen the output contract",
       lit(nm), c.cast("string"))).cast("decimal(38,0)"))
       .otherwise(c).cast("long").as(nm)

@@ -38,6 +38,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: bench_triage.py A B [thr] [min_sec] [--json OUT]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
     a, b = load(argv[0]), load(argv[1])
