@@ -764,11 +764,20 @@ object IvfIndex {
 
   /** The refresh read-side over an already-persisted layout — the
     * seam PlanAudit explains (the graded entry detaches its result,
-    * hiding the plan). */
+    * hiding the plan). Positional codebook form. */
   private[graft] def refreshFromLayout(loaded: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame = {
+      centroids: Array[Array[Double]]): DataFrame =
+    refreshFromLayoutIds(loaded,
+      centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v) })
+
+  /** Refresh over an ID-KEYED codebook — the post-apply form, where
+    * the active entries are sparse (surviving originals + split
+    * sub-cells under ids ≥ nlist). The rebalance decision rule
+    * cross-multiplies against the ACTIVE codebook size. */
+  private[graft] def refreshFromLayoutIds(loaded: DataFrame,
+      entries: Seq[(Int, Array[Double])]): DataFrame = {
     val s = loaded.sparkSession
-    val nlist = centroids.length
+    val nlist = entries.size
     val means = loaded
       .repartition(col("centroid"))
       .sortWithinPartitions("centroid", "vec_id")
@@ -776,7 +785,7 @@ object IvfIndex {
       .agg(graft.functions.VectorAggOps.vectorAvg(col("embedding")).as("new_mean"),
         count(lit(1)).as("n_vectors"))
     val oldDf = s.createDataFrame(
-        centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) })
+        entries.map { case (i, v) => (i, v.toSeq) })
       .toDF("centroid", "old_vec")
     val tot = means.agg(sum("n_vectors").as("total"))
     means.join(broadcast(oldDf), "centroid")
@@ -854,6 +863,46 @@ object IvfIndex {
     require(fs.delete(src, true), s"merge source dir cleanup failed: $srcDir")
   }
 
+  /** Per split cell: 2 sub-centroids from ITS members (deterministic
+    * md5-ordered sample; a cell without 2 distinct members is
+    * unsplittable and stays as-is). */
+  private def trainSubCentroids(assigned: DataFrame,
+      cells: Seq[Int]): Seq[(Int, Array[Array[Double]])] =
+    cells.flatMap { h =>
+      val sample = trainSample(assigned.filter(col("centroid") === h), vecCol = "embedding")
+      if (sample.map(_.toSeq).distinct.size < 2) None
+      else Some(h -> trainCentroids(sample, 2, 10))
+    }
+
+  /** Incremental split apply over a persisted layout: append the 2
+    * sub-buckets per split cell (ids nlist+2j, nlist+2j+1), then drop
+    * the split cell's directory — nothing else rewrites. */
+  private def applySplits(s: SparkSession, assigned: DataFrame, out: String,
+      subs: Seq[(Int, Array[Array[Double]])], nlist: Int): Unit =
+    subs.zipWithIndex.foreach { case ((h, sc), j) =>
+      val base = nlist + 2 * j
+      assigned.filter(col("centroid") === h)
+        .withColumn("centroid",
+          (org.apache.spark.sql.graftshim.Shims.column(NearestCentroidExpr(
+            org.apache.spark.sql.graftshim.Shims.expression(col("embedding")), sc))
+            + lit(base)).cast("int"))
+        .write.partitionBy("centroid").mode("append").parquet(out)
+      deleteBucketDir(s, s"$out/centroid=$h")
+    }
+
+  /** Post-apply ACTIVE codebook: surviving originals (not split, not
+    * absorbed) + split sub-cells, id-keyed. */
+  private def activeCodebook(centroids: Array[Array[Double]],
+      subs: Seq[(Int, Array[Array[Double]])],
+      absorbed: Seq[Int]): Seq[(Int, Array[Double])] = {
+    val nlist = centroids.length
+    centroids.zipWithIndex.toSeq.collect {
+      case (v, i) if !subs.exists(_._1 == i) && !absorbed.contains(i) => (i, v)
+    } ++ subs.zipWithIndex.flatMap { case ((_, sc), j) =>
+      sc.zipWithIndex.map { case (v, si) => (nlist + 2 * j + si, v) }
+    }
+  }
+
   def ivfSplitApply(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < VectorSearch.NQueries)
@@ -867,38 +916,14 @@ object IvfIndex {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val splitIds = counts.sortBy { case (c, n) => (-n, c) }
       .take(SplitTopCells).map(_._1).sorted
-    // per split cell: 2 sub-centroids from ITS members (deterministic
-    // md5-ordered sample; a cell without 2 distinct members is
-    // unsplittable and stays as-is)
-    val subs: Seq[(Int, Array[Array[Double]])] = splitIds.toSeq.flatMap { h =>
-      val sample = trainSample(assigned.filter(col("centroid") === h), vecCol = "embedding")
-      if (sample.map(_.toSeq).distinct.size < 2) None
-      else Some(h -> trainCentroids(sample, 2, 10))
-    }
+    val subs = trainSubCentroids(assigned, splitIds.toSeq)
     lastSplitState = (centroids, subs)
     try graft.Mat.withScratchDirs("split_apply") { case Seq(out) =>
       // the given at-rest state
       assigned.write.partitionBy("centroid").mode("overwrite").parquet(out)
-      // incremental apply: append the 2 sub-buckets per split cell,
-      // then drop the split cell's directory — nothing else rewrites
-      subs.zipWithIndex.foreach { case ((h, sc), j) =>
-        val base = nlist + 2 * j
-        assigned.filter(col("centroid") === h)
-          .withColumn("centroid",
-            (org.apache.spark.sql.graftshim.Shims.column(NearestCentroidExpr(
-              org.apache.spark.sql.graftshim.Shims.expression(col("embedding")), sc))
-              + lit(base)).cast("int"))
-          .write.partitionBy("centroid").mode("append").parquet(out)
-        deleteBucketDir(s, s"$out/centroid=$h")
-      }
+      applySplits(s, assigned, out, subs, nlist)
       val loaded = s.read.parquet(out)
-      // extended ACTIVE codebook: surviving originals + subs, id-keyed
-      val active: Array[(Int, Array[Double])] =
-        centroids.zipWithIndex.collect {
-          case (v, i) if !subs.exists(_._1 == i) => (i, v)
-        } ++ subs.zipWithIndex.flatMap { case ((_, sc), j) =>
-          sc.zipWithIndex.map { case (v, si) => (nlist + 2 * j + si, v) }
-        }
+      val active = activeCodebook(centroids, subs, Seq.empty).toArray
       val qRows = queries.select(col("vec_id").cast("long"),
         col("embedding").cast(org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))).collect()
@@ -963,6 +988,141 @@ object IvfIndex {
 
   @volatile private[graft] var lastMergeApplyState:
     (Array[Array[Double]], Int, Int) = _
+
+  // ---------------------------------------------------------------
+  // REBALANCE LOOP — the maintenance cycle as ONE dataflow, not three
+  // stories: run ivf_centroid_refresh over the at-rest layout, apply
+  // EXACTLY the cells its `action` column flags (every `split` cell
+  // splits — capacity policy plays no part here; every `merge` cell
+  // folds into the lowest-id flagged cell as pure file moves), then
+  // run the refresh AGAIN with the post-apply active codebook and
+  // emit both balance tables side by side. This is the pass a 100 TB
+  // deployment schedules: decisions come from the layout's own stats,
+  // applies touch only the flagged buckets (O(affected) IO), and the
+  // second refresh IS the verification that balance improved — the
+  // post-apply table should flag fewer (ideally zero) hot cells.
+  //
+  // Exactness: both phases are the graded refresh (deterministic
+  // ascending-vec_id mean fold, floor-ppm cosine drift, integer
+  // cross-multiplied decisions — the after-phase rule uses the ACTIVE
+  // codebook size); the twin replays assignment, the split sub-argmin,
+  // the merge relabel, and BOTH mean folds from stashed literals in
+  // one statement. A corpus where refresh flags nothing degenerates to
+  // before == after — still graded, still exact.
+  // ---------------------------------------------------------------
+  def ivfRebalanceLoop(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val centroids = trainCentroids(trainSample(emb), 16, 10)
+    val nlist = centroids.length
+    val assigned = assign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try graft.Mat.withScratchDirs("rebalance_loop") { case Seq(out) =>
+      assigned.write.partitionBy("centroid").mode("overwrite").parquet(out)
+      // phase 1: the graded refresh over the at-rest layout —
+      // MATERIALIZED before the applies mutate the directory it reads
+      val before = graft.Mat.detach(refreshFromLayout(s.read.parquet(out), centroids))
+      // |nlist| decision rows — the bounded stash/probe idiom
+      val decisions = before.select("centroid", "action").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      val splitFlagged = decisions.collect { case (c, "split") => c }.sorted.toSeq
+      val mergeFlagged = decisions.collect { case (c, "merge") => c }.sorted.toSeq
+      // apply EXACTLY the flagged splits (unsplittable cells stay)
+      val subs = trainSubCentroids(assigned, splitFlagged)
+      applySplits(s, assigned, out, subs, nlist)
+      // apply EXACTLY the flagged merges: starved cells fold into the
+      // lowest-id flagged cell (a lone starved cell has no partner)
+      val (survivor, absorbed) =
+        if (mergeFlagged.length >= 2) (mergeFlagged.head, mergeFlagged.tail)
+        else (-1, Seq.empty[Int])
+      absorbed.foreach(a => moveBucketFiles(s,
+        s"$out/centroid=$a", s"$out/centroid=$survivor", a.toString))
+      lastRebalanceState = (centroids, subs, survivor, absorbed)
+      // phase 2: refresh again against the post-apply codebook
+      val after = graft.Mat.detach(
+        refreshFromLayoutIds(s.read.parquet(out), activeCodebook(centroids, subs, absorbed)))
+      graft.Mat.detach(
+        before.withColumn("phase", lit("before"))
+          .unionAll(after.withColumn("phase", lit("after")))
+          .select("phase", "centroid", "n_vectors", "cos_ppm", "action")
+          .orderBy("phase", "centroid"))
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  @volatile private var lastRebalanceState:
+    (Array[Array[Double]], Seq[(Int, Array[Array[Double]])], Int, Seq[Int]) = _
+
+  /** One phase of the rebalance-loop twin: the deterministic mean fold
+    * (recursive CTE ascending vec_id — the vector_avg replay), drift
+    * cosine, and the decision rule against codebook `entries`, over
+    * assignment CTE `asgCte`. Emits CTEs suffixed `sfx`; the result
+    * CTE is `r$sfx`. */
+  private def refreshFoldSql(sfx: String, asgCte: String,
+      entries: Seq[(Int, Array[Double])]): String = {
+    import graft.OracleSql
+    val nlist = entries.size
+    val ocRows = entries.map { case (i, v) =>
+      s"($i, [${v.map(OracleSql.dlit).mkString(", ")}])" }.mkString(",\n    ")
+    s"""g$sfx AS MATERIALIZED (SELECT centroid, list(embedding ORDER BY vec_id) AS vs,
+       |      CAST(count(*) AS BIGINT) AS n FROM $asgCte GROUP BY 1),
+       |it$sfx(centroid, i, acc) AS (
+       |  SELECT centroid, 1, list_transform(vs[1], x -> CAST(x AS DOUBLE)) FROM g$sfx
+       |  UNION ALL
+       |  SELECT it$sfx.centroid, it$sfx.i + 1,
+       |    list_transform(range(1, ${OracleSql.Dim + 1}),
+       |      j -> it$sfx.acc[j] + CAST(g$sfx.vs[it$sfx.i + 1][j] AS DOUBLE))
+       |  FROM it$sfx JOIN g$sfx ON g$sfx.centroid = it$sfx.centroid
+       |  WHERE it$sfx.i < g$sfx.n),
+       |mn$sfx AS (SELECT it$sfx.centroid, list_transform(it$sfx.acc, x -> x / g$sfx.n) AS m,
+       |       g$sfx.n AS n
+       |       FROM it$sfx JOIN g$sfx ON g$sfx.centroid = it$sfx.centroid
+       |       WHERE it$sfx.i = g$sfx.n),
+       |oc$sfx(centroid, v) AS (VALUES
+       |    $ocRows),
+       |t$sfx AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM mn$sfx),
+       |r$sfx AS (SELECT mn$sfx.centroid, mn$sfx.n AS n_vectors,
+       |  CAST(floor(${OracleSql.cosine(s"mn$sfx.m", s"oc$sfx.v")} * 1000000e0) AS BIGINT) AS cos_ppm,
+       |  CASE WHEN mn$sfx.n * $nlist > t$sfx.total * 2 THEN 'split'
+       |       WHEN mn$sfx.n * $nlist * 4 < t$sfx.total THEN 'merge'
+       |       ELSE 'keep' END AS action
+       |  FROM mn$sfx JOIN oc$sfx ON oc$sfx.centroid = mn$sfx.centroid CROSS JOIN t$sfx)"""
+      .stripMargin
+  }
+
+  /** Rebalance-loop twin: one statement — argmin assignment, the
+    * before-phase fold, the split sub-argmin + merge relabel, the
+    * after-phase fold against the active codebook, both from this
+    * run's stashed literals. */
+  private def rebalanceLoopSql(centroids: Array[Array[Double]],
+      subs: Seq[(Int, Array[Array[Double]])],
+      survivor: Int, absorbed: Seq[Int]): String = {
+    import graft.OracleSql
+    val nlist = centroids.length
+    val subCase = subs.zipWithIndex.map { case ((h, sc), j) =>
+      val base = nlist + 2 * j
+      s"""WHEN c0 = $h THEN (CASE WHEN ${OracleSql.l2sqLit("embedding", sc(1))}
+         |    < ${OracleSql.l2sqLit("embedding", sc(0))}
+         |    THEN ${base + 1} ELSE $base END)""".stripMargin
+    }.mkString("\n      ")
+    val splitExpr =
+      if (subs.isEmpty) "c0" else s"CASE $subCase\n      ELSE c0 END"
+    val afterExpr =
+      if (absorbed.isEmpty) "c1"
+      else s"CASE WHEN c1 IN (${absorbed.mkString(", ")}) THEN $survivor ELSE c1 END"
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, embedding,
+       |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS c0 FROM d),
+       |ab AS (SELECT vec_id, embedding, c0 AS centroid FROM a0),
+       |a1 AS (SELECT vec_id, embedding, $splitExpr AS c1 FROM a0),
+       |aa AS (SELECT vec_id, embedding, $afterExpr AS centroid FROM a1),
+       |${refreshFoldSql("b", "ab", centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v) })},
+       |${refreshFoldSql("a", "aa", activeCodebook(centroids, subs, absorbed))}
+       |SELECT * FROM (
+       |  SELECT 'before' AS phase, * FROM rb
+       |  UNION ALL SELECT 'after' AS phase, * FROM ra)
+       |ORDER BY phase, centroid""".stripMargin
+  }
 
   /** Merge twin: flat argmin, relabel absorbed → survivor, probe over
     * the reduced codebook, standard rerank — from stashed literals. */
@@ -1281,6 +1441,7 @@ object IvfIndex {
       "ivf_centroid_refresh" -> (ivfCentroidRefresh _),
       "ivf_split_apply" -> (ivfSplitApply _),
       "ivf_merge_apply" -> (ivfMergeApply _),
+      "ivf_rebalance_loop" -> (ivfRebalanceLoop _),
       "index_save_load" -> (indexSaveLoad _),
       "index_merge" -> (indexMerge _),
       "ivf_salted" -> (ivfSalted _),
@@ -1355,6 +1516,9 @@ object IvfIndex {
     if (lastMergeApplyState != null)
       m += "ivf_merge_apply" -> mergeApplySql(
         lastMergeApplyState._1, lastMergeApplyState._2, lastMergeApplyState._3)
+    if (lastRebalanceState != null)
+      m += "ivf_rebalance_loop" -> rebalanceLoopSql(lastRebalanceState._1,
+        lastRebalanceState._2, lastRebalanceState._3, lastRebalanceState._4)
     // index_merge's twin IS the whole-corpus IVF search: shard union +
     // compaction must be invisible to the probe.
     if (lastMergeCentroids != null)
