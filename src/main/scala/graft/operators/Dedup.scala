@@ -953,16 +953,20 @@ object Dedup {
        |END""".stripMargin)
 
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
-                         evalMaxId: Long = DecontamEvalMaxId): DataFrame = {
+                         evalMaxId: Long = DecontamEvalMaxId,
+                         persistBase: Boolean = true): DataFrame = {
     // hashed postings persisted: (doc_id, b) longs only — the corpus
     // text is tokenized/shingled exactly ONCE (the bm25/CMS lesson),
     // and every downstream branch (filter bits, membership, counts,
-    // verify) reuses the integer table
-    val base = docs
+    // verify) reuses the integer table. persistBase=false keeps the
+    // chain fully lazy for composed pipelines (pipeline_e2e's
+    // no-driver-barrier contract) — the shingle pass then recomputes
+    // per branch, which a 100 TB run would trade back to a persist.
+    val base0 = docs
       .select(col(idCol).as("doc_id"), explode(shingleStrings(textCol)).as("g"))
       .select(col("doc_id"), shiftrightunsigned(
         graft.functions.TextHashOps.md5Lower64(col("g")), 1).as("b"))
-      .persist()
+    val base = if (persistBase) base0.persist() else base0
     val evalB = base.filter(col("doc_id") < evalMaxId).select("b").distinct()
     // the filter itself: distinct set bit positions, ≤ m rows — THIS is
     // what broadcasts at scale, not the eval shingles

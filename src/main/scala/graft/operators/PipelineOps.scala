@@ -199,17 +199,172 @@ object PipelineOps {
       |       FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- pipeline_e2e
+
+  /** The composed LLM-training-data pipeline as ONE DataFrame chain —
+    * the DAG a real curation run executes, with no action between
+    * stages: normalize → dedup_exact → decontaminate (bloom prefilter
+    * + exact verify) → quality classifier → per-source token budget →
+    * sequence packing. Every stage is an already-graded operator; what
+    * this key grades is that they COMPOSE without collect()-shaped
+    * seams: building the chain launches zero Spark jobs (pinned in
+    * PipelineE2eSpec), text is carried only as far as the quality
+    * features (the budget/packing tail moves integers), and each
+    * stage's semantics are bit-identical to its standalone twin —
+    * the oracle is one statement with each stage a nested CTE.
+    *
+    * Scale shape: the chain is scans + one hash-partition exchange per
+    * keyed stage (dedup's fingerprint, decontamination's gram join
+    * against a BROADCAST eval side, the per-source budget window);
+    * the only global window is the packing tail, which at 100 TB runs
+    * per shard (doc_packing's documented contract). */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame =
+    pipelineE2eOver(Tables.load(s, dir, "documents"))
+
+  private[graft] def pipelineE2eOver(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 1. normalize (text_normalize's planting + NFC canonicalization)
+    val planted = docs.withColumn("txt",
+      when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" cafe\u0301 blend")))
+        .when(pmod(col("doc_id"), lit(5)) === 1, concat(col("text"), lit(" zu\u0308rich mix")))
+        .otherwise(col("text")))
+    val norm = planted.select(col("doc_id"), col("source"),
+      graft.functions.TextHashOps.nfcNormalize(col("txt")).as("norm"))
+    // 2. exact dedup on the NORMALIZED fingerprint: canonical = min id
+    val dd = norm
+      .withColumn("canon", min(col("doc_id")).over(Window.partitionBy(md5(col("norm")))))
+      .filter(col("doc_id") === col("canon")).drop("canon")
+    // 3. decontamination: eval docs (id < evalMaxId) leave the corpus;
+    // train docs sharing any shingle with the eval set drop. The bloom
+    // is the prefilter; n_shared is its exact verify, so the twin can
+    // check raw-shingle intersection directly (no bloom replay —
+    // no false negatives by construction, false positives verified away)
+    val contaminated = Dedup.decontaminateBloom(dd, "doc_id", "norm", persistBase = false)
+      .filter(col("n_shared") > 0).select(col("train_id").as("doc_id"))
+    val clean = dd.filter(col("doc_id") >= Dedup.DecontamEvalMaxId)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. quality classifier over the normalized text (text_quality's
+    // features, quality_classifier's weights and squash-free keep rule)
+    val tk = split(trim(col("norm")), "\\s+")
+    val feat = clean.select(col("doc_id"), col("source"),
+        length(col("norm")).as("n_chars"),
+        size(tk).as("n_tokens"),
+        TextOps.markCount(tk, TextOps.MarkEn).as("n_stop"),
+        regexp_count(col("norm"), lit("[0-9]")).as("n_digit"),
+        aggregate(transform(tk, t => length(t)), lit(0), (a, b) => a + b)
+          .as("sum_tok_len"))
+    val nt = col("n_tokens").cast("double")
+    val withRatios = feat
+      .withColumn("mean_word_len",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("sum_tok_len").cast("double") / nt))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_stop").cast("double") / nt))
+      .withColumn("digit_ratio",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col("n_digit").cast("double") / col("n_chars").cast("double")))
+    val logit = lit(QcBias) + lit(QcWLen) * least(lit(1.0), nt / lit(50.0)) +
+      lit(QcWStop) * col("stop_ratio") +
+      lit(QcWDigit) * col("digit_ratio") +
+      lit(QcWMwl) * least(lit(1.0), col("mean_word_len") / lit(8.0))
+    val kept = withRatios.withColumn("logit", logit).filter(col("logit") >= 0.0)
+    // 5. per-source token budget (data_token_budget's hash-order fill)
+    val withTok = kept.select(col("doc_id"), col("source"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      graft.functions.TextHashOps
+        .md5Lower64(concat(lit("tb:"), col("doc_id")))
+        .bitwiseAND(lit(4294967295L)).as("h"))
+    val budget = withTok.agg(
+      expr("sum(n_tokens) div (2 * count(distinct source))").as("budget"))
+    val wSrc = Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+    val budgeted = withTok.crossJoin(broadcast(budget))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wSrc))
+      .filter(col("cum_tokens") <= col("budget"))
+    // 6. pack the surviving docs (doc_packing's longest-first greedy)
+    val wPack = Window.orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    budgeted
+      .withColumn("cum", sum(col("n_tokens")).over(wPack))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum - n_tokens) div ${TextOps.PackBudget}").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineE2eSql: String = {
+    import graft.OracleSql.dlit
+    val stops = TextOps.MarkEn.map(w => s"'$w'").mkString(",")
+    val logit = s"(((${dlit(QcBias)} + ${dlit(QcWLen)} * least(1.0e0, CAST(n_tokens AS DOUBLE)/50.0e0))" +
+      s" + ${dlit(QcWStop)} * stop_ratio)" +
+      s" + ${dlit(QcWDigit)} * digit_ratio)" +
+      s" + ${dlit(QcWMwl)} * least(1.0e0, mean_word_len/8.0e0)"
+    s"""WITH planted AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769) || ' blend'
+       |         WHEN doc_id % 5 = 1 THEN text || ' zu' || chr(776) || 'rich mix'
+       |         ELSE text END AS txt
+       |  FROM documents),
+       |nrm AS (SELECT doc_id, source, nfc_normalize(txt) AS norm FROM planted),
+       |dd AS (SELECT doc_id, source, norm FROM (
+       |   SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS canon FROM nrm)
+       |  WHERE doc_id = canon),
+       |tok AS (SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS w FROM dd),
+       |sh AS (SELECT doc_id,
+       |   CASE WHEN len(w) >= 3 THEN
+       |     list_distinct(list_transform(range(1, len(w)-1),
+       |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |   ELSE [array_to_string(w, ' ')] END AS sh FROM tok),
+       |eg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < ${Dedup.DecontamEvalMaxId}),
+       |contam AS (SELECT DISTINCT t.doc_id FROM (
+       |   SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= ${Dedup.DecontamEvalMaxId}) t
+       |  JOIN eg USING (g)),
+       |clean AS (SELECT * FROM dd
+       |  WHERE doc_id >= ${Dedup.DecontamEvalMaxId}
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |q AS (SELECT doc_id, source, n_tokens, $logit AS logit
+       |  FROM (SELECT doc_id, source, n_tokens,
+       |     CASE WHEN n_tokens = 0 THEN 0.0e0
+       |          ELSE CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) END AS mean_word_len,
+       |     CASE WHEN n_tokens = 0 THEN 0.0e0
+       |          ELSE CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+       |     CASE WHEN n_chars = 0 THEN 0.0e0
+       |          ELSE CAST(n_digit AS DOUBLE)/CAST(n_chars AS DOUBLE) END AS digit_ratio
+       |    FROM (SELECT doc_id, source,
+       |       CAST(length(norm) AS INT) AS n_chars,
+       |       CAST(len(toks) AS INT) AS n_tokens,
+       |       CAST(len(list_filter(toks, t -> t IN ($stops))) AS INT) AS n_stop,
+       |       CAST(len(regexp_extract_all(norm, '[0-9]')) AS INT) AS n_digit,
+       |       CAST(list_sum(list_transform(toks, t -> length(t))) AS INT) AS sum_tok_len
+       |      FROM (SELECT *, regexp_split_to_array(trim(norm), '\\s+') AS toks FROM clean)))),
+       |kept AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    (md5_number_lower('tb:' || doc_id) & 4294967295) AS h
+       |  FROM q WHERE logit >= 0.0e0),
+       |b AS (SELECT sum(n_tokens) // (2 * count(DISTINCT source)) AS budget FROM kept),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum_tokens
+       |  FROM kept),
+       |bd AS (SELECT c.* FROM c, b WHERE cum_tokens <= budget),
+       |p AS (SELECT doc_id, source, n_tokens, cum_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM bd)
+       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  (cum - n_tokens) // ${TextOps.PackBudget} AS pack_id
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "global_shuffle" -> (globalShuffle _),
     "quality_classifier" -> (qualityClassifier _),
     "pii_redact" -> (piiRedact _),
-    "text_normalize" -> (textNormalize _))
+    "text_normalize" -> (textNormalize _),
+    "pipeline_e2e" -> (pipelineE2e _))
 
   def oracles: Map[String, String] = Map(
     "global_shuffle" -> globalShuffleSql,
     "quality_classifier" -> qualityClassifierSql,
     "pii_redact" -> piiRedactSql,
-    "text_normalize" -> textNormalizeSql)
+    "text_normalize" -> textNormalizeSql,
+    "pipeline_e2e" -> pipelineE2eSql)
 }

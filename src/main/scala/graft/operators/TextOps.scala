@@ -26,7 +26,7 @@ object TextOps {
   val MarkDe = Seq("der", "die", "und", "das", "ist")
   val MarkFr = Seq("le", "les", "des", "et", "un")
 
-  private def markCount(ts: Column, set: Seq[String]): Column =
+  private[operators] def markCount(ts: Column, set: Seq[String]): Column =
     size(filter(ts, t => t.isInCollection(set)))
   private def sqlMarkCount(set: Seq[String]): String =
     s"CAST(len(list_filter(toks, t -> t IN (${set.map(w => s"'$w'").mkString(",")}))) AS INT)"
