@@ -221,7 +221,8 @@ object PipelineOps {
   def pipelineE2e(s: SparkSession, dir: String): DataFrame =
     pipelineE2eOver(Tables.load(s, dir, "documents"))
 
-  private[graft] def pipelineE2eOver(docs: DataFrame): DataFrame = {
+  private[graft] def pipelineE2eOver(docs: DataFrame,
+      persistShingles: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 1. normalize (text_normalize's planting + NFC canonicalization)
     val planted = docs.withColumn("txt",
@@ -239,7 +240,8 @@ object PipelineOps {
     // is the prefilter; n_shared is its exact verify, so the twin can
     // check raw-shingle intersection directly (no bloom replay —
     // no false negatives by construction, false positives verified away)
-    val contaminated = Dedup.decontaminateBloom(dd, "doc_id", "norm", persistBase = false)
+    val contaminated = Dedup.decontaminateBloom(dd, "doc_id", "norm",
+        persistBase = persistShingles)
       .filter(col("n_shared") > 0).select(col("train_id").as("doc_id"))
     val clean = dd.filter(col("doc_id") >= Dedup.DecontamEvalMaxId)
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -952,22 +952,51 @@ object ScaleProbe {
                 org.apache.spark.sql.graftshim.Shims.expression(col("embedding")), sub))
               + lit(64)).cast("int"))
             .write.partitionBy("centroid").mode("append").parquet(out)
-          val dead = new java.io.File(s"$out/centroid=$hot")
-          dead.listFiles().foreach(_.delete()); dead.delete()
+          IvfIndex.deleteBucketDir(spark, s"$out/centroid=$hot")
         }
-        // merge of the two smallest surviving cells: pure rename
+        // merge of the two smallest surviving cells: pure FS-API move
         val pair = counts.filter(_._1 != hot)
           .sortBy { case (c, cn) => (cn, c) }.take(2).map(_._1).sorted
         val sMerge = t(s"MERGE move of two smallest cells (${pair.mkString("+")})") {
-          val src = new java.io.File(s"$out/centroid=${pair(1)}")
-          val dst = new java.io.File(s"$out/centroid=${pair(0)}")
-          src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
-            require(f.renameTo(new java.io.File(dst, s"merged-${pair(1)}-${f.getName}")))
-          }
-          src.listFiles().foreach(_.delete()); src.delete()
+          IvfIndex.moveBucketFiles(spark, s"$out/centroid=${pair(1)}",
+            s"$out/centroid=${pair(0)}", pair(1).toString)
         }
         println(f"[scale] maintenance: full-rewrite/split = ${sFull / sSplit}%.1fx, " +
           f"full-rewrite/merge = ${sFull / sMerge}%.0fx")
+      }
+    }
+    // COMPOSED-PIPELINE probe (round 14): pipeline_e2e's six-stage
+    // chain end-to-end over a synthetic n-doc corpus (deterministic
+    // xxhash64 word draws from a 256-word vocabulary seeded with the
+    // engine's stopword set, 20 sources, 20-59 words/doc) — the
+    // docs/s figure for the whole curation DAG, decontamination join
+    // and packing window included.
+    if (wanted("pipeline")) {
+      // letter-only vocabulary: digit-bearing tokens would trip the
+      // quality classifier's digit-ratio penalty corpus-wide
+      val vocabWords: Seq[String] =
+        graft.operators.TextOps.MarkEn ++ (5 until 256).map(i =>
+          s"t${('a' + i / 16).toChar}${('a' + i % 16).toChar}")
+      val vocabArr = array(vocabWords.map(lit): _*)
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(20)).cast("string")).as("source"),
+        concat_ws(" ", transform(
+          sequence(lit(0), (pmod(abs(xxhash64(col("id"))), lit(40)) + 19).cast("int")),
+          j => element_at(vocabArr,
+            (pmod(abs(xxhash64(col("id"), j)), lit(256)) + 1).cast("int"))))
+          .as("text"))
+        .localCheckpoint(true)
+      time(s"pipeline_e2e composed chain (${n / 1000000}M docs, 6 stages, lazy)") {
+        val out = graft.operators.PipelineOps.pipelineE2eOver(docs)
+        val kept = out.count()
+        println(s"[scale] pipeline: survivors=$kept of $n")
+        kept
+      }
+      // the deployment variant: hashed shingle postings persisted once
+      // (8-byte (doc_id, b) rows) instead of recomputed per branch
+      time(s"pipeline_e2e composed chain (${n / 1000000}M docs, 6 stages, persisted postings)") {
+        graft.operators.PipelineOps.pipelineE2eOver(docs, persistShingles = true).count()
       }
     }
     spark.stop()
