@@ -405,14 +405,20 @@ object Bm25 {
   def writeTombstones(spark: SparkSession, dir: String, ids: DataFrame): Unit =
     ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/del")
 
-  /** The layout's accumulated tombstones (empty frame if none). */
-  def readTombstones(spark: SparkSession, dir: String): DataFrame =
-    if (new java.io.File(s"$dir/del").exists())
-      spark.read.parquet(s"$dir/del").select(col("doc_id"))
+  /** The layout's accumulated tombstones (empty frame if none). The
+    * existence check goes through the Hadoop FileSystem API resolved
+    * from the path + session conf — a java.io.File check here would
+    * silently answer "no tombstones" on any non-local layout (HDFS /
+    * object store), serving deleted docs as live. */
+  def readTombstones(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/del")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$dir/del").select(col("doc_id"))
     else {
       import spark.implicits._
       Seq.empty[Long].toDF("doc_id")
     }
+  }
 
   /** Serve honoring the layout's own tombstone table. */
   def bm25OverPostingsLive(spark: SparkSession, dir: String,

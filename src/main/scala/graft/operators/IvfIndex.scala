@@ -1236,40 +1236,21 @@ object IvfIndex {
   }
 
   /** Refresh twin: replay assignment from the stashed centroid
-    * literals, fold each cell's mean ascending vec_id (recursive CTE,
-    * the vector_avg replay), cosine against the same literals. */
+    * literals, then the ONE deterministic mean-fold/decision body —
+    * refreshFoldSql, the same CTE chain the rebalance-loop twin
+    * replays twice — over assignment CTE `a` with the positional
+    * codebook. The graded fold exists once; this twin just selects
+    * its result CTE. */
   private def centroidRefreshSql(centroids: Array[Array[Double]]): String = {
     import graft.OracleSql
-    val nlist = centroids.length
-    val ocRows = centroids.zipWithIndex.map { case (v, i) =>
-      s"($i, [${v.map(OracleSql.dlit).mkString(", ")}])" }.mkString(",\n    ")
     s"""WITH RECURSIVE d AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS dl
        |  FROM embeddings),
        |a AS (SELECT vec_id, embedding,
        |      CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS centroid FROM d),
-       |g AS MATERIALIZED (SELECT centroid, list(embedding ORDER BY vec_id) AS vs,
-       |      CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
-       |it(centroid, i, acc) AS (
-       |  SELECT centroid, 1, list_transform(vs[1], x -> CAST(x AS DOUBLE)) FROM g
-       |  UNION ALL
-       |  SELECT it.centroid, it.i + 1,
-       |    list_transform(range(1, ${OracleSql.Dim + 1}),
-       |      j -> it.acc[j] + CAST(g.vs[it.i + 1][j] AS DOUBLE))
-       |  FROM it JOIN g ON g.centroid = it.centroid
-       |  WHERE it.i < g.n),
-       |mn AS (SELECT it.centroid, list_transform(it.acc, x -> x / g.n) AS m, g.n
-       |       FROM it JOIN g ON g.centroid = it.centroid WHERE it.i = g.n),
-       |oc(centroid, v) AS (VALUES
-       |    $ocRows),
-       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM mn)
-       |SELECT mn.centroid, mn.n AS n_vectors,
-       |  CAST(floor(${OracleSql.cosine("mn.m", "oc.v")} * 1000000e0) AS BIGINT) AS cos_ppm,
-       |  CASE WHEN mn.n * $nlist > t.total * 2 THEN 'split'
-       |       WHEN mn.n * $nlist * 4 < t.total THEN 'merge'
-       |       ELSE 'keep' END AS action
-       |FROM mn JOIN oc ON oc.centroid = mn.centroid CROSS JOIN t
-       |ORDER BY mn.centroid""".stripMargin
+       |${refreshFoldSql("", "a", centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v) })}
+       |SELECT centroid, n_vectors, cos_ppm, action FROM r
+       |ORDER BY centroid""".stripMargin
   }
 
   private[graft] def ivfCellStatsSql(centroids: Array[Array[Double]]): String =
@@ -1306,10 +1287,10 @@ object IvfIndex {
     df.coalesce(1).write.mode("overwrite").json(dir)
   def readConfig(s: SparkSession, dir: String): DataFrame =
     s.read.schema(ConfigSchema).json(dir)
-  def configExists(dir: String): Boolean = {
-    val d = new java.io.File(dir)
-    d.isDirectory && d.listFiles() != null &&
-      d.listFiles().exists(_.getName.endsWith(".json"))
+  def configExists(s: SparkSession, dir: String): Boolean = {
+    val (fs, p) = layoutFs(s, dir)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".json"))
   }
   def indexConfig(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")

@@ -221,7 +221,12 @@ object PipelineOps {
   def pipelineE2e(s: SparkSession, dir: String): DataFrame =
     pipelineE2eOver(Tables.load(s, dir, "documents"))
 
-  private[graft] def pipelineE2eOver(docs: DataFrame,
+  /** Stages 1-4 + the budget key: the normalized/deduped/decontaminated/
+    * quality-kept survivors as (doc_id, source, n_tokens, h) — the
+    * pre-budget set. Exposed so PipelineE2eSpec can recompute the
+    * corpus-derived budget independently and assert the budget-filter
+    * invariant against it. */
+  private[graft] def pipelineKept(docs: DataFrame,
       persistShingles: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 1. normalize (text_normalize's planting + NFC canonicalization)
@@ -271,12 +276,18 @@ object PipelineOps {
       lit(QcWDigit) * col("digit_ratio") +
       lit(QcWMwl) * least(lit(1.0), col("mean_word_len") / lit(8.0))
     val kept = withRatios.withColumn("logit", logit).filter(col("logit") >= 0.0)
-    // 5. per-source token budget (data_token_budget's hash-order fill)
-    val withTok = kept.select(col("doc_id"), col("source"),
+    kept.select(col("doc_id"), col("source"),
       col("n_tokens").cast("long").as("n_tokens"),
       graft.functions.TextHashOps
         .md5Lower64(concat(lit("tb:"), col("doc_id")))
         .bitwiseAND(lit(4294967295L)).as("h"))
+  }
+
+  private[graft] def pipelineE2eOver(docs: DataFrame,
+      persistShingles: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 5. per-source token budget (data_token_budget's hash-order fill)
+    val withTok = pipelineKept(docs, persistShingles)
     val budget = withTok.agg(
       expr("sum(n_tokens) div (2 * count(distinct source))").as("budget"))
     val wSrc = Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)

@@ -123,7 +123,7 @@ object Warehouse {
     val lim = lit(Long.MaxValue).cast("decimal(38,0)")
     val lo  = lit(Long.MinValue).cast("decimal(38,0)")
     when(c > lim || c < lo, raise_error(format_string(
-      "events_corr: moment %s = %s exceeds Int64 — widen the output contract",
+      "events_corr: moment %s = %s outside Int64 range — widen the output contract",
       lit(nm), c.cast("string"))).cast("decimal(38,0)"))
       .otherwise(c).cast("long").as(nm)
   }

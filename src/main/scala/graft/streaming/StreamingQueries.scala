@@ -483,8 +483,15 @@ object StreamingQueries {
           .option("checkpointLocation", s"$root/_ckpt").start()
         try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
         finally q.stop()
-        val shardDirs = new java.io.File(root).listFiles()
-          .filter(_.getName.startsWith("shard_")).map(_.toString).toSeq.sorted
+        // shard discovery via the Hadoop FileSystem API (same reason as
+        // the IVF layout ops: the shard root is object-store territory
+        // at scale; java.io.File would list nothing there). listStatus
+        // on the checksummed local FS also hides .crc sidecars.
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val rootFs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val shardDirs = rootFs.listStatus(rootPath)
+          .filter(_.getPath.getName.startsWith("shard_"))
+          .map(_.getPath.toString).toSeq.sorted
         Bm25.mergePostingsLayouts(s, shardDirs, merged)
         val qterms = s.read.parquet(s"$merged/tf")
           .filter(col("doc_id") < Bm25.NQueriesB)

@@ -23,6 +23,12 @@ object Shims {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .logicalPlan
 
+  /** Drain the listener bus (private[spark]) — lets a spec assert on
+    * listener-observed state without a timing-sensitive sleep. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
+      timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       ident: org.apache.spark.sql.catalyst.FunctionIdentifier,

@@ -112,7 +112,7 @@ class Round16Spec extends SparkTestBase {
     def rootMsg(t: Throwable): String =
       (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
-    assert(rootMsg(ex).contains("exceeds Int64"),
+    assert(rootMsg(ex).contains("outside Int64 range"),
       s"expected the loud range-check message, got: ${rootMsg(ex).take(300)}")
   }
 

@@ -116,16 +116,16 @@ class Round7Spec extends SparkTestBase {
     val emb = Tables.load(spark, sfDir, "embeddings")
     Mat.withScratchDirs("r7_cfg") { case Seq(dir) =>
       val cfgDir = dir + "/config"
-      assert(!IvfIndex.configExists(cfgDir))
+      assert(!IvfIndex.configExists(spark, cfgDir))
       val cfg = Seq((64, "cosine", 500L, 16, 1))
         .toDF("dim", "metric", "n_vectors", "nlist", "version")
       IvfIndex.writeConfig(cfg, cfgDir)
-      assert(IvfIndex.configExists(cfgDir))
+      assert(IvfIndex.configExists(spark, cfgDir))
       val back = IvfIndex.readConfig(spark, cfgDir)
         .as[(Int, String, Long, Int, Int)].collect().toSeq
       assert(back == Seq((64, "cosine", 500L, 16, 1)))
       Mat.deleteRecursively(cfgDir) // clear()
-      assert(!IvfIndex.configExists(cfgDir))
+      assert(!IvfIndex.configExists(spark, cfgDir))
     }
   }
 
