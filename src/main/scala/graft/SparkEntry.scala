@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryQuant, Bm25, Bpe, Curation, DataMix, Dedup, EvalMetrics, GraphRank, HnswAnn, IndexComparison, IvfIndex, IvfPq, Knn, LayoutQueries, Multiscale, MultiVector, NnDescent, LshAnn, Mmr, PipelineOps, PlanQueries, ProductQuant, Projection, Relational, Sketches, TextOps, TpcFull, VectorAvg, VectorSearch, Warehouse}
+import graft.operators.{BinaryQuant, Bm25, Bpe, Curation, DataMix, Dedup, EvalMetrics, GraphRank, HnswAnn, IndexComparison, IvfIndex, IvfPq, Knn, LayoutQueries, Multiscale, MultiVector, NnDescent, LshAnn, Mmr, PipelineOps, PlanQueries, ProductQuant, Projection, Relational, ServeE2e, Sketches, TextOps, TpcFull, VectorAvg, VectorSearch, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
@@ -25,7 +25,7 @@ object SparkEntry {
       HnswAnn.queries ++ PlanQueries.queries ++ Multiscale.queries ++
       BinaryQuant.queries ++ DataMix.queries ++ PipelineOps.queries ++ Bpe.queries ++
       Bm25.queries ++ MultiVector.queries ++ GraphRank.queries ++ Sketches.queries ++
-      Curation.queries ++ TpcFull.queries ++ Warehouse.queries ++
+      Curation.queries ++ TpcFull.queries ++ Warehouse.queries ++ ServeE2e.queries ++
       Map("multimodal_embed" -> ((s: SparkSession, dir: String) =>
         graft.multimodal.BinaryColumns.mediaFeatures(s, dir)
           .select(col("vec_id"), col("modality"), size(col("embedding")).as("dim"))
@@ -44,7 +44,7 @@ object SparkEntry {
       HnswAnn.oracles ++ PlanQueries.oracles ++ Multiscale.oracles ++
       BinaryQuant.oracles ++ DataMix.oracles ++ PipelineOps.oracles ++ Bpe.oracles ++
       Bm25.oracles ++ MultiVector.oracles ++ GraphRank.oracles ++ Sketches.oracles ++
-      Curation.oracles ++ TpcFull.oracles ++ Warehouse.oracles ++
+      Curation.oracles ++ TpcFull.oracles ++ Warehouse.oracles ++ ServeE2e.oracles ++
       Map("multimodal_embed" ->
         """SELECT doc_id AS vec_id,
           |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -614,11 +614,23 @@ object BinaryQuant {
       IvfIndex.nearestN(centroids, row.getSeq[Double](1).toArray, nprobe)
         .map(c => (row.getLong(0), c))
     }
-    val probedCentroids = probes.map(_._2).distinct.sorted.toSeq
-    val probeDf = s.createDataFrame(
-      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
     val qv = queries.select(col("vec_id").as("qid"),
       col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+    ivfBinaryCodedPlan(loaded, probes.toSeq, qv, k, r)
+  }
+
+  /** The coded-probe dataflow GIVEN the routed (qid, centroid) probe
+    * set — pure plan construction, no action: code-only candidate scan
+    * in the probed partitions, asym cut at `r`, float rerank through a
+    * broadcast join-back. Split out so the composed serving stack
+    * (serve_e2e) can pin that building the full request plan after
+    * routing launches zero Spark jobs. */
+  def ivfBinaryCodedPlan(loaded: DataFrame, probes: Seq[(Long, Int)],
+      qv: DataFrame, k: Int, r: Int): DataFrame = {
+    val s = loaded.sparkSession
+    val probedCentroids = probes.map(_._2).distinct.sorted
+    val probeDf = s.createDataFrame(
+      s.sparkContext.parallelize(probes, 1)).toDF("qid", "centroid")
 
     val aw = Window.partitionBy("qid").orderBy(col("asym").desc, col("vec_id").asc)
     val top = codedCandidates(loaded, probeDf, probedCentroids, qv)
@@ -631,7 +643,9 @@ object BinaryQuant {
       .select(col("vec_id"), col("embedding"))
       .join(broadcast(top.select(col("vec_id")).distinct()), "vec_id")
     val sw = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
-    top.join(vecs, "vec_id").join(broadcast(qv), "qid")
+    // survivors (q·R rows) broadcast onto the pruned float read — the
+    // corpus-sized side must never shuffle for a request
+    vecs.join(broadcast(top), "vec_id").join(broadcast(qv), "qid")
       .withColumn("score",
         graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
       .withColumn("rank", row_number().over(sw)).filter(col("rank") <= k)

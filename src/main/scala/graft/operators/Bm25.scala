@@ -485,9 +485,26 @@ object Bm25 {
 
   /** RRF fusion of a dense rank list (qid, id, vec_rank) with a sparse
     * rank list (qid, id, bm25_rank) — shared by the batch and streaming
-    * hybrid queries so their arithmetic is identical by construction. */
+    * hybrid queries so their arithmetic is identical by construction.
+    *
+    * The full-outer merge is expressed as UNION + per-(qid,id) hash
+    * aggregate rather than a FULL OUTER join: on unique-keyed rank
+    * lists the two are row-identical (max over one non-null rank per
+    * side, absent side stays null), but a full-outer join cannot
+    * broadcast and plans as SortMergeJoin — a sort the serving stack
+    * never needs — while the aggregate form map-side combines. Both
+    * inputs are rank-bounded (topN·|queries| rows) at any corpus
+    * size, so this is shape hygiene, not a data-volume fix. */
   def fuseRrf(vec: DataFrame, bm: DataFrame): DataFrame = {
-    val fused = vec.join(bm, Seq("qid", "id"), "full_outer")
+    val fused = vec.select(col("qid"), col("id"),
+        col("vec_rank").cast("int").as("vec_rank"),
+        lit(null).cast("int").as("bm25_rank"))
+      .unionByName(bm.select(col("qid"), col("id"),
+        lit(null).cast("int").as("vec_rank"),
+        col("bm25_rank").cast("int").as("bm25_rank")))
+      .groupBy("qid", "id")
+      .agg(max(col("vec_rank")).as("vec_rank"),
+        max(col("bm25_rank")).as("bm25_rank"))
       .withColumn("rrf", expr(
         s"coalesce(1.0D / ($RrfK + vec_rank), 0.0D) + coalesce(1.0D / ($RrfK + bm25_rank), 0.0D)"))
     val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)
@@ -577,7 +594,7 @@ object Bm25 {
        |       WHERE rnk <= $n)""".stripMargin
   }
 
-  private def bm25Cte(n: Int): String = bm25CteW(n, wide = false)
+  private[operators] def bm25Cte(n: Int): String = bm25CteW(n, wide = false)
 
   val bm25SearchSql: String =
     s"""WITH ${bm25Cte(K)}

@@ -138,7 +138,7 @@ object Mmr {
     * from re-inlining the shared CTEs once per unrolled step. */
   /** The pairwise-sim CTE over `cand` (expects a `nrm` CTE of per-id
     * norms to exist; carries the reference's 1e-8 epsilon). */
-  private def pairCte: String = {
+  private[operators] def pairCte: String = {
     import graft.OracleSql
     s"""pair AS MATERIALIZED (
        |  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
@@ -156,7 +156,7 @@ object Mmr {
     * 0.5e0; for λ=0.7 the second factor must be written (1.0e0 - 0.7e0)
     * to reproduce Scala's 1 - 0.7 rounding). Appends s1..sK and the
     * final union select. */
-  private def greedyUnroll(lam: String, oneMinus: String): String = {
+  private[operators] def greedyUnroll(lam: String, oneMinus: String): String = {
     val sb = new StringBuilder
     sb.append(
       s""",
