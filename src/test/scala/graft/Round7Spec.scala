@@ -52,7 +52,8 @@ class Round7Spec extends SparkTestBase {
       operators.Bpe.queries, operators.Bm25.queries,
       operators.MultiVector.queries, operators.GraphRank.queries,
       operators.Sketches.queries, operators.Curation.queries,
-      operators.TpcFull.queries, operators.Warehouse.queries)
+      operators.TpcFull.queries, operators.Warehouse.queries,
+      operators.ServeE2e.queries)
     assert(maps.map(_.size).sum + 1 == SparkEntry.queries.size) // +1: multimodal_embed
   }
 
