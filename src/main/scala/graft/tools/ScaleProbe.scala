@@ -999,6 +999,53 @@ object ScaleProbe {
         graft.operators.PipelineOps.pipelineE2eOver(docs, persistShingles = true).count()
       }
     }
+    // COMPOSED-SERVE probe (round 15): serve_e2e's request dataflow
+    // over at-rest layouts at n docs+vectors — build both indexes ONCE,
+    // then time WARM request batches. The serving claim under test:
+    // request cost is O(query-term postings row groups + nprobe/nlist
+    // code partitions + topK tails), decoupled from the build cost and
+    // (beyond the pruned scans) from the corpus size.
+    if (wanted("serve")) {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val vocabWords: Seq[String] =
+        graft.operators.TextOps.MarkEn ++ (5 until 256).map(i =>
+          s"t${('a' + i / 16).toChar}${('a' + i % 16).toChar}")
+      val vocabArr = array(vocabWords.map(lit): _*)
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(
+          sequence(lit(0), (pmod(abs(xxhash64(col("id"))), lit(40)) + 19).cast("int")),
+          j => element_at(vocabArr,
+            (pmod(abs(xxhash64(col("id"), j)), lit(256)) + 1).cast("int"))))
+          .as("text"))
+      graft.Mat.withScratchDirs("serve_sparse", "serve_dense") {
+        case Seq(sparse, dense) =>
+          var centroids: Array[Array[Double]] = null
+          time(s"serve_e2e layout build (${n / 1000000}M: salted postings + coded IVF nlist=64)") {
+            graft.operators.Bm25.writePostingsLayout(docs, sparse)
+            centroids = IvfIndex.trainCentroids(IvfIndex.trainSample(corpus), 64, 10)
+            graft.operators.BinaryQuant.writeCodedLayout(corpus, centroids, dense)
+          }
+          // serve start-up: open the layouts once
+          val idx = graft.operators.ServeE2e.openIndexes(spark, sparse, dense)
+          // request arrival: serveOver derives sparse query terms for
+          // doc_id < Bm25.NQueriesB, so the probe routes the same ids
+          val q10 = corpus.filter(col("vec_id") < graft.operators.Bm25.NQueriesB)
+          val qRows = q10.select(col("vec_id").cast("long"),
+            col("embedding").cast(ArrayType(DoubleType))).collect()
+          val probes = qRows.flatMap { r =>
+            IvfIndex.nearestN(centroids, r.getSeq[Double](1).toArray,
+              graft.operators.BinaryQuant.IvfNprobe).map(c => (r.getLong(0), c))
+          }.toSeq
+          val qv = q10.select(col("vec_id").as("qid"),
+            col("embedding").cast(ArrayType(DoubleType)).as("qv"))
+          for (i <- 1 to 3)
+            time(s"serve_e2e warm request batch #$i (10 queries, ${n / 1000000}M corpus)") {
+              graft.operators.ServeE2e
+                .serveOver(spark, idx, probes, qv, corpus).count()
+            }
+      }
+    }
     spark.stop()
   }
 }
