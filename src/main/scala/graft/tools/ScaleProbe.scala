@@ -1005,7 +1005,7 @@ object ScaleProbe {
     // request cost is O(query-term postings row groups + nprobe/nlist
     // code partitions + topK tails), decoupled from the build cost and
     // (beyond the pruned scans) from the corpus size.
-    if (wanted("serve")) {
+    if (wanted("serve_e2e")) {
       import org.apache.spark.sql.types.{ArrayType, DoubleType}
       val vocabWords: Seq[String] =
         graft.operators.TextOps.MarkEn ++ (5 until 256).map(i =>
@@ -1043,6 +1043,32 @@ object ScaleProbe {
             time(s"serve_e2e warm request batch #$i (10 queries, ${n / 1000000}M corpus)") {
               graft.operators.ServeE2e
                 .serveOver(spark, idx, probes, qv, corpus).count()
+            }
+          // The graded request derives its terms OFF the index (the
+          // more-like-this shape — a doc_id filter cannot prune the
+          // word-sorted postings files, so the sparse stage pays two
+          // full tf passes). A REAL request arrives WITH its terms:
+          // bm25ServeTerms pushes `word IN (...)` into the scan and
+          // parquet row-group stats prune to the queried vocabulary
+          // slice. Time both sparse stages for the delta.
+          val termRows = idx.tf
+            .filter(col("doc_id") < graft.operators.Bm25.NQueriesB)
+            .select(col("doc_id"), col("word")).collect()
+          val qTermSeq: Seq[(Long, Seq[String])] =
+            termRows.groupBy(_.getLong(0)).map { case (q, rs) =>
+              (q, rs.map(_.getString(1)).toSeq) }.toSeq
+          for (i <- 1 to 2)
+            time(s"serve_e2e sparse ONLINE terms (word-pushdown postings read) #$i") {
+              graft.operators.Bm25.bm25ServeTerms(spark, sparse, qTermSeq,
+                graft.operators.Bm25.TopN).count()
+            }
+          for (i <- 1 to 2)
+            time(s"serve_e2e sparse OFF-INDEX terms (two full postings passes) #$i") {
+              val qt = idx.tf
+                .filter(col("doc_id") < graft.operators.Bm25.NQueriesB)
+                .select(col("doc_id").as("qid"), col("word"))
+              graft.operators.Bm25.bm25OverPostings(spark, sparse, qt,
+                graft.operators.Bm25.TopN).count()
             }
       }
     }
