@@ -189,21 +189,52 @@ object IvfIndex {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(nearestN(centroids, v, n))
   }
 
-  /** Deterministic, content-independent training sample: global order
-    * by md5(vec_id) + limit. `limit(cap)` alone reads whichever
-    * partitions respond first — a biased sample when the corpus is
-    * clustered by ingestion order; ordering by a hash of the id is a
-    * uniform pseudo-random draw, reproducible across runs and
-    * partition layouts, and still cluster-cheap (orderBy+limit plans
-    * as TakeOrdered: per-partition top-cap, tiny merge). */
+  /** Deterministic, content-independent training sample: the cap
+    * smallest rows by (md5(vec_id), vec_id). Hash order is a uniform
+    * pseudo-random draw, reproducible across runs and partition
+    * layouts.
+    *
+    * Scale shape (round 15 — found by the 10M ScaleProbe, which blew
+    * spark.driver.maxResultSize here): a bare `orderBy(h).limit(cap)`
+    * plans as TakeOrdered, and TakeOrdered ships min(cap, partition
+    * rows) PER TASK to the driver — P·cap rows (3.4 GB at 10M×64
+    * partitions; unbounded at 1000 executors). Instead, exploit the
+    * hash's uniformity: the cap-th smallest of n uniform 64-bit hashes
+    * sits at ≈ cap/n of the range, so a `h <= bound` filter at a 2×
+    * overshoot keeps ~2·cap candidate rows (Chernoff makes a miss
+    * astronomically rare — and a count guard escalates the bound and
+    * retries, so the result is EXACT, never approximate), and the
+    * final top-cap runs over that candidate set: the driver receives
+    * O(cap) rows regardless of corpus size or partition count. The
+    * selected sample is bit-identical to the plain orderBy+limit
+    * (Round19Spec pins it). */
   def trainSample(corpus: DataFrame, cap: Int = 100000,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
-    corpus.select(col(idCol).cast("long").as("_sid"),
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val base = corpus.select(col(idCol).cast("long").as("_sid"),
         col(vecCol).cast(ArrayType(DoubleType)).as("_sv"))
       .withColumn("_sh", graft.functions.TextHashOps.md5Lower64(col("_sid").cast("string")))
-      .orderBy(col("_sh"), col("_sid"))
-      .limit(cap)
-      .select(col("_sv")).collect().map(_.getSeq[Double](0).toArray)
+    def takeCap(df: DataFrame): Array[Array[Double]] =
+      df.orderBy(col("_sh"), col("_sid")).limit(cap)
+        .select(col("_sv")).collect().map(_.getSeq[Double](0).toArray)
+    val n = base.count()
+    if (n <= 4L * cap) takeCap(base) // small corpus: the direct form is already driver-safe
+    else {
+      val span = BigDecimal(2).pow(64)
+      var overshoot = 2.0
+      var out: Array[Array[Double]] = null
+      while (out == null) {
+        val frac = math.min(1.0, overshoot * cap / n.toDouble)
+        val bound =
+          if (frac >= 1.0) Long.MaxValue
+          else (BigDecimal(Long.MinValue) + span * frac)
+            .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+        val cand = base.filter(col("_sh") <= bound)
+        if (cand.count() >= cap || frac >= 1.0) out = takeCap(cand)
+        else overshoot *= 4 // uniform-hash miss: escalate, never under-sample
+      }
+      out
+    }
+  }
 
   /** Build: assign every corpus row to its nearest centroid. Persisting
     * `assigned.write.partitionBy("centroid")` gives the pruned layout.
