@@ -67,13 +67,38 @@ object Bench {
     if (MaxPasses > 1) {
       time(canaryFn) // discard: codegen + JIT ramp
       canaryPoint(4)
-      val pre = Vector.fill(16)(canaryPoint(2))
-      val preDrift = pre.max / math.max(pre.min, 1e-9)
-      if (preDrift > DriftLimit) {
-        System.err.println(f"[bench] host precheck drift $preDrift%.2f > $DriftLimit " +
-          "over 16 canary points — noisy host, aborting without an artifact")
-        spark.stop()
-        sys.exit(1)
+      // The precheck's back-to-back min-of-2 points are NOISIER than the
+      // fully-warm every-K points the real gate judges (no real-query
+      // work between them to absorb scheduler churn), so the precheck
+      // threshold sits 25% looser than DriftLimit — it exists to catch
+      // hopeless hosts cheaply, not to pre-adjudicate marginal ones
+      // (r15's own close-out aborted at 2.60 — correctly — but a 2.1
+      // precheck would likely have converged under the pass gate).
+      val PrecheckLimit = DriftLimit * 1.25
+      // Bounded retry protocol (r15 task 5): a transiently-contended
+      // host should still yield a quiet artifact — up to 3 prechecks
+      // spaced 5 minutes apart, abort for good only after the third.
+      val PrecheckTries = 3
+      val RetryWaitSec = 300
+      var attempt = 1
+      var ok = false
+      while (!ok) {
+        val pre = Vector.fill(16)(canaryPoint(2))
+        val preDrift = pre.max / math.max(pre.min, 1e-9)
+        if (preDrift <= PrecheckLimit) ok = true
+        else if (attempt >= PrecheckTries) {
+          System.err.println(f"[bench] host precheck drift $preDrift%.2f > $PrecheckLimit%.2f " +
+            s"over 16 canary points on attempt $attempt/$PrecheckTries — " +
+            "noisy host, aborting without an artifact")
+          spark.stop()
+          sys.exit(1)
+        } else {
+          System.err.println(f"[bench] host precheck drift $preDrift%.2f > $PrecheckLimit%.2f " +
+            s"on attempt $attempt/$PrecheckTries — waiting ${RetryWaitSec}s " +
+            "for the host to quiet down")
+          Thread.sleep(RetryWaitSec * 1000L)
+          attempt += 1
+        }
       }
     }
     val qseq = SparkEntry.queries.toSeq

@@ -43,4 +43,20 @@ object Mat {
       java.nio.file.Files.createTempDirectory(s"graft_$p").toString)
     try body(dirs) finally dirs.foreach(deleteRecursively)
   }
+
+  /** JVM-lifetime scratch dir for a build-once SERVE layout, through
+    * the Hadoop FileSystem API only (the serve paths must stay
+    * deployable against any Hadoop FS — no java.io/java.nio path ops):
+    * created under `hadoop.tmp.dir`, removed at JVM exit by the
+    * filesystem client's own deleteOnExit shutdown hook. */
+  def hadoopScratchDir(s: org.apache.spark.sql.SparkSession, prefix: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(
+      conf.get("hadoop.tmp.dir", "/tmp"),
+      s"graft_$prefix-${java.util.UUID.randomUUID()}")
+    val fs = base.getFileSystem(conf)
+    fs.mkdirs(base)
+    fs.deleteOnExit(base)
+    base.toString
+  }
 }

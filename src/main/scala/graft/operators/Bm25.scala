@@ -140,9 +140,7 @@ object Bm25 {
   private val layouts = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def layoutFor(s: SparkSession, dir: String): String =
     layouts.computeIfAbsent(dir, _ => {
-      val dst = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => graft.Mat.deleteRecursively(dst)))
+      val dst = graft.Mat.hadoopScratchDir(s, "bm25_index")
       writePostingsLayout(Tables.load(s, dir, "documents"), dst)
       dst
     })
@@ -494,7 +492,16 @@ object Bm25 {
     * broadcast and plans as SortMergeJoin — a sort the serving stack
     * never needs — while the aggregate form map-side combines. Both
     * inputs are rank-bounded (topN·|queries| rows) at any corpus
-    * size, so this is shape hygiene, not a data-volume fix. */
+    * size, so this is shape hygiene, not a data-volume fix.
+    *
+    * INPUT CONTRACT (hardened by the union rewrite): `vec` must be
+    * exactly (qid, id, vec_rank) and `bm` exactly (qid, id, bm25_rank)
+    * — extra columns fail analysis by design — and (qid, id) must be
+    * UNIQUE within each list (a rank list keys on the ranked item).
+    * The max() merge would silently pick one rank from a duplicated
+    * key, so the fused projection routes through an assert_true on the
+    * per-side counts: a caller that feeds a dup key fails loudly at
+    * execution instead of fusing a silently-picked rank. */
   def fuseRrf(vec: DataFrame, bm: DataFrame): DataFrame = {
     val fused = vec.select(col("qid"), col("id"),
         col("vec_rank").cast("int").as("vec_rank"),
@@ -504,9 +511,17 @@ object Bm25 {
         col("bm25_rank").cast("int").as("bm25_rank")))
       .groupBy("qid", "id")
       .agg(max(col("vec_rank")).as("vec_rank"),
-        max(col("bm25_rank")).as("bm25_rank"))
+        max(col("bm25_rank")).as("bm25_rank"),
+        count(col("vec_rank")).as("_nv"),
+        count(col("bm25_rank")).as("_nb"))
+      // the assert rides INSIDE the rrf expression (coalesce of a null
+      // assert_true result) so column pruning cannot drop it; cost is
+      // two count() columns on the same aggregate — no extra pass
       .withColumn("rrf", expr(
-        s"coalesce(1.0D / ($RrfK + vec_rank), 0.0D) + coalesce(1.0D / ($RrfK + bm25_rank), 0.0D)"))
+        s"coalesce(1.0D / ($RrfK + vec_rank), 0.0D) + coalesce(1.0D / ($RrfK + bm25_rank), 0.0D)" +
+          " + coalesce(cast(assert_true(_nv <= 1 and _nb <= 1," +
+          " 'fuseRrf: duplicate (qid, id) within one rank list') as double), 0.0D)"))
+      .drop("_nv", "_nb")
     val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -563,7 +578,7 @@ object Bm25 {
     * in-range corpus both reduce to the same integers as the narrow
     * arithmetic, which is exactly what the grade certifies. */
   private def bm25CteW(n: Int, wide: Boolean,
-      docsWhere: String = "TRUE"): String = {
+      docsWhere: String = "TRUE", qtermsSelect: Option[String] = None): String = {
     val ctbExpr =
       if (wide)
         """CAST((CAST(((big_n - df) * 1000) // df AS HUGEINT) * (44 * CAST(tf AS HUGEINT) * big_t))
@@ -578,7 +593,8 @@ object Bm25 {
        |dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS big_t,
        |               CAST(count(DISTINCT doc_id) AS BIGINT) AS big_n FROM tok),
-       |qterms AS (SELECT DISTINCT doc_id AS qid, word FROM tok WHERE doc_id < $NQueriesB),
+       |qterms AS (${qtermsSelect.getOrElse(
+             s"SELECT DISTINCT doc_id AS qid, word FROM tok WHERE doc_id < $NQueriesB")}),
        |ctb AS (SELECT q.qid, tf.doc_id,
        |          $ctbExpr
        |        FROM tf
@@ -595,6 +611,20 @@ object Bm25 {
   }
 
   private[operators] def bm25Cte(n: Int): String = bm25CteW(n, wide = false)
+
+  /** The ONLINE-request twin CTE chain: the index tables (tf/dl/df/tot)
+    * still derive from the corpus — they are at-rest index STATE — but
+    * the query terms are the request's own LITERALS (a real request
+    * arrives with its text; the serving engine never derives terms from
+    * the corpus). This is the SQL mirror of bm25ServeTerms' contract. */
+  private[operators] def bm25CteOnline(n: Int, terms: Seq[(Long, String)]): String = {
+    require(terms.nonEmpty, "bm25CteOnline: empty request term set")
+    val values = terms
+      .map { case (q, w) => s"($q, '${w.replace("'", "''")}')" }
+      .mkString(", ")
+    bm25CteW(n, wide = false, qtermsSelect = Some(
+      s"SELECT CAST(qid AS BIGINT) AS qid, word FROM (VALUES $values) AS t(qid, word)"))
+  }
 
   val bm25SearchSql: String =
     s"""WITH ${bm25Cte(K)}

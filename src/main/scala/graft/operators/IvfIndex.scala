@@ -216,6 +216,9 @@ object IvfIndex {
     def takeCap(df: DataFrame): Array[Array[Double]] =
       df.orderBy(col("_sh"), col("_sid")).limit(cap)
         .select(col("_sv")).collect().map(_.getSeq[Double](0).toArray)
+    // pass accounting: the n-count prunes to ZERO data columns (Catalyst
+    // drops both _sv and the md5 projection for count()), so the common
+    // small-corpus path still pays exactly one data pass (takeCap).
     val n = base.count()
     if (n <= 4L * cap) takeCap(base) // small corpus: the direct form is already driver-safe
     else {
@@ -228,9 +231,16 @@ object IvfIndex {
           if (frac >= 1.0) Long.MaxValue
           else (BigDecimal(Long.MinValue) + span * frac)
             .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+        // persist the O(cap)-bounded candidate set across the guard
+        // count and the final top-cap scan: without it takeCap re-runs
+        // the corpus-wide hash filter (a second full pass over the
+        // embedding column) that the count just paid for
         val cand = base.filter(col("_sh") <= bound)
-        if (cand.count() >= cap || frac >= 1.0) out = takeCap(cand)
-        else overshoot *= 4 // uniform-hash miss: escalate, never under-sample
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (cand.count() >= cap || frac >= 1.0) out = takeCap(cand)
+          else overshoot *= 4 // uniform-hash miss: escalate, never under-sample
+        } finally cand.unpersist(blocking = false)
       }
       out
     }

