@@ -1325,7 +1325,18 @@ object StreamingQueries {
     val out = drain(s, chunks, "update", sinkName("stream_serve_mmr")) { ds =>
       StreamingMmr.select(ds, Mmr.SelectK, Mmr.CombinedLambda).toDF()
     }
-    graft.Mat.detach(out.filter(col("pool_n") === Bm25.K)
+    // complete-pool emission = the one with each qid's MAX pool_n (its
+    // final update). A fixed `pool_n === K` criterion is wrong here:
+    // unlike stream_mmr's always-CandidateK ANN pool, the serve pool is
+    // |fused ∩ embeddings| — a BM25-side candidate without a vector
+    // shrinks it below K (exactly what happens at sf1), and the batch
+    // twin serves those shorter pools too. Pool ids are unique per qid
+    // (fused list keys), so pool_n strictly grows across a qid's
+    // emissions and the max picks exactly one.
+    val wq = Window.partitionBy("qid")
+    graft.Mat.detach(out
+      .withColumn("mxn", max(col("pool_n")).over(wq))
+      .filter(col("pool_n") === col("mxn"))
       .select(col("qid"), col("vec_id"), col("mmr_rank"), col("mmr_score"))
       .orderBy("qid", "mmr_rank"))
   }
