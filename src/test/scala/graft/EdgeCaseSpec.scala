@@ -120,6 +120,21 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(fused == Seq((5L, 1), (6L, 2)), fused.toString)
   }
 
+  test("rrf fusion fails loudly on a duplicate (qid, id) within one rank list") {
+    // the union+aggregate rewrite would otherwise silently max-pick one
+    // rank from a duplicated key — the assert_true inside the rrf
+    // expression turns that contract break into an execution failure
+    import graft.operators.Bm25
+    import spark.implicits._
+    val vec = Seq((0L, 5L, 1), (0L, 5L, 2)).toDF("qid", "id", "vec_rank")
+    val bm = Seq((0L, 6L, 1)).toDF("qid", "id", "bm25_rank")
+    val ex = intercept[Exception] { Bm25.fuseRrf(vec, bm).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("duplicate (qid, id)")),
+      s"expected the fuseRrf dup-key assert, got: $ex")
+  }
+
   test("winnow fingerprint count matches the distinct-window-minima formula") {
     import graft.functions.{TextHash, WinnowHashArr}
     import org.apache.spark.unsafe.types.UTF8String
