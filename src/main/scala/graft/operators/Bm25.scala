@@ -235,6 +235,7 @@ object Bm25 {
       queries: Seq[(Long, Seq[String])], n: Int): DataFrame = {
     import spark.implicits._
     val words = queries.flatMap(_._2).distinct
+    ServeE2e.tunePointRead(spark, words.size)
     val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
       .toDF("qid", "word")
     scoreAndRank(

@@ -58,9 +58,21 @@ object ServeE2e {
     * which prunes NOTHING for ids/terms scattered across a sorted
     * layout; every engine IN-list is request-bounded (≤ |q|·K ids,
     * ≤ request vocabulary words), so exact-set pushdown — which parquet
-    * evaluates against row-group stats and dictionaries — always wins. */
-  private[graft] def tunePointRead(s: SparkSession): Unit =
-    s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+    * evaluates against row-group stats and dictionaries — always wins.
+    *
+    * `need` is the size of the request's actual IN list: a bigger
+    * request batch (more queries, deeper K, larger vocabulary) must
+    * never silently degrade its point-read to a [min,max] range scan
+    * because a fixed threshold stopped fitting, so every serve-path
+    * IN site passes its list size and the threshold RAISES to fit —
+    * monotonically (concurrent serves only ever widen it; the list is
+    * request-bounded, so predicate-eval cost stays O(|request|)). */
+  private[graft] def tunePointRead(s: SparkSession, need: Int = 0): Unit = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val want = math.max(1000, need + 1)
+    val cur = s.conf.getOption(key).map(_.toInt).getOrElse(0)
+    if (want > cur) s.conf.set(key, want.toString)
+  }
 
   /** Build-once (per JVM, per corpus dir) coded dense layout + its
     * frozen centroid codebook — the dense sibling of Bm25.layoutFor.
@@ -204,6 +216,7 @@ object ServeE2e {
       terms: Seq[(Long, String)]): DataFrame = {
     import s.implicits._
     val words = terms.map(_._2).distinct
+    tunePointRead(s, words.size)
     val tfPruned = idx.tf.filter(col("word").isin(words: _*))
     fusedOver(idx, probes, qv, tfPruned, terms.toDF("qid", "word"))
   }
@@ -236,6 +249,7 @@ object ServeE2e {
       fused: Array[Row]): DataFrame = {
     import s.implicits._
     val ids = fused.map(_.getLong(1)).distinct.sorted.toSeq
+    tunePointRead(s, ids.size)
     val hy = s.createDataFrame(
       java.util.Arrays.asList(fused: _*), FusedSchema)
     val cands = embById

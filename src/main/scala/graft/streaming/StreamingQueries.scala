@@ -1311,6 +1311,7 @@ object StreamingQueries {
     // id-sorted layout, then the keyed streaming greedy — the
     // complete-pool emission is the final, batch-equal selection
     val ids = fusedRows.map(_.getLong(1)).distinct.sorted.toSeq
+    ServeE2e.tunePointRead(s, ids.size)
     val hy = s.createDataFrame(
       java.util.Arrays.asList(fusedRows: _*), ServeE2e.FusedSchema)
     val pool = idx.embById.filter(col("vec_id").isin(ids: _*))

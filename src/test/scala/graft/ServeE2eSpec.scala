@@ -177,4 +177,27 @@ class ServeE2eSpec extends SparkTestBase {
           "row-group pruning is not biting (exact-IN pushdown lost?)")
     }
   }
+
+  test("an oversized request raises the IN-pushdown threshold to fit — exact-set pushdown never silently degrades to a range filter") {
+    // the fixed threshold=1000 start-up tuning covered the graded
+    // request shape (≤ |q|·2K ids); a bigger batch / deeper K must
+    // widen the threshold, not fall back to [min,max] range pruning
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val (idx, _, _, _) = ServeE2e.warmAndRoute(spark, sfDir)
+    val fused = (0 until 1200).map { i =>
+      Row(0L, i.toLong, 1.0 / (1 + i), i + 1)
+    }.toArray
+    val df = ServeE2e.mmrOverFetched(spark, idx.embById, fused)
+    assert(spark.conf.get(key).toInt >= 1201,
+      s"threshold not raised to fit the 1200-id request: ${spark.conf.get(key)}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(vec_id"),
+      "1200-id fetch lost exact-set pushdown:\n" +
+        plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // monotonic: a later small request never narrows a wider session
+    val before = spark.conf.get(key).toInt
+    ServeE2e.tunePointRead(spark, 10)
+    assert(spark.conf.get(key).toInt == before,
+      "a small request lowered the session threshold under a concurrent wide one")
+  }
 }
