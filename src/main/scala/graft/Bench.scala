@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the serve keys raise the IN-pushdown threshold mid-pass
+      // (ServeE2e.tunePointRead); fixing it at the serve floor for the
+      // WHOLE pass keeps every ≤1000-value IN plan identical whether it
+      // runs before or after a serve key — order-independent timings
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen infra, parquet readers, shuffle paths)

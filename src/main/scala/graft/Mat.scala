@@ -44,11 +44,35 @@ object Mat {
     try body(dirs) finally dirs.foreach(deleteRecursively)
   }
 
+  /** Run `body` with a task-level input-bytes accumulator attached and
+    * return (result, bytesRead) — the IO-not-wall measurement the scale
+    * probes and the point-read IO pins share. Drains the listener bus
+    * before detaching so late task-end events are never under-counted. */
+  def withBytesRead[T](sc: org.apache.spark.SparkContext)(body: => T): (T, Long) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    sc.addSparkListener(l)
+    try {
+      val r = body
+      org.apache.spark.sql.graftshim.Shims.waitListenerBusEmpty(sc, 10000L)
+      (r, bytes.get())
+    } finally sc.removeSparkListener(l)
+  }
+
   /** JVM-lifetime scratch dir for a build-once SERVE layout, through
     * the Hadoop FileSystem API only (the serve paths must stay
     * deployable against any Hadoop FS — no java.io/java.nio path ops):
-    * created under `hadoop.tmp.dir`, removed at JVM exit by the
-    * filesystem client's own deleteOnExit shutdown hook. */
+    * created under `hadoop.tmp.dir`, removed at JVM exit by a
+    * shutdown hook registered with Hadoop's own ShutdownHookManager at
+    * a priority ABOVE the FileSystem cache-close hook — fs.deleteOnExit
+    * alone is only processed when the CACHED client closes, so a
+    * deployment that disables the FS cache (fs.<scheme>.impl.disable
+    * .cache=true) would silently leak every corpus-sized layout. */
   def hadoopScratchDir(s: org.apache.spark.sql.SparkSession, prefix: String): String = {
     val conf = s.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(
@@ -56,7 +80,13 @@ object Mat {
       s"graft_$prefix-${java.util.UUID.randomUUID()}")
     val fs = base.getFileSystem(conf)
     fs.mkdirs(base)
-    fs.deleteOnExit(base)
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit =
+          try fs.delete(base, true)
+          catch { case _: java.io.IOException => () } // FS gone: nothing to leak
+      },
+      org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 10)
     base.toString
   }
 }

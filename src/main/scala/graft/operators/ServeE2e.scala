@@ -66,13 +66,19 @@ object ServeE2e {
     * because a fixed threshold stopped fitting, so every serve-path
     * IN site passes its list size and the threshold RAISES to fit —
     * monotonically (concurrent serves only ever widen it; the list is
-    * request-bounded, so predicate-eval cost stays O(|request|)). */
-  private[graft] def tunePointRead(s: SparkSession, need: Int = 0): Unit = {
-    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val want = math.max(1000, need + 1)
-    val cur = s.conf.getOption(key).map(_.toInt).getOrElse(0)
-    if (want > cur) s.conf.set(key, want.toString)
-  }
+    * request-bounded, so predicate-eval cost stays O(|request|)).
+    * The read-modify-write is locked: two concurrent serves racing the
+    * check-then-set could otherwise let the NARROWER request clobber
+    * the wider one's just-raised threshold, silently collapsing the
+    * wide request's pushed IN to a range filter. */
+  private val tuneLock = new Object
+  private[graft] def tunePointRead(s: SparkSession, need: Int = 0): Unit =
+    tuneLock.synchronized {
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val want = math.max(1000, need + 1)
+      val cur = s.conf.getOption(key).map(_.toInt).getOrElse(0)
+      if (want > cur) s.conf.set(key, want.toString)
+    }
 
   /** Build-once (per JVM, per corpus dir) coded dense layout + its
     * frozen centroid codebook — the dense sibling of Bm25.layoutFor.
@@ -184,15 +190,25 @@ object ServeE2e {
     * join keeps exactly those words anyway (ServeE2eSpec pins it). */
   def serveE2eOnline(s: SparkSession, dir: String): DataFrame = {
     val (idx, probes, qv, centroids) = warmAndRoute(s, dir)
-    val terms = idx.tf.filter(col("doc_id") < Bm25.NQueriesB)
-      .select(col("doc_id").cast("long"), col("word")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq
-      .sortBy(t => (t._1, t._2))
+    val terms = onlineTermsFor(idx)
     lastOnlineCentroids = centroids
     lastOnlineTerms = terms
     val fusedRows = fusedListOnline(s, idx, probes, qv, terms).collect()
     mmrOverFetched(s, idx.embById, fusedRows)
   }
+
+  /** A request batch's ONLINE term sets, derived deterministically off
+    * the query docs' own postings rows at request arrival (a bounded
+    * driver-side stash, exactly like probe routing). The (qid, word)
+    * sort is LOAD-BEARING: the stashed sequence feeds the twin's
+    * literal VALUES list, so every consumer (the graded key, the
+    * census tool, the specs) must derive the SAME order — which is why
+    * this lives in one place. */
+  private[graft] def onlineTermsFor(idx: OpenIndexes): Seq[(Long, String)] =
+    idx.tf.filter(col("doc_id") < Bm25.NQueriesB)
+      .select(col("doc_id").cast("long"), col("word")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(t => (t._1, t._2))
 
   /** Stage-1 retrieval dataflow GIVEN open indexes and routed probes —
     * pure plan construction (ServeE2eSpec pins zero jobs launched
@@ -245,19 +261,30 @@ object ServeE2e {
     * stage used through round 15 — and the fetched pool runs the
     * mmr_combined greedy at λ=0.7. Pure plan construction given the
     * rows (ServeE2eSpec pins zero jobs at build). */
-  private[graft] def mmrOverFetched(s: SparkSession, embById: DataFrame,
+  /** The bounded stage-2 candidate fetch shared by the batch and
+    * streaming serve tails: the DRIVER-KNOWN fused ids push into the
+    * id-sorted layout as `vec_id IN (…)` (exact-set pushdown, threshold
+    * raised to fit), and the fused rows broadcast onto the fetched
+    * vectors — O(|ids|) row groups read at ANY corpus size, no shuffle,
+    * pure plan construction given the rows. */
+  private[graft] def fetchFusedPool(s: SparkSession, embById: DataFrame,
       fused: Array[Row]): DataFrame = {
-    import s.implicits._
     val ids = fused.map(_.getLong(1)).distinct.sorted.toSeq
     tunePointRead(s, ids.size)
     val hy = s.createDataFrame(
       java.util.Arrays.asList(fused: _*), FusedSchema)
-    val cands = embById
+    embById
       .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id"),
         col("embedding").cast(ArrayType(DoubleType)).as("emb"))
       .join(broadcast(hy), "vec_id")
       .select(col("qid"), col("vec_id"), col("rrf"), col("rank"), col("emb"))
+  }
+
+  private[graft] def mmrOverFetched(s: SparkSession, embById: DataFrame,
+      fused: Array[Row]): DataFrame = {
+    import s.implicits._
+    val cands = fetchFusedPool(s, embById, fused)
       .as[(Long, Long, Double, Int, Seq[Double])]
     cands.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>

@@ -1272,12 +1272,9 @@ object StreamingQueries {
     val qv = emb.filter(col("vec_id") < Bm25.NQueriesB)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    val qt: Array[(Long, Seq[String])] = idx.tf
-      .filter(col("doc_id") < Bm25.NQueriesB)
-      .select(col("doc_id"), col("word"))
-      .as[(Long, String)].collect()
+    val qt: Array[(Long, Seq[String])] = ServeE2e.onlineTermsFor(idx)
       .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (q, rows) => (q, rows.map(_._2).toSeq.sorted) }
+      .map { case (q, rows) => (q, rows.map(_._2)) } // rows already (qid, word)-sorted
     def half[A](xs: Array[A]): Seq[Seq[A]] =
       xs.grouped(math.max(1, xs.length / 2)).map(_.toSeq).toSeq
     // dense tier: streaming candidate generation off the coded layout
@@ -1289,7 +1286,16 @@ object StreamingQueries {
     val qvDf = emb.filter(col("vec_id") < Bm25.NQueriesB)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qv"))
-    val vecsR = idx.coded.select(col("vec_id"), col("embedding"))
+    // rerank float fetch stays inside the PROBED partitions (the batch
+    // plan's shape): every candidate came from a probed partition, so
+    // the centroid filter is a pure partition prune — without it this
+    // join reads the embedding column of ALL nlist partitions per
+    // request batch, a corpus-wide IO scan the serve contract forbids
+    val probed = qv.flatMap { case (_, v) =>
+      graft.operators.IvfIndex.nearestN(centroids, v.toArray, BinaryQuant.IvfNprobe)
+    }.distinct.sorted.toSeq
+    val vecsR = idx.coded.filter(col("centroid").isin(probed: _*))
+      .select(col("vec_id"), col("embedding"))
       .join(broadcast(cands.select(col("vec_id")).distinct()), "vec_id")
     val sw = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
     val vec = cands.select(col("qid"), col("vec_id"))
@@ -1310,13 +1316,7 @@ object StreamingQueries {
     // diversity tail: bounded point-read of the fused ids off the
     // id-sorted layout, then the keyed streaming greedy — the
     // complete-pool emission is the final, batch-equal selection
-    val ids = fusedRows.map(_.getLong(1)).distinct.sorted.toSeq
-    ServeE2e.tunePointRead(s, ids.size)
-    val hy = s.createDataFrame(
-      java.util.Arrays.asList(fusedRows: _*), ServeE2e.FusedSchema)
-    val pool = idx.embById.filter(col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .join(broadcast(hy), "vec_id")
+    val pool = ServeE2e.fetchFusedPool(s, idx.embById, fusedRows)
       .select(col("qid"), col("vec_id"), col("rrf"), col("emb"))
       .as[(Long, Long, Double, Seq[Double])].collect()
       .map { case (q, id, rel, v) => StreamingMmr.Cand(q, id, rel, v) }

@@ -1042,25 +1042,15 @@ object ScaleProbe {
           val qv = q10.select(col("vec_id").as("qid"),
             col("embedding").cast(ArrayType(DoubleType)).as("qv"))
           // instrument the stage-2 fetch: bytes read by IO, not just wall
-          val mmrBytes = new java.util.concurrent.atomic.AtomicLong(0)
-          val mmrListener = new org.apache.spark.scheduler.SparkListener {
-            override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-              if (te.taskMetrics != null)
-                mmrBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-          }
           for (i <- 1 to 3)
             time(s"serve_e2e warm request batch #$i (10 queries, ${n / 1000000}M corpus)") {
               val fusedRows = graft.operators.ServeE2e
                 .fusedList(spark, idx, probes, qv).collect()
-              mmrBytes.set(0)
-              spark.sparkContext.addSparkListener(mmrListener)
-              try {
+              val (_, mmrIo) = graft.Mat.withBytesRead(spark.sparkContext) {
                 graft.operators.ServeE2e
                   .mmrOverFetched(spark, idx.embById, fusedRows).count()
-                org.apache.spark.sql.graftshim.Shims
-                  .waitListenerBusEmpty(spark.sparkContext, 10000L)
-              } finally spark.sparkContext.removeSparkListener(mmrListener)
-              println(f"[scale] serve_e2e MMR stage-2 fetch IO: ${mmrBytes.get() / 1048576.0}%.1f MiB " +
+              }
+              println(f"[scale] serve_e2e MMR stage-2 fetch IO: ${mmrIo / 1048576.0}%.1f MiB " +
                 f"of a ${n * 8L * 64 / 1048576.0}%.0f MiB-raw corpus (${fusedRows.length} fused rows)")
             }
           // The graded request derives its terms OFF the index (the
@@ -1124,23 +1114,13 @@ object ScaleProbe {
         val nWords = qTermSeq.map(_._2.size).sum
         println(s"[scale] serve_zipf: 10 queries carry $nWords terms " +
           s"(${qTermSeq.flatMap(_._2).distinct.size} distinct) of $vocabN vocab")
-        val ioBytes = new java.util.concurrent.atomic.AtomicLong(0)
-        val ioListener = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (te.taskMetrics != null)
-              ioBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-        }
         for (i <- 1 to 3)
           time(s"serve_zipf sparse ONLINE terms (word-pushdown, |vocab|=$vocabN) #$i") {
-            ioBytes.set(0)
-            spark.sparkContext.addSparkListener(ioListener)
-            try {
+            val (_, io) = graft.Mat.withBytesRead(spark.sparkContext) {
               graft.operators.Bm25.bm25ServeTerms(spark, sparse, qTermSeq,
                 graft.operators.Bm25.TopN).count()
-              org.apache.spark.sql.graftshim.Shims
-                .waitListenerBusEmpty(spark.sparkContext, 10000L)
-            } finally spark.sparkContext.removeSparkListener(ioListener)
-            println(f"[scale] serve_zipf online-terms IO: ${ioBytes.get() / 1048576.0}%.1f MiB")
+            }
+            println(f"[scale] serve_zipf online-terms IO: ${io / 1048576.0}%.1f MiB")
           }
         for (i <- 1 to 2)
           time(s"serve_zipf sparse OFF-INDEX terms (full postings passes) #$i") {

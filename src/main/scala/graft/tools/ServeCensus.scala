@@ -22,9 +22,7 @@ object ServeCensus {
     val rows = fused.collect()
     println("==== STAGE 2: bounded MMR point-read ====")
     ServeE2e.mmrOverFetched(spark, idx.embById, rows).explain("formatted")
-    val terms = idx.tf.filter(col("doc_id") < Bm25.NQueriesB)
-      .select(col("doc_id").cast("long"), col("word")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(t => (t._1, t._2))
+    val terms = ServeE2e.onlineTermsFor(idx)
     println("==== STAGE 1 (ONLINE terms) ====")
     ServeE2e.fusedListOnline(spark, idx, probes, qv, terms).explain("formatted")
     spark.stop()

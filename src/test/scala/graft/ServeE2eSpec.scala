@@ -1,8 +1,8 @@
 package graft
 
-import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -100,9 +100,7 @@ class ServeE2eSpec extends SparkTestBase {
 
   test("online serve: the request's term set pushes into the postings scan, and output == serve_e2e row-for-row") {
     val (idx, probes, qv, _) = ServeE2e.warmAndRoute(spark, sfDir)
-    val terms = idx.tf.filter(col("doc_id") < Bm25.NQueriesB)
-      .select(col("doc_id").cast("long"), col("word")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(t => (t._1, t._2))
+    val terms = ServeE2e.onlineTermsFor(idx)
     val online = ServeE2e.fusedListOnline(spark, idx, probes, qv, terms)
     val plan = online.queryExecution.executedPlan.toString
     // the word-IN filter reaches the word-sorted postings files
@@ -158,22 +156,13 @@ class ServeE2eSpec extends SparkTestBase {
         Row((i / 10).toLong, (i * 9973L) % 200000L, 1.0 / (1 + i % 10), i % 10 + 1)
       }.toArray
       val layout = spark.read.parquet(dst)
-      val bytes = new AtomicLong(0)
-      val l = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
-            bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      val (got, bytes) = graft.Mat.withBytesRead(spark.sparkContext) {
+        ServeE2e.mmrOverFetched(spark, layout, fused).collect()
       }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        val got = ServeE2e.mmrOverFetched(spark, layout, fused).collect()
-        assert(got.length == 2 * Mmr.SelectK)
-        org.apache.spark.sql.graftshim.Shims
-          .waitListenerBusEmpty(spark.sparkContext, 10000L)
-      } finally spark.sparkContext.removeSparkListener(l)
-      assert(bytes.get() > 0, "no input bytes recorded for the fetch stage")
-      assert(bytes.get() < total / 4,
-        s"point-read fetch read ${bytes.get()} of $total layout bytes — " +
+      assert(got.length == 2 * Mmr.SelectK)
+      assert(bytes > 0, "no input bytes recorded for the fetch stage")
+      assert(bytes < total / 4,
+        s"point-read fetch read $bytes of $total layout bytes — " +
           "row-group pruning is not biting (exact-IN pushdown lost?)")
     }
   }
