@@ -1304,6 +1304,7 @@ object StreamingQueries {
         graft.functions.VectorOps.cosineSim(col("embedding"), col("qv")))
       .withColumn("rank", row_number().over(sw)).filter(col("rank") <= Bm25.TopN)
       .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
+    lastStreamServeRerank = vec // stashed so the spec can census the pruned plan
     // sparse tier: online-terms streaming BM25 over the shared layout
     val tot = idx.tot.collect().head
     val bmOut = drain(s, half(qt), "append", sinkName("stream_serve_bm"))(
@@ -1348,6 +1349,7 @@ object StreamingQueries {
   @volatile private var lastStreamIvfCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamIvfCodedCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamServeCentroids: Array[Array[Double]] = _
+  @volatile private[graft] var lastStreamServeRerank: DataFrame = _
   @volatile private var lastStreamNswCentroids: Array[Array[Double]] = _
   @volatile private var lastStreamNswAdj: Array[(Int, Long, Array[Long])] = _
   @volatile private var lastStreamPqModel: graft.operators.IvfPq.Model = _
