@@ -87,6 +87,12 @@ object IvfIndex {
       si += 1
     }
     var centroids = seeds.toArray.map(_.clone)
+    // a duplicate-heavy or tiny sample can hold FEWER than k distinct
+    // points; the codebook then honestly shrinks to that count (k
+    // clusters cannot partition fewer distinct points) — all loop
+    // arrays size to the effective codebook, never the requested k,
+    // or the update step would index past the seeds array
+    val kk = centroids.length
     val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
     // fixed chunk size: merge order/boundaries must not depend on the
     // machine's core count, or centroids drift across environments
@@ -100,8 +106,8 @@ object IvfIndex {
         val futures = chunks.map { idxs =>
           pool.submit(new java.util.concurrent.Callable[(Array[Array[Double]], Array[Long])] {
             override def call(): (Array[Array[Double]], Array[Long]) = {
-              val sums = Array.fill(k)(new Array[Double](dim))
-              val counts = new Array[Long](k)
+              val sums = Array.fill(kk)(new Array[Double](dim))
+              val counts = new Array[Long](kk)
               idxs.foreach { vi =>
                 val v = sample(vi)
                 val c = nearest(cs, v)
@@ -114,12 +120,12 @@ object IvfIndex {
             }
           })
         }
-        val sums = Array.fill(k)(new Array[Double](dim))
-        val counts = new Array[Long](k)
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Long](kk)
         futures.foreach { f => // fixed chunk order → deterministic double sums
           val (ps, pc) = f.get()
           var c = 0
-          while (c < k) {
+          while (c < kk) {
             counts(c) += pc(c)
             val s = sums(c); val p = ps(c)
             var i = 0
@@ -127,7 +133,7 @@ object IvfIndex {
             c += 1
           }
         }
-        centroids = Array.tabulate(k) { c =>
+        centroids = Array.tabulate(kk) { c =>
           if (counts(c) == 0L) centroids(c) // keep empty centroid in place
           else {
             val s = sums(c)
@@ -138,6 +144,38 @@ object IvfIndex {
       }
       centroids
     } finally pool.shutdown()
+  }
+
+
+  /** Driver-side probe ROUTING shared by every at-rest probe path: the
+    * request batch's query rows collect ONCE (the "request carries its
+    * data" contract), each query routes to its probed cells, and the
+    * routed (qid, centroid) pairs become the single-partition
+    * broadcast-ready probe frame. ONE definition — the probe rule must
+    * stay in lockstep with the oracle replay at every call site. */
+  private[graft] def collectQueryRows(queries: DataFrame)
+      : Array[org.apache.spark.sql.Row] =
+    queries.select(col("vec_id").cast("long"),
+      col("embedding").cast(ArrayType(DoubleType))).collect()
+
+  private[graft] def probesFor(qRows: Array[org.apache.spark.sql.Row])(
+      route: Array[Double] => Seq[Int]): Seq[(Long, Int)] =
+    qRows.toSeq.flatMap { r =>
+      route(r.getSeq[Double](1).toArray).map(c => (r.getLong(0), c))
+    }
+
+  private[graft] def probeDfOf(s: SparkSession,
+      probes: Seq[(Long, Int)]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(probes, 1)).toDF("qid", "centroid")
+
+  /** The standard route: nprobe nearest cells of a centroid codebook. */
+  private[graft] def routeProbes(s: SparkSession, queries: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int)
+      : (Seq[(Long, Int)], DataFrame) = {
+    val probes = probesFor(collectQueryRows(queries))(v =>
+      nearestN(centroids, v, nprobe).toSeq)
+    (probes, probeDfOf(s, probes))
   }
 
   def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
@@ -316,13 +354,7 @@ object IvfIndex {
     val centroids = trainCentroidsMLlib(emb, 16)
     lastMllibCentroids = centroids
     val assigned = assign(emb, centroids)
-    val qRows = queries.select(col("vec_id").cast("long"),
-      col("embedding").cast(ArrayType(DoubleType))).collect()
-    val probes = qRows.flatMap { r =>
-      nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
-    }
-    val probeDf = s.createDataFrame(
-      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+    val (_, probeDf) = routeProbes(s, queries, centroids, 4)
     val cand = assigned.join(probeDf, "centroid")
     val scored = cand.join(
       queries.select(col("vec_id").as("qid"),
@@ -392,15 +424,23 @@ object IvfIndex {
   val TargetFileBytes = 128L << 20
   def adaptiveSaltTarget(assigned: DataFrame,
       targetFileBytes: Long = TargetFileBytes): Long = {
-    val probe = assigned.head()
+    // head(1), not head(): an EMPTY input (a shard compaction whose
+    // filter matched nothing) must write an empty layout like the
+    // non-adaptive path does, not crash probing a row that isn't there
+    val probeOpt = assigned.head(1).headOption
     val width = assigned.schema.fields.zipWithIndex.map { case (f, i) =>
       f.dataType match {
         case org.apache.spark.sql.types.ArrayType(et, _) =>
-          val n = if (probe.isNullAt(i)) 0 else probe.getSeq[Any](i).size
+          val n = probeOpt match {
+            case Some(p) if !p.isNullAt(i) => p.getSeq[Any](i).size
+            case _                         => 0
+          }
           et.defaultSize.toLong * n + 8L
         case org.apache.spark.sql.types.StringType =>
-          if (probe.isNullAt(i)) 20L
-          else probe.getString(i).length.toLong + 8L
+          probeOpt match {
+            case Some(p) if !p.isNullAt(i) => p.getString(i).length.toLong + 8L
+            case _                         => 20L
+          }
         case dt => dt.defaultSize.toLong
       }
     }.sum.max(1L)
@@ -462,15 +502,9 @@ object IvfIndex {
         compactIndex(s, out, compacted)
         val loaded = s.read.parquet(compacted)
 
-        val qRows = queries.select(col("vec_id").cast("long"),
-          col("embedding").cast(ArrayType(DoubleType))).collect()
-        val probes = qRows.flatMap { r =>
-          nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
-        }
-        val probeDf = s.createDataFrame(
-          s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+        val (probes, probeDf) = routeProbes(s, queries, centroids, 4)
         graft.Mat.detach(probeLayout(loaded, probeDf,
-          probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
+          probes.map(_._2).distinct.sorted, queries, VectorSearch.K))
     }
   }
 
@@ -509,15 +543,9 @@ object IvfIndex {
           merged, MergeTargetRows)
         val loaded = s.read.parquet(merged)
 
-        val qRows = queries.select(col("vec_id").cast("long"),
-          col("embedding").cast(ArrayType(DoubleType))).collect()
-        val probes = qRows.flatMap { r =>
-          nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
-        }
-        val probeDf = s.createDataFrame(
-          s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+        val (probes, probeDf) = routeProbes(s, queries, centroids, 4)
         graft.Mat.detach(probeLayout(loaded, probeDf,
-          probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
+          probes.map(_._2).distinct.sorted, queries, VectorSearch.K))
     }
   }
 
@@ -541,15 +569,9 @@ object IvfIndex {
       writeSalted(assign(emb, centroids), out, targetRows = 500L)
       // probes prune on `centroid` alone; salt dirs are transparent
       val loaded = s.read.parquet(out)
-      val qRows = queries.select(col("vec_id").cast("long"),
-        col("embedding").cast(ArrayType(DoubleType))).collect()
-      val probes = qRows.flatMap { r =>
-        nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
-      }
-      val probeDf = s.createDataFrame(
-        s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+      val (probes, probeDf) = routeProbes(s, queries, centroids, 4)
       graft.Mat.detach(probeLayout(loaded, probeDf,
-        probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
+        probes.map(_._2).distinct.sorted, queries, VectorSearch.K))
     }
   }
 
@@ -625,15 +647,9 @@ object IvfIndex {
           merged, MergeTargetRows)
         val loaded = s.read.parquet(merged)
 
-        val qRows = queries.select(col("vec_id").cast("long"),
-          col("embedding").cast(ArrayType(DoubleType))).collect()
-        val probes = qRows.flatMap { r =>
-          nearestN(centroids, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
-        }
-        val probeDf = s.createDataFrame(
-          s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+        val (probes, probeDf) = routeProbes(s, queries, centroids, 4)
         graft.Mat.detach(probeLayout(loaded, probeDf,
-          probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
+          probes.map(_._2).distinct.sorted, queries, VectorSearch.K))
     }
   }
 
@@ -659,20 +675,16 @@ object IvfIndex {
     val sizes: Map[Int, Long] = assigned.groupBy("centroid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    val qRows = queries.select(col("vec_id").cast("long"),
-      col("embedding").cast(ArrayType(DoubleType))).collect()
-    val probes = qRows.flatMap { r =>
-      val qid = r.getLong(0)
-      val ordered = nearestN(centroids, r.getSeq[Double](1).toArray, centroids.length)
+    val probes = probesFor(collectQueryRows(queries)) { v =>
+      val ordered = nearestN(centroids, v, centroids.length)
       var cum = 0L
       val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
       ordered.foreach { c =>
         if (cum < MinCand) { sel += c; cum += sizes.getOrElse(c, 0L) }
       }
-      sel.map(c => (qid, c))
+      sel.toSeq
     }
-    val probeDf = s.createDataFrame(
-      s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+    val probeDf = probeDfOf(s, probes)
     val cand = assigned.join(probeDf, "centroid")
     val scored = cand.join(
       queries.select(col("vec_id").as("qid"),
@@ -965,15 +977,9 @@ object IvfIndex {
       applySplits(s, assigned, out, subs, nlist)
       val loaded = s.read.parquet(out)
       val active = activeCodebook(centroids, subs, Seq.empty).toArray
-      val qRows = queries.select(col("vec_id").cast("long"),
-        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))).collect()
-      val probes = qRows.flatMap { r =>
-        nearestNIds(active, r.getSeq[Double](1).toArray, SplitNprobe)
-          .map(c => (r.getLong(0), c))
-      }
-      val probeDf = s.createDataFrame(
-        s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+      val probes = probesFor(collectQueryRows(queries))(v =>
+        nearestNIds(active, v, SplitNprobe).toSeq)
+      val probeDf = probeDfOf(s, probes)
       graft.Mat.detach(probeLayout(loaded, probeDf,
         probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
     } finally assigned.unpersist(blocking = false)
@@ -1014,14 +1020,9 @@ object IvfIndex {
       val active: Array[(Int, Array[Double])] =
         centroids.zipWithIndex.collect {
           case (v, i) if i != absorb => (i, v) }
-      val qRows = queries.select(col("vec_id").cast("long"),
-        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType))).collect()
-      val probes = qRows.flatMap { r =>
-        nearestNIds(active, r.getSeq[Double](1).toArray, 4).map(c => (r.getLong(0), c))
-      }
-      val probeDf = s.createDataFrame(
-        s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+      val probes = probesFor(collectQueryRows(queries))(v =>
+        nearestNIds(active, v, 4).toSeq)
+      val probeDf = probeDfOf(s, probes)
       graft.Mat.detach(probeLayout(loaded, probeDf,
         probes.map(_._2).distinct.sorted.toSeq, queries, VectorSearch.K))
     }
@@ -1238,12 +1239,10 @@ object IvfIndex {
     // split happened; a bare `CASE ELSE c0 END` is a parse error
     val centroidExpr =
       if (subs.isEmpty) "c0" else s"CASE $subCase\n      ELSE c0 END"
+    // the SAME id-assignment rule as the engine path, by construction:
+    // a twin that re-encodes it inline could silently drift
     val active: Seq[(Int, Array[Double])] =
-      centroids.zipWithIndex.collect {
-        case (v, i) if !subs.exists(_._1 == i) => (i, v)
-      } ++ subs.zipWithIndex.flatMap { case ((_, sc), j) =>
-        sc.zipWithIndex.map { case (v, si) => (nlist + 2 * j + si, v) }
-      }
+      activeCodebook(centroids, subs, Seq.empty)
     val actDists = active.map { case (_, v) =>
       OracleSql.l2sqLit("embedding", v) }.mkString("[", ", ", "]")
     val actIds = active.map(_._1).mkString("[", ", ", "]")
@@ -1374,16 +1373,13 @@ object IvfIndex {
     lastSweepCentroids = centroids
     val assigned = assign(emb, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val exact = graft.plans.VectorTopK.topK(emb, queries, k)
       .select(col("qid"), col("vec_id"))
-    val qRows = queries.select(col("vec_id").cast("long"),
-      col("embedding").cast(ArrayType(DoubleType))).collect()
+    val qRows = collectQueryRows(queries)
     val perNp = SweepProbes.map { np =>
-      val probes = qRows.flatMap { r =>
-        nearestN(centroids, r.getSeq[Double](1).toArray, np).map(c => (r.getLong(0), c))
-      }
-      val probeDf = s.createDataFrame(
-        s.sparkContext.parallelize(probes.toSeq, 1)).toDF("qid", "centroid")
+      val probes = probesFor(qRows)(v => nearestN(centroids, v, np).toSeq)
+      val probeDf = probeDfOf(s, probes)
       val cand = assigned.join(probeDf, "centroid")
       val scored = cand.join(queries.select(col("vec_id").as("qid"),
           col("embedding").cast(ArrayType(DoubleType)).as("qv")), "qid")
@@ -1399,9 +1395,12 @@ object IvfIndex {
         .select(lit(np).as("nprobe"), col("qid"), col("n_ivf"),
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
     }
-    perNp.reduce(_ unionAll _)
+    // detach before releasing the cache: the returned frame must not
+    // recompute the corpus assignment after the unpersist
+    graft.Mat.detach(perNp.reduce(_ unionAll _)
       .withColumn("recall_ppm", expr(s"n_overlap * 1000000 div $k"))
-      .orderBy("nprobe", "qid")
+      .orderBy("nprobe", "qid"))
+    } finally assigned.unpersist(blocking = false)
   }
 
   private def sweepSql(centroids: Array[Array[Double]]): String = {

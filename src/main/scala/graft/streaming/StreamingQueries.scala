@@ -411,15 +411,25 @@ object StreamingQueries {
   /** IVF-routed stream-static serve: NearestCentroidsExpr routes each
     * arriving query to nprobe buckets, the equi-join touches only
     * those buckets' rows. Reused by ScaleProbe. */
-  private[graft] def ivfServe(indexed: DataFrame, centroids: Array[Array[Double]],
-                              nprobe: Int, k: Int)(
-      ds: Dataset[(Long, Seq[Double])]): DataFrame = {
-    import indexed.sparkSession.implicits._
-    val routed = ds.toDF("qid", "qv").withColumn("centroid",
+  /** Route an arriving query stream to its nprobe nearest cells — the
+    * ONE routing rule every streaming serve path shares (ivf, coded,
+    * pq, nsw): NearestCentroidsExpr (the same codegen kernel as the
+    * batch probe paths), exploded to (qid, qv, centroid) rows. A tie
+    * or nprobe tweak edited here cannot desynchronize one serve path
+    * from its oracle while the others move. */
+  private[graft] def routeQueries(ds: Dataset[(Long, Seq[Double])],
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    ds.toDF("qid", "qv").withColumn("centroid",
       explode(org.apache.spark.sql.graftshim.Shims.column(
         graft.operators.NearestCentroidsExpr(
           org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
           centroids, nprobe))))
+
+  private[graft] def ivfServe(indexed: DataFrame, centroids: Array[Array[Double]],
+                              nprobe: Int, k: Int)(
+      ds: Dataset[(Long, Seq[Double])]): DataFrame = {
+    import indexed.sparkSession.implicits._
+    val routed = routeQueries(ds, centroids, nprobe)
     keyedTopK(
       // stream-static equi-join; the routed side is q·nprobe rows —
       // broadcast it so the corpus is probed in place, never shuffled
@@ -440,11 +450,7 @@ object StreamingQueries {
                                 nprobe: Int, r: Int)(
       ds: Dataset[(Long, Seq[Double])]): DataFrame = {
     import codes.sparkSession.implicits._
-    val routed = ds.toDF("qid", "qv").withColumn("centroid",
-      explode(org.apache.spark.sql.graftshim.Shims.column(
-        graft.operators.NearestCentroidsExpr(
-          org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
-          centroids, nprobe))))
+    val routed = routeQueries(ds, centroids, nprobe)
     keyedTopK(
       codes.join(broadcast(routed), "centroid")
         .withColumn("asym",
@@ -520,11 +526,7 @@ object StreamingQueries {
       ds: Dataset[(Long, Seq[Double])]): DataFrame = {
     import codes.sparkSession.implicits._
     val bm = codes.sparkSession.sparkContext.broadcast(model)
-    val routed = ds.toDF("qid", "qv").withColumn("centroid",
-      explode(org.apache.spark.sql.graftshim.Shims.column(
-        graft.operators.NearestCentroidsExpr(
-          org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
-          model.centroids, nprobe))))
+    val routed = routeQueries(ds, model.centroids, nprobe)
     val scored = codes.join(broadcast(routed), "centroid")
       .select(col("qid"), col("vec_id"), col("code"), col("centroid"), col("qv"))
       .as[(Long, Long, Long, Int, Seq[Double])]
@@ -703,12 +705,17 @@ object StreamingQueries {
     val mid = lo + (hi - lo) / 2
     val bucketed = e.withColumn("bucket",
       expr(s"vc div ${Relational.DriftBucketCents}"))
+    // EAGER checkpoint: refA's lineage must cut from `e` here, so the
+    // corpus-sized cache releases as soon as liveRows is collected —
+    // a lazy checkpoint would pin `e` until the returned (lazy) plan
+    // first executes, leaking the cache entry for the session
     val refA = bucketed.filter(col("ts") <= mid)
       .groupBy("event_type", "bucket").agg(count(lit(1)).as("na"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val liveRows = bucketed.filter(col("ts") > mid)
       .select(col("event_type"), col("ts"), col("bucket"))
       .as[(String, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    e.unpersist(blocking = false)
     val grid = drain(s, split3(liveRows), "complete", sinkName("stream_drift")) { ds =>
       ds.toDF("event_type", "ts", "bucket")
         .groupBy("event_type", "bucket").agg(count(lit(1)).as("nb"))
@@ -974,11 +981,7 @@ object StreamingQueries {
       centroids: Array[Array[Double]], nprobe: Int, k: Int)(
       ds: Dataset[(Long, Seq[Double])]): DataFrame = {
     import shards.sparkSession.implicits._
-    val routed = ds.toDF("qid", "qv").withColumn("centroid",
-      explode(org.apache.spark.sql.graftshim.Shims.column(
-        graft.operators.NearestCentroidsExpr(
-          org.apache.spark.sql.graftshim.Shims.expression(col("qv")),
-          centroids, nprobe))))
+    val routed = routeQueries(ds, centroids, nprobe)
     val joined = shards.join(broadcast(routed), col("bucket") === col("centroid"))
       .select(col("qid"), col("qv"), col("bucket"), col("ids"), col("vecs"), col("adj"))
       .as[(Long, Seq[Double], Int, Seq[Long], Seq[Double], Seq[Seq[Long]])]
@@ -1372,6 +1375,12 @@ object StreamingQueries {
   def streamMaxsim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.MultiVector
+    // the typed encoder below ((Long, Long, Double×4)) and the c0..c3
+    // fold are SPECIALIZED to 4 slots; everything else here scales with
+    // the constant, so a Slots change would otherwise only fail deep in
+    // analysis — fail loudly at the operator boundary instead
+    require(MultiVector.Slots == 4,
+      s"streamMaxsim's tuple encoder is specialized to 4 slots, got ${MultiVector.Slots}")
     val tok = Tables.load(s, dir, "embeddings")
       .select(expr(s"vec_id div ${MultiVector.Slots}").as("doc_id"),
         pmod(col("vec_id"), lit(MultiVector.Slots)).cast("int").as("slot"),

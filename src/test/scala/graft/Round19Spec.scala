@@ -35,4 +35,33 @@ class Round19Spec extends SparkTestBase {
     val all = IvfIndex.trainSample(emb, cap = n * 2)
     assert(all.length == n, s"expected the whole corpus ($n), got ${all.length}")
   }
+
+  test("k-means with fewer distinct points than k trains a shrunken codebook instead of crashing") {
+    // a duplicate-heavy sample: 2 distinct points, k = 16 — the update
+    // step must size to the effective codebook, not the requested k
+    val sample = Array(
+      Array(1.0, 0.0), Array(1.0, 0.0), Array(1.0, 0.0),
+      Array(0.0, 1.0), Array(0.0, 1.0))
+    val cb = IvfIndex.trainCentroids(sample, 16, 10)
+    assert(cb.length == 2, s"expected a 2-centroid codebook, got ${cb.length}")
+    assert(cb(0).sameElements(Array(1.0, 0.0)) && cb(1).sameElements(Array(0.0, 1.0)),
+      "Lloyd over two distinct duplicated points must converge to exactly those points")
+  }
+
+  test("adaptive salted write on an EMPTY assignment writes an empty layout instead of crashing") {
+    import spark.implicits._
+    val empty = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 0)
+      .withColumn("centroid", lit(0))
+    assert(IvfIndex.adaptiveSaltTarget(empty) >= 10000L) // schema-width fallback
+    graft.Mat.withScratchDirs("salted_empty") { case Seq(dst) =>
+      IvfIndex.writeSaltedAdaptive(empty, dst) // head() would NoSuchElement here
+      // an empty partitionBy write emits no part files — read with the
+      // layout schema (salt/centroid become partition columns)
+      val back = spark.read
+        .schema("vec_id long, embedding array<double>, centroid int, salt int")
+        .parquet(dst)
+      assert(back.count() == 0)
+    }
+  }
 }
