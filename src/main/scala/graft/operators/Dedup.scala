@@ -27,13 +27,6 @@ object Dedup {
     * this hot means a degenerate band, not near-dups). */
   val MaxBucketSize = 10000
 
-  /** Distinct 3-word shingles of a clean single-space text column. */
-  def shingles3(text: Column): Column = {
-    val ts = split(text, " ")
-    array_distinct(transform(sequence(lit(1), size(ts) - 2),
-      i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
-  }
-
   /** Shingles reduced once to sorted distinct 64-bit hashes (single
     * codegen pass over the text bytes): signature, LSH and verify all
     * work off longs — no string set ops anywhere in the hot loop. */
@@ -42,6 +35,14 @@ object Dedup {
   /** Candidate pairs via banded MinHash-LSH, then exact-Jaccard verify. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = JaccardThreshold): DataFrame = {
+    // the fixed 64×2 banding has recall ≈ 1 only at τ ≥ 0.5: a j=0.1
+    // pair escapes candidate generation with p ≈ (1−0.01)^64 ≈ 53%, so
+    // a lower cutoff would silently drop half its qualifying pairs and
+    // break the "output == exact output" contract this operator grades
+    require(threshold >= JaccardThreshold,
+      s"minhashNearDups: threshold $threshold below the banding's recall-1 " +
+        s"floor $JaccardThreshold — use the lossless prefix-filter path " +
+        "(prefixJaccardPairs) for low-threshold joins")
     val base = docs.select(col(idCol).as("doc_id"), shingleHashes3(col(textCol)).as("sh"))
     val sig = base.withColumn("sig", TextHashOps.minhashSigLong(col("sh"), NumHashes))
 
@@ -160,6 +161,13 @@ object Dedup {
       labels = updated.select(col("id"), col("comp"))
       rounds += 1
     }
+    // a diameter->50 component (chained boilerplate drift) must fail
+    // LOUDLY, not silently report one real cluster as several — the
+    // O(log n) ccLargeStar path is the right tool for that shape
+    require(changed == 0L,
+      s"connectedComponents: min-label propagation did not converge in $rounds rounds " +
+        s"($changed labels still moving) — component diameter exceeds the cap; " +
+        "use ccLargeStar (O(log n) rounds at any diameter) for this graph")
     labels.select(col("id").as("doc_id"), col("comp").as("canonical_id")).orderBy("doc_id")
   }
 
@@ -309,8 +317,10 @@ object Dedup {
     * global (df asc, hash asc) order, so pair events are Σ prefix-df² —
     * a superset of every J ≥ 1/2 pair by the prefix lemma, bounded by
     * near-dup density rather than token skew. */
-  private[graft] def prefixTruthCandidates(base: DataFrame): DataFrame = {
-    val hashed = hashedShingles(base)
+  private[graft] def prefixTruthCandidates(base: DataFrame): DataFrame =
+    prefixTruthCandidatesHashed(hashedShingles(base))
+
+  private[graft] def prefixTruthCandidatesHashed(hashed: DataFrame): DataFrame = {
     val posts = hashed.select(col("doc_id"), col("ns"), explode(col("hs")).as("hk"))
     val dfT = posts.groupBy("hk").agg(count(lit(1)).as("df"))
     val wPre = org.apache.spark.sql.expressions.Window
@@ -328,8 +338,11 @@ object Dedup {
     * prefix-filtered candidates verified by one merge pass per pair
     * with the integer cross-multiply accept (lossless at τ = 1/2). */
   private[graft] def prefixTruthPairs(base: DataFrame): DataFrame = {
-    val hashed = hashedShingles(base)
-    prefixTruthCandidates(base)
+    // ONE hashing pass (md5 + sort per doc) shared by the prefix index
+    // and the verify join — computing hashedShingles twice doubled the
+    // corpus hashing work of every truth-side evaluation
+    val hashed = hashedShingles(base).localCheckpoint(false)
+    prefixTruthCandidatesHashed(hashed)
       .join(hashed.select(col("doc_id").as("da"), col("hs").as("ha"), col("ns").as("na")), "da")
       .join(hashed.select(col("doc_id").as("db"), col("hs").as("hb"), col("ns").as("nb")), "db")
       .withColumn("inter", graft.functions.JaccardOps.sortedIntersect(col("ha"), col("hb")))
@@ -346,6 +359,7 @@ object Dedup {
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
         .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // shared 32-lane signature off the md5 basis (63-bit, KMV mapping)
     val lanes = base.select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), explode(expr(s"sequence(0, ${LshLanes - 1})")).as("lane"),
@@ -399,6 +413,9 @@ object Dedup {
     docs.sparkSession.createDataFrame(rows)
       .toDF("config", "n_cand", "n_true", "n_hit", "recall_ppm", "precision_ppm")
       .orderBy("config")
+    // every count above has run — the result is driver-side rows, so
+    // the shingle cache releases instead of leaking for the session
+    } finally base.unpersist(blocking = false)
   }
 
   val dedupLshTradeoffSql: String = {
@@ -663,7 +680,12 @@ object Dedup {
   def semDedupOn(corpus: DataFrame, centroids: Array[Array[Double]],
       tau: Double, salt: Int = SemDedupSalt): DataFrame = {
     import graft.functions.VectorOps
+    // the assignment feeds BOTH join sides and the final select —
+    // persist it so the corpus scan + nlist-way distance evaluation
+    // runs once, not three times (and the salted b side doesn't
+    // multiply the recompute); released below once the result snaps
     val assigned = IvfIndex.assign(corpus, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("vec_id").as("vid_a"), col("centroid"),
       col("embedding").as("emb_a"))
       .withColumn("salt", (col("vid_a") % salt).cast("int"))
@@ -675,11 +697,14 @@ object Dedup {
       .withColumn("score", VectorOps.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("score") >= tau)
       .groupBy(col("vid_a").as("vec_id")).agg(min(col("vid_b")).as("dup_of"))
-    assigned.select(col("vec_id"), col("centroid"))
+    val out = assigned.select(col("vec_id"), col("centroid"))
       .join(dups, Seq("vec_id"), "left")
       .withColumn("keep", col("dup_of").isNull)
       .select(col("vec_id"), col("centroid"), col("keep"), col("dup_of"))
       .orderBy("vec_id")
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
   }
 
   private[graft] def semDedupSql(centroids: Array[Array[Double]]): String = {
@@ -986,11 +1011,19 @@ object Dedup {
     // modulo the engine's standing 2⁻⁶³ md5 argument
     val nShared = pass.join(evalB, "b")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    nPass.join(nGrams, "doc_id")
+    val out = nPass.join(nGrams, "doc_id")
       .join(nShared, Seq("doc_id"), "left")
       .select(col("doc_id").as("train_id"), col("n_grams"), col("n_pass"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .orderBy("train_id")
+    if (persistBase) {
+      // materialize the (flag-table-sized) result, then RELEASE the
+      // corpus-sized hashed-postings cache — a persist with no matching
+      // unpersist leaks it for the session lifetime
+      val snapped = out.localCheckpoint(true)
+      base.unpersist(blocking = false)
+      snapped
+    } else out
   }
 
   def dataDecontaminateBloom(s: SparkSession, dir: String): DataFrame =

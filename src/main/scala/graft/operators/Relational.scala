@@ -149,9 +149,15 @@ object Relational {
     * the Structured Streaming flatMapGroupsWithState version). */
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     // ts arrives as nanos-since-epoch (LongType, see Tables.load) —
-    // all gap/session math is exact integer arithmetic.
+    // all gap/session math is exact integer arithmetic. Floor to µs
+    // first (identity on MICROS-precision drops): DuckDB reads a
+    // TIMESTAMP(NANOS) drop at µs precision, so a gap straddling the
+    // 1800 s threshold by <1 µs — or a same-µs tie ordered by the ns
+    // tail — would otherwise split sessions differently from the
+    // oracle (the events_asof discipline).
     val ev = Tables.load(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), cents("value").as("vc"))
+      .select(col("user_id"), expr("ts div 1000 * 1000").as("ts"),
+        col("event_id"), cents("value").as("vc"))
     val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val prev = lag(col("ts"), 1).over(wOrd)
     val isNew = when(prev.isNull ||
@@ -442,12 +448,15 @@ object Relational {
     * (integer cents arithmetic → exact bin edges in both engines). */
   def eventsValueHist(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
-      // FLOOR division in exact integer arithmetic: Spark's `div`
-      // truncates toward zero but DuckDB's `//` floors, so negative
-      // cents would land in different bins. (c - pmod(c, w)) div w is
-      // floor(c/w) for any sign of c, with no double rounding.
+      // TRUNCATING division on both engines: DuckDB's integer `//`
+      // truncates toward zero exactly like Spark's `div` (probed:
+      // (-300)//5000 = 0, (-700)//500 = -1), so plain `div` IS the
+      // twin arithmetic for any sign of cents — the same rule
+      // events_drift's bucketing uses. (An earlier floor-emulation
+      // here had the `//` semantics backwards and would have binned
+      // negative cents differently from the oracle.)
       .groupBy(expr(
-        "((cast(round(value*100) as bigint) - pmod(cast(round(value*100) as bigint), 5000)) div 5000) * 50")
+        "(cast(round(value*100) as bigint) div 5000) * 50")
         .as("bin_lo"))
       .agg(count(lit(1)).as("n"))
       .orderBy("bin_lo")
@@ -703,9 +712,15 @@ object Relational {
   /** The broadcast-stats core over any (event_id, event_type, vc)
     * frame — injectable for the spec's planted distributions. */
   private[graft] def outliersCore(e: DataFrame): DataFrame = {
+    // widen BEFORE aggregating: Σvc and Σvc² summed as LONG wrap at
+    // ~1e11 rows of ~5e4-cent values (Σvc² ≈ 2.4e20 > Long.Max) and a
+    // wrapped q makes the variance negative, flagging everything.
+    // DECIMAL(38,0) sums stay exact to ~1e14 rows — and the twin
+    // aggregates in HUGEINT, so both engines carry exact integers.
     val st = e.groupBy("event_type").agg(
-      count(lit(1)).as("n"), sum(col("vc")).as("s"),
-      sum(expr("vc * vc")).as("q"))
+      count(lit(1)).as("n"),
+      sum(col("vc").cast("decimal(38,0)")).as("s"),
+      sum(expr("cast(vc as decimal(38,0)) * vc")).as("q"))
     e.join(broadcast(st), "event_type")
       .withColumn("d", expr("cast(n as decimal(38,0)) * vc - s"))
       .filter(expr(
@@ -719,7 +734,7 @@ object Relational {
     """WITH e AS (SELECT event_id, event_type,
       |             CAST(round(value*100) AS BIGINT) AS vc FROM events),
       |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |         CAST(sum(vc) AS BIGINT) AS s, CAST(sum(vc*vc) AS BIGINT) AS q
+      |         sum(vc::HUGEINT) AS s, sum(vc::HUGEINT * vc) AS q
       |       FROM e GROUP BY 1)
       |SELECT event_id, e.event_type, vc,
       |  CAST(CASE WHEN n::HUGEINT * vc > s::HUGEINT THEN 1 ELSE 0 END AS INT) AS is_high
@@ -1223,6 +1238,7 @@ object Relational {
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val cBrand = b.groupBy("p_brand").agg(count(lit(1)).as("c1"))
     val nOrders = b.select("l_orderkey").distinct().count()
     val pairs = b.alias("x").join(b.alias("y"),
@@ -1230,7 +1246,7 @@ object Relational {
           col("x.p_brand") < col("y.p_brand"))
       .select(col("x.p_brand").as("brand_a"), col("y.p_brand").as("brand_b"))
       .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("support"))
-    pairs
+    val out = pairs
       .join(broadcast(cBrand.select(col("p_brand").as("brand_a"), col("c1").as("ca"))), "brand_a")
       .join(broadcast(cBrand.select(col("p_brand").as("brand_b"), col("c1").as("cb"))), "brand_b")
       .select(col("brand_a"), col("brand_b"), col("support"), col("ca"), col("cb"),
@@ -1240,6 +1256,10 @@ object Relational {
           s" div (cast(ca as decimal(38,0)) * cb) as long)").as("lift_ppm"))
       .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
       .limit(20)
+    // detach the 20-row result so the basket cache releases instead of
+    // pinning the distinct (order, brand) set for the session lifetime
+    graft.Mat.detach(out)
+    } finally b.unpersist(blocking = false)
   }
 
   val qBasketPairsSql: String =

@@ -162,7 +162,10 @@ object StreamingQueries {
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
-      .select(col("user_id"), col("ts"), round(col("value") * 100).cast("long"))
+      // µs floor (identity on MICROS drops) — the batch twin's rule,
+      // so streaming == batch holds on a TIMESTAMP(NANOS) drop too
+      .select(col("user_id"), expr("ts div 1000 * 1000").as("ts"),
+        round(col("value") * 100).cast("long"))
       .as[(Long, Long, Long)].collect().sortBy(e => (e._2, e._1))
       .map { case (u, t, v) => EventsStreaming.Ev(u, t, v) }
     val maxTs = ev.map(_.tsNs).max
