@@ -21,6 +21,39 @@ object Mat {
     df.sparkSession.createDataFrame(rows, df.schema)
   }
 
+  /** Fan a compute-dense input out to the session's full parallelism
+    * BEFORE its heavy projection. Small or unsplittable inputs (a
+    * single-row-group parquet shard, a MemoryStream batch, an
+    * AQE-coalesced exchange) arrive as one-to-few partitions, so a
+    * following per-row-heavy map (md5 shingling, 32-lane minhash
+    * signatures, media decode) runs on one core no matter how many the
+    * session has — guide §2.5's unsplittable-input skew, fixed by its
+    * prescription: repartition immediately after the read. The exchange
+    * moves the raw rows once; callers apply it only where per-row
+    * compute dominates that exchange cost (it is NOT a blanket
+    * post-scan step — a plain columnar scan must stay exchange-free).
+    * Inside a streaming replay the session's shuffle-partition conf is
+    * the input-derived STATE partition count (sized for state-store
+    * commit cost, not for map compute), so the pre-override parallelism
+    * is read from the stash withStreamPartitions leaves. */
+  private val fanoutCtr = new java.util.concurrent.atomic.AtomicLong(0L)
+  def fanout(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.getOption("spark.graft.stream.sessionParallelism")
+      .map(_.toInt).filter(_ > 0)
+      .getOrElse(s.sessionState.conf.numShufflePartitions)
+    // CollapseProject pushes a deterministic Project THROUGH a bare
+    // Repartition (to shuffle fewer bytes) — which would move the heavy
+    // map back below the exchange onto the single input partition,
+    // undoing the fan-out. An `observe` (CollectMetrics) node between
+    // the exchange and the projection is a fence no project-pushdown
+    // rule crosses; its count aggregate is a few ns per row.
+    df.repartition(n)
+      .observe(s"graft_fanout_${fanoutCtr.incrementAndGet()}",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+  }
+
   def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {

@@ -257,33 +257,65 @@ object Bm25 {
   def writePostingsLayout(docs: DataFrame, dir: String,
       targetRows: Long = PostingsTargetRows): Unit = {
     val spark = docs.sparkSession
-    val tf = docs.select(col("doc_id"),
+    // fan the doc scan out before the tokenize-explode (single-task on
+    // an unsplittable shard otherwise; the exploded token stream feeds
+    // the partial aggregation map-side, so parallelism here is the
+    // whole build's parallelism)
+    val tf = graft.Mat.fanout(docs).select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      writeTfSalted(tf, dfT, targetRows, s"$dir/tf")
-      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        .write.mode("overwrite").parquet(s"$dir/dl")
-      dfT.write.mode("overwrite").parquet(s"$dir/df")
-      spark.read.parquet(s"$dir/dl")
-        .agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"))
-        .write.mode("overwrite").parquet(s"$dir/tot")
-      certifyRange(spark, dir)
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      // materialize the shared postings cache once, then land the four
+      // derived tables + the range certificate as CONCURRENT actions
+      // (guide §2.6 — they are independent given tf; serially each
+      // write's commit+job latency was pure idle tail for the others)
+      tf.count()
+      concurrently(
+        () => writeTfSalted(tf, dfT, targetRows, s"$dir/tf"),
+        () => dl.write.mode("overwrite").parquet(s"$dir/dl"),
+        () => dfT.write.mode("overwrite").parquet(s"$dir/df"),
+        // corpus totals derive from the SAME persisted-tf lineage the
+        // dl table is written from (a read-back of the just-written
+        // file would scan identical rows)
+        () => dl.agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"))
+          .write.mode("overwrite").parquet(s"$dir/tot"),
+        () => certifyRangeOver(tf, dl, dfT))
     } finally tf.unpersist()
   }
 
-  /** Read a layout's extremes and run the Long-range certificate (one
-    * tiny aggregate per table — vocabulary/doc-count shaped, nothing
-    * corpus-sized). */
-  private def certifyRange(spark: SparkSession, dir: String): Unit = {
-    val tot = spark.read.parquet(s"$dir/tot").collect().head
-    val (bigT, bigN) = (tot.getLong(0), tot.getLong(1))
-    if (bigN == 0) return // empty corpus: nothing to score, nothing to wrap
-    val minDf = spark.read.parquet(s"$dir/df").agg(min("df")).head.getLong(0)
-    val maxTf = spark.read.parquet(s"$dir/tf").agg(max("tf")).head.getLong(0)
-    val maxDl = spark.read.parquet(s"$dir/dl").agg(max("dl")).head.getLong(0)
+  /** Run independent Spark actions concurrently and propagate the first
+    * failure. Small fixed pool: enough to overlap job/commit latencies,
+    * not enough to contend for executors (guide §2.6). */
+  private def concurrently(fs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try {
+      val futs = fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = f()
+      }))
+      futs.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
+  }
+
+  /** Long-range certificate over the layout's in-flight aggregates —
+    * ONE job (cross-joined 1-row aggregates over the persisted tf)
+    * instead of four read-back scans of the written tables; the rows
+    * written are these same DataFrames, so the certified extremes are
+    * the layout's. */
+  private def certifyRangeOver(tf: DataFrame, dl: DataFrame,
+      dfT: DataFrame): Unit = {
+    val row = dl.agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"),
+        max("dl").as("max_dl"))
+      .crossJoin(dfT.agg(min("df").as("min_df")))
+      .crossJoin(tf.agg(max("tf").as("max_tf")))
+      .collect().head
+    if (row.isNullAt(0) || row.getLong(1) == 0) return // empty corpus
+    val (bigT, bigN, maxDl) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (minDf, maxTf) = (row.getLong(3), row.getLong(4))
     assertLongRangeSafe((bigN - minDf) * 1000L / minDf, maxTf, maxDl, bigT, bigN)
   }
 
@@ -303,14 +335,15 @@ object Bm25 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      writeTfSalted(tf, dfT, targetRows, s"$dst/tf")
-      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        .write.mode("overwrite").parquet(s"$dst/dl")
-      dfT.write.mode("overwrite").parquet(s"$dst/df")
-      spark.read.parquet(s"$dst/dl")
-        .agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"))
-        .write.mode("overwrite").parquet(s"$dst/tot")
-      certifyRange(spark, dst)
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      tf.count()
+      concurrently(
+        () => writeTfSalted(tf, dfT, targetRows, s"$dst/tf"),
+        () => dl.write.mode("overwrite").parquet(s"$dst/dl"),
+        () => dfT.write.mode("overwrite").parquet(s"$dst/df"),
+        () => dl.agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"))
+          .write.mode("overwrite").parquet(s"$dst/tot"),
+        () => certifyRangeOver(tf, dl, dfT))
     } finally tf.unpersist()
   }
 
@@ -439,14 +472,15 @@ object Bm25 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      writeTfSalted(tf, dfT, targetRows, s"$dst/tf")
-      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        .write.mode("overwrite").parquet(s"$dst/dl")
-      dfT.write.mode("overwrite").parquet(s"$dst/df")
-      spark.read.parquet(s"$dst/dl")
-        .agg(coalesce(sum("dl"), lit(0L)).as("big_t"), count(lit(1)).as("big_n"))
-        .write.mode("overwrite").parquet(s"$dst/tot")
-      certifyRange(spark, dst)
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      tf.count()
+      concurrently(
+        () => writeTfSalted(tf, dfT, targetRows, s"$dst/tf"),
+        () => dl.write.mode("overwrite").parquet(s"$dst/dl"),
+        () => dfT.write.mode("overwrite").parquet(s"$dst/df"),
+        () => dl.agg(coalesce(sum("dl"), lit(0L)).as("big_t"), count(lit(1)).as("big_n"))
+          .write.mode("overwrite").parquet(s"$dst/tot"),
+        () => certifyRangeOver(tf, dl, dfT))
     } finally tf.unpersist()
   }
 

@@ -43,7 +43,12 @@ object Dedup {
       s"minhashNearDups: threshold $threshold below the banding's recall-1 " +
         s"floor $JaccardThreshold — use the lossless prefix-filter path " +
         "(prefixJaccardPairs) for low-threshold joins")
-    val base = docs.select(col(idCol).as("doc_id"), shingleHashes3(col(textCol)).as("sh"))
+    // fan the (unsplittable/coalesced) doc scan out BEFORE the shingle
+    // hash + 64-lane signature map — the per-row compute here dwarfs
+    // one raw-text exchange (guide §2.5; single-task scans otherwise
+    // serialize the whole hashing pass)
+    val base = graft.Mat.fanout(docs)
+      .select(col(idCol).as("doc_id"), shingleHashes3(col(textCol)).as("sh"))
     val sig = base.withColumn("sig", TextHashOps.minhashSigLong(col("sh"), NumHashes))
 
     // One row per (doc, band): key = xxhash64(band_idx, row slice).
@@ -88,7 +93,8 @@ object Dedup {
   val SimHashMaxHamming = 3
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    val base = docs.select(col(idCol).as("doc_id"), TextHashOps.simhash64(toks).as("sh64"))
+    val base = graft.Mat.fanout(docs)
+      .select(col(idCol).as("doc_id"), TextHashOps.simhash64(toks).as("sh64"))
     val chunks = array((0 until 4).map(b =>
       shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xffffL))): _*)
     val banded = base.select(col("doc_id"), col("sh64"), posexplode(chunks))
@@ -353,7 +359,7 @@ object Dedup {
   private[graft] def lshTradeoffOn(docs: DataFrame): DataFrame = {
     import graft.functions.TextHashOps
     val w = expr("filter(split(text, ' '), x -> x != '')")
-    val base = docs.select(col("doc_id"), w.as("w"))
+    val base = graft.Mat.fanout(docs).select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
@@ -583,7 +589,8 @@ object Dedup {
   val DecontamEvalMaxId = 20L
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     evalMaxId: Long = DecontamEvalMaxId): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), shingleHashes3(col(textCol)).as("sh"))
+    val base = graft.Mat.fanout(docs)
+      .select(col(idCol).as("doc_id"), shingleHashes3(col(textCol)).as("sh"))
     val evalSide = base.filter(col("doc_id") < evalMaxId)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("h"))
     val trainSide = base.filter(col("doc_id") >= evalMaxId)
@@ -987,7 +994,7 @@ object Dedup {
     // chain fully lazy for composed pipelines (pipeline_e2e's
     // no-driver-barrier contract) — the shingle pass then recomputes
     // per branch, which a 100 TB run would trade back to a persist.
-    val base0 = docs
+    val base0 = graft.Mat.fanout(docs)
       .select(col(idCol).as("doc_id"), explode(shingleStrings(textCol)).as("g"))
       .select(col("doc_id"), shiftrightunsigned(
         graft.functions.TextHashOps.md5Lower64(col("g")), 1).as("b"))

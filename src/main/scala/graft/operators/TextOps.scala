@@ -212,9 +212,12 @@ object TextOps {
   def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
     jaccardPrefixPairs(Tables.load(s, dir, "documents")).orderBy("doc_a", "doc_b")
 
-  /** Shingle sets (sorted distinct hashes) of the ≥3-token docs. */
+  /** Shingle sets (sorted distinct hashes) of the ≥3-token docs.
+    * Fanned out before the shingle-hash map (guide §2.5 — the scan is
+    * one task on a single-row-group shard; the md5 pass is the cost). */
   private[graft] def shingled(d0: DataFrame): DataFrame =
-    d0.filter(expr("size(filter(split(text, ' '), x -> x != '')) >= 3"))
+    graft.Mat.fanout(d0)
+      .filter(expr("size(filter(split(text, ' '), x -> x != '')) >= 3"))
       .select(col("doc_id"), col("source"), Dedup.shingleHashes3(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
 

@@ -35,7 +35,9 @@ object StreamingDedup {
     * key = xxhash64(band_idx, sig slice), combined with the band index
     * into one 64-bit bucket id. */
   def bandHits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = docs.select(col(idCol).cast("long").as("doc_id"),
+    // fan the (single-task) doc scan out before the 64-lane signature
+    // map — same guide §2.5 treatment as the batch minhash path
+    val sig = graft.Mat.fanout(docs).select(col(idCol).cast("long").as("doc_id"),
       TextHashOps.minhashSigLong(Dedup.shingleHashes3(col(textCol)), Dedup.NumHashes).as("sig"))
     sig.select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(Dedup.Bands - 1)),

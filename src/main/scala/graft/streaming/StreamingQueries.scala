@@ -28,20 +28,74 @@ object StreamingQueries {
   private val ctr = new java.util.concurrent.atomic.AtomicLong(0L)
   private def sinkName(p: String) = s"${p}_${ctr.incrementAndGet()}"
 
+  /** Streaming plans cannot use AQE (Spark disables it for stateful
+    * workloads), so the state/shuffle partition count is pinned at
+    * query start from the session conf — which is sized for batch
+    * corpus scans, not for a micro-batch. Every state partition costs
+    * a state-store instance whose per-trigger commit (delta file +
+    * fsync) is priced even when it holds three rows; a stream-stream
+    * join keeps FOUR stores per partition. Derive the partition count
+    * from the replayed input's actual row count instead (guide §2's
+    * scale-adaptive partitioning, done by hand because AQE can't):
+    * ceil(rows / rowsPerPartition), capped by the session's configured
+    * parallelism — a corpus-scale stream saturates the cap, a bounded
+    * request stream stops paying for empty state stores. Deployment
+    * knob: spark.graft.stream.rowsPerPartition (default 8192). */
+  private[graft] def streamStatePartitions(spark: SparkSession, nRows: Long): Int = {
+    val cap = spark.sessionState.conf.numShufflePartitions
+    val target = spark.conf.getOption("spark.graft.stream.rowsPerPartition")
+      .map(_.toLong).filter(_ > 0).getOrElse(8192L)
+    math.max(1L, math.min(cap.toLong, (nRows + target - 1) / target)).toInt
+  }
+
+  /** Run `body` (a streaming replay: start → addData/drain → stop) with
+    * `spark.sql.shuffle.partitions` set from the input size, restoring
+    * the session value after. The partition count is captured by the
+    * streaming query at start and recorded in its offset log, so the
+    * restore cannot race later triggers of the same query. */
+  private[graft] def withStreamPartitions[T](spark: SparkSession, nRows: Long)
+                                            (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    // A no-data micro-batch exists to fire watermark-driven emissions
+    // (append-mode window finalization, state timeouts). No replayed
+    // query here emits that way — complete-mode aggs re-emit on data,
+    // the keyed-state ops use NoTimeout + explicit poison rows, and the
+    // stream-stream join is inner (emits on match arrival; watermarks
+    // only bound state) — so the extra empty trigger after every
+    // addData batch is pure per-trigger overhead (plan + state commit
+    // across every partition). Disable it for the replay; the full
+    // dump diff (sf0.01, bit-exact) gates the claim.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    // Stash the pre-override parallelism so compute-dense replay plans
+    // (Mat.fanout inside a build) can still fan their map work out to
+    // the session's full width while STATE stays at the adaptive count.
+    val capKey = "spark.graft.stream.sessionParallelism"
+    val old = spark.conf.get(key)
+    val oldNd = spark.conf.get(ndKey)
+    spark.conf.set(capKey, old)
+    spark.conf.set(key, streamStatePartitions(spark, nRows).toString)
+    spark.conf.set(ndKey, "false")
+    try body finally {
+      spark.conf.set(key, old); spark.conf.set(ndKey, oldNd)
+      spark.conf.unset(capKey)
+    }
+  }
+
   /** Start `build`'s streaming query over a MemoryStream, feed the
     * chunks (one micro-batch each), drain, stop, and hand back the
     * memory sink's table. */
   private def drain[A: Encoder](spark: SparkSession, chunks: Seq[Seq[A]],
                                 mode: String, name: String)
-                               (build: Dataset[A] => DataFrame): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[A]
-    val q = build(input.toDS()).writeStream.format("memory")
-      .queryName(name).outputMode(mode).start()
-    try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
-    finally q.stop()
-    spark.table(name)
-  }
+                               (build: Dataset[A] => DataFrame): DataFrame =
+    withStreamPartitions(spark, chunks.iterator.map(_.size.toLong).sum) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[A]
+      val q = build(input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode(mode).start()
+      try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name)
+    }
 
   private[graft] def splitN[A](rows: Array[A], n: Int): Seq[Seq[A]] =
     rows.grouped(math.max(1, rows.length / n + 1)).map(_.toSeq).toSeq
@@ -110,7 +164,7 @@ object StreamingQueries {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
     val out = drain(s, split3(rows), "complete", sinkName("stream_cms")) { ds =>
-      ds.toDF("doc_id", "text")
+      graft.Mat.fanout(ds.toDF("doc_id", "text"))
         .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("word"))
         .select(shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
           concat(lit("cms:"), col("word"))), 1).as("b"))
@@ -142,7 +196,10 @@ object StreamingQueries {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
     val out = drain(s, split3(rows), "append", sinkName("stream_decontam")) { ds =>
-      ds.toDF("doc_id", "text")
+      // a MemoryStream batch is ONE partition; fan it out before the
+      // shingle+md5+bloom map or the whole flagging pass runs on one
+      // core per trigger (the map is the cost here, not state)
+      graft.Mat.fanout(ds.toDF("doc_id", "text"))
         .select(col("doc_id").as("train_id"),
           transform(Dedup.shingleStrings("text"), g =>
             shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(g), 1)).as("bs"))
@@ -484,14 +541,19 @@ object StreamingQueries {
     val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).map(_.toSeq).toSeq
     graft.Mat.withScratchDirs("stream_bm25_shards", "stream_bm25_merged") {
       case Seq(root, merged) =>
-        val input = MemoryStream[(Long, String)]
-        val q = input.toDS().toDF("doc_id", "text").writeStream
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            Bm25.writePostingsLayout(batch, s"$root/shard_$id")
-          }
-          .option("checkpointLocation", s"$root/_ckpt").start()
-        try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
-        finally q.stop()
+        // partition each shard build's shuffles by ITS batch size, not
+        // the session's corpus-scan constant (conf held across the
+        // whole replay, so foreachBatch plans under it)
+        withStreamPartitions(s, chunks.headOption.map(_.size.toLong).getOrElse(1L)) {
+          val input = MemoryStream[(Long, String)]
+          val q = input.toDS().toDF("doc_id", "text").writeStream
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              Bm25.writePostingsLayout(batch, s"$root/shard_$id")
+            }
+            .option("checkpointLocation", s"$root/_ckpt").start()
+          try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+          finally q.stop()
+        }
         // shard discovery via the Hadoop FileSystem API (same reason as
         // the IVF layout ops: the shard root is object-store territory
         // at scale; java.io.File would list nothing there). listStatus
@@ -858,7 +920,8 @@ object StreamingQueries {
     val cand = drain(s, split3(hits), "append", sinkName("stream_dedup")) { ds =>
       StreamingDedup.candidatePairs(ds).toDF()
     }.distinct()
-    val base = docs.select(col("doc_id"), Dedup.shingleHashes3(col("text")).as("sh"))
+    val base = graft.Mat.fanout(docs)
+      .select(col("doc_id"), Dedup.shingleHashes3(col("text")).as("sh"))
     broadcast(cand)
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -1114,26 +1177,30 @@ object StreamingQueries {
     graft.Mat.withScratchDirs("nsw_incr_corpus", "nsw_incr_ckpt",
       "nsw_incr_idx") { case Seq(out, ckpt, idxDir) =>
         var gen = -1
-        val input = MemoryStream[(Long, Seq[Double])]
-        val q = input.toDF().toDF("vec_id", "embedding").writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val assigned = IvfIndex.assign(batch, centroids)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              assigned.write.mode("append").partitionBy("centroid").parquet(out)
-              val touched = assigned.select("centroid").distinct()
-                .collect().map(_.getInt(0)).toSeq.sorted
-              val old =
-                if (gen < 0) HnswAnn.nswShards(assigned.limit(0))
-                else s.read.parquet(s"$idxDir/gen_$gen")
-              HnswAnn.incrementalShards(s, out, old, touched)
-                .write.mode("overwrite").parquet(s"$idxDir/gen_${gen + 1}")
-              gen += 1
-            } finally assigned.unpersist()
-          }
-          .option("checkpointLocation", ckpt).start()
-        try split3(vecs).foreach { c => input.addData(c: _*); q.processAllAvailable() }
-        finally q.stop()
+        // per-batch incremental fold: size its shuffles to the batch
+        // (conf held across the replay, so foreachBatch plans under it)
+        withStreamPartitions(s, vecs.length.toLong / 3 + 1) {
+          val input = MemoryStream[(Long, Seq[Double])]
+          val q = input.toDF().toDF("vec_id", "embedding").writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val assigned = IvfIndex.assign(batch, centroids)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                assigned.write.mode("append").partitionBy("centroid").parquet(out)
+                val touched = assigned.select("centroid").distinct()
+                  .collect().map(_.getInt(0)).toSeq.sorted
+                val old =
+                  if (gen < 0) HnswAnn.nswShards(assigned.limit(0))
+                  else s.read.parquet(s"$idxDir/gen_$gen")
+                HnswAnn.incrementalShards(s, out, old, touched)
+                  .write.mode("overwrite").parquet(s"$idxDir/gen_${gen + 1}")
+                gen += 1
+              } finally assigned.unpersist()
+            }
+            .option("checkpointLocation", ckpt).start()
+          try split3(vecs).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+          finally q.stop()
+        }
         val shards = s.read.parquet(s"$idxDir/gen_$gen")
         lastStreamNswIncrAdj = HnswAnn.adjFromShards(shards)
         val served = drain(s, qchunks, "update", sinkName("stream_nsw_incremental"))(
@@ -1515,26 +1582,43 @@ object StreamingQueries {
     * report's minus the n_distinct column. */
   def streamProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // (col_name, string value for hashing | null, numeric value | null)
+    // RAW event rows stream; the 4-cells-per-row expansion runs INSIDE
+    // each streaming plan (project-then-explode executor-side), so the
+    // driver feeds n rows instead of 4n pre-exploded tuples and the
+    // arrival stream carries event payloads, not per-cell copies. The
+    // converged complete-mode aggregates are chunking-invariant, so the
+    // drained grids are bit-identical to the pre-exploded arrival. The
+    // two profiling aggregations are INDEPENDENT queries over the same
+    // arrival order — they run CONCURRENTLY (two lockstep-fed inputs),
+    // overlapping their trigger work instead of replaying serially.
     val rows = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"),
         round(col("value") * 100).cast("long").as("value_cents"), col("event_type"))
       .as[(Long, Long, Long, String)].collect().sortBy(_._1)
-      .flatMap { case (eid, uid, vc, et) => Seq(
-        ("event_id", eid.toString, Option(eid)),
-        ("user_id", uid.toString, Option(uid)),
-        ("value_cents", vc.toString, Option(vc)),
-        ("event_type", et, Option.empty[Long]))
-      }
-    val base = drain(s, split3(rows), "complete", sinkName("stream_prof_base")) { ds =>
-      ds.toDF("col_name", "sv", "v")
+    def cells(df: DataFrame): DataFrame = df
+      .select(explode(array(
+        struct(lit("event_id").as("col_name"),
+          col("event_id").cast("string").as("sv"), col("event_id").as("v")),
+        struct(lit("user_id").as("col_name"),
+          col("user_id").cast("string").as("sv"), col("user_id").as("v")),
+        struct(lit("value_cents").as("col_name"),
+          col("value_cents").cast("string").as("sv"), col("value_cents").as("v")),
+        struct(lit("event_type").as("col_name"),
+          col("event_type").as("sv"), lit(null).cast("long").as("v"))))
+        .as("c"))
+      .select(col("c.col_name").as("col_name"), col("c.sv").as("sv"), col("c.v").as("v"))
+    val chunks = split3(rows)
+    val (baseName, gridName) = (sinkName("stream_prof_base"), sinkName("stream_prof_reg"))
+    withStreamPartitions(s, rows.length.toLong) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val inB = MemoryStream[(Long, Long, Long, String)]
+      val inG = MemoryStream[(Long, Long, Long, String)]
+      val qB = cells(inB.toDF().toDF("event_id", "user_id", "value_cents", "event_type"))
         .groupBy("col_name").agg(count(lit(1)).as("n_rows"),
           sum(when(col("sv").isNull, 1L).otherwise(0L)).as("n_null"),
           min(col("v")).as("min_long"), max(col("v")).as("max_long"))
-    }.as[(String, Long, Long, Option[Long], Option[Long])].collect().toSeq
-      .toDF("col_name", "n_rows", "n_null", "min_long", "max_long")
-    val grid = drain(s, split3(rows), "complete", sinkName("stream_prof_reg")) { ds =>
-      ds.toDF("col_name", "sv", "v")
+        .writeStream.format("memory").queryName(baseName).outputMode("complete").start()
+      val qG = cells(inG.toDF().toDF("event_id", "user_id", "value_cents", "event_type"))
         .filter(col("sv").isNotNull)
         .select(col("col_name"),
           shiftrightunsigned(graft.functions.TextHashOps.md5Lower64(
@@ -1544,7 +1628,16 @@ object StreamingQueries {
         .groupBy("col_name", "j")
         .agg(max(when(col("w") === 0L, 58L)
           .otherwise(lit(58L) - length(bin(col("w"))))).as("m"))
-    }.as[(String, Long, Long)].collect().toSeq
+        .writeStream.format("memory").queryName(gridName).outputMode("complete").start()
+      try chunks.foreach { c =>
+        inB.addData(c: _*); inG.addData(c: _*)
+        qB.processAllAvailable(); qG.processAllAvailable()
+      } finally { qB.stop(); qG.stop() }
+    }
+    val base = s.table(baseName)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect().toSeq
+      .toDF("col_name", "n_rows", "n_null", "min_long", "max_long")
+    val grid = s.table(gridName).as[(String, Long, Long)].collect().toSeq
       .toDF("event_type", "j", "m") // hllFinalize's group key name
     val est = Sketches.hllFinalize(s, grid)
       .select(col("event_type").as("col_name"), col("est_hll"))
