@@ -36,6 +36,23 @@ object Mat {
     * the input-derived STATE partition count (sized for state-store
     * commit cost, not for map compute), so the pre-override parallelism
     * is read from the stash withStreamPartitions leaves. */
+  /** Run independent Spark actions concurrently and propagate the first
+    * failure. Small fixed pool: enough to overlap job/commit latencies,
+    * not enough to contend for executors (guide §2.6). Shared inputs
+    * must be materialized (persist + count / checkpoint) BEFORE the
+    * concurrent section so the branches read, not race to compute. */
+  def concurrently(fs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try {
+      val futs = fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = f()
+      }))
+      futs.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
+  }
+
   private val fanoutCtr = new java.util.concurrent.atomic.AtomicLong(0L)
   def fanout(df: DataFrame): DataFrame = {
     val s = df.sparkSession

@@ -273,7 +273,7 @@ object Bm25 {
       // (guide §2.6 — they are independent given tf; serially each
       // write's commit+job latency was pure idle tail for the others)
       tf.count()
-      concurrently(
+      graft.Mat.concurrently(
         () => writeTfSalted(tf, dfT, targetRows, s"$dir/tf"),
         () => dl.write.mode("overwrite").parquet(s"$dir/dl"),
         () => dfT.write.mode("overwrite").parquet(s"$dir/df"),
@@ -286,20 +286,6 @@ object Bm25 {
     } finally tf.unpersist()
   }
 
-  /** Run independent Spark actions concurrently and propagate the first
-    * failure. Small fixed pool: enough to overlap job/commit latencies,
-    * not enough to contend for executors (guide §2.6). */
-  private def concurrently(fs: (() => Unit)*): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
-    try {
-      val futs = fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
-        override def call(): Unit = f()
-      }))
-      futs.foreach(_.get())
-    } catch {
-      case e: java.util.concurrent.ExecutionException => throw e.getCause
-    } finally pool.shutdown()
-  }
 
   /** Long-range certificate over the layout's in-flight aggregates —
     * ONE job (cross-joined 1-row aggregates over the persisted tf)
@@ -337,7 +323,7 @@ object Bm25 {
       val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       tf.count()
-      concurrently(
+      graft.Mat.concurrently(
         () => writeTfSalted(tf, dfT, targetRows, s"$dst/tf"),
         () => dl.write.mode("overwrite").parquet(s"$dst/dl"),
         () => dfT.write.mode("overwrite").parquet(s"$dst/df"),
@@ -474,7 +460,7 @@ object Bm25 {
       val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       tf.count()
-      concurrently(
+      graft.Mat.concurrently(
         () => writeTfSalted(tf, dfT, targetRows, s"$dst/tf"),
         () => dl.write.mode("overwrite").parquet(s"$dst/dl"),
         () => dfT.write.mode("overwrite").parquet(s"$dst/df"),

@@ -221,7 +221,10 @@ object Dedup {
         .distinct()
       val next = ss.unionAll(ss.select(col("v").as("u"), col("u").as("v"))).distinct()
         .localCheckpoint(true)
-      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // one action for the fixpoint test: the symmetric multiset
+      // difference is empty iff the edge sets are equal (two separate
+      // isEmpty jobs doubled the per-round driver round-trips)
+      done = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
       edges = next
       rounds += 1
     }
@@ -393,7 +396,26 @@ object Dedup {
     // dedup_substring's raw-string twin.
     val truth = prefixTruthPairs(base).localCheckpoint(false)
     val nTrue = truth.count()
-    val rows = LshConfigs.map { case (bands, r) =>
+    // materialize the shared signature checkpoint, then evaluate the
+    // three band shapes CONCURRENTLY (guide §2.6) — each is a pair of
+    // small jobs over the same checkpointed lanes/truth, and serially
+    // each pair's latency was idle tail for the other two
+    lanes.count()
+    val rows = new Array[(String, Long, Long, Long, Long, Long)](LshConfigs.size)
+    graft.Mat.concurrently(LshConfigs.zipWithIndex.map { case ((bands, r), i) =>
+      () => rows(i) = lshConfigRow(lanes, truth, nTrue, bands, r)
+    }: _*)
+    docs.sparkSession.createDataFrame(rows.toSeq)
+      .toDF("config", "n_cand", "n_true", "n_hit", "recall_ppm", "precision_ppm")
+      .orderBy("config")
+    // every count above has run — the result is driver-side rows, so
+    // the shingle cache releases instead of leaking for the session
+    } finally base.unpersist(blocking = false)
+  }
+
+  private def lshConfigRow(lanes: DataFrame, truth: DataFrame, nTrue: Long,
+      bands: Int, r: Int): (String, Long, Long, Long, Long, Long) = {
+    {
       // band bucket key: the 63-bit md5 of the lane-ordered signature
       // slice (the engine's standing hash basis) — shuffling one long
       // per (doc, band) instead of an r-lane decimal string (~10×
@@ -416,12 +438,6 @@ object Dedup {
         if (nTrue > 0) nHit * 1000000L / nTrue else 0L,
         if (nCand > 0) nHit * 1000000L / nCand else 0L)
     }
-    docs.sparkSession.createDataFrame(rows)
-      .toDF("config", "n_cand", "n_true", "n_hit", "recall_ppm", "precision_ppm")
-      .orderBy("config")
-    // every count above has run — the result is driver-side rows, so
-    // the shingle cache releases instead of leaking for the session
-    } finally base.unpersist(blocking = false)
   }
 
   val dedupLshTradeoffSql: String = {

@@ -97,6 +97,38 @@ object StreamingQueries {
       spark.table(name)
     }
 
+  /** Run TWO independent replays concurrently (guide §2.6 — their
+    * triggers interleave on the scheduler instead of replaying
+    * serially; a serve stack's dense and sparse tiers are exactly this
+    * shape). Each stream keeps its own chunk boundaries, so each
+    * stream's state evolution — and thus its drained table — is
+    * identical to two sequential drain() calls. */
+  private def drain2[A: Encoder, B: Encoder](spark: SparkSession,
+      a: (Seq[Seq[A]], String, String, Dataset[A] => DataFrame),
+      b: (Seq[Seq[B]], String, String, Dataset[B] => DataFrame))
+      : (DataFrame, DataFrame) = {
+    val rows = math.max(a._1.iterator.map(_.size.toLong).sum,
+      b._1.iterator.map(_.size.toLong).sum)
+    withStreamPartitions(spark, rows) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val inA = MemoryStream[A]
+      val inB = MemoryStream[B]
+      val qA = a._4(inA.toDS()).writeStream.format("memory")
+        .queryName(a._3).outputMode(a._2).start()
+      val qB = b._4(inB.toDS()).writeStream.format("memory")
+        .queryName(b._3).outputMode(b._2).start()
+      try {
+        val n = math.max(a._1.size, b._1.size)
+        for (i <- 0 until n) {
+          a._1.lift(i).foreach(c => inA.addData(c: _*))
+          b._1.lift(i).foreach(c => inB.addData(c: _*))
+          qA.processAllAvailable(); qB.processAllAvailable()
+        }
+      } finally { qA.stop(); qB.stop() }
+      (spark.table(a._3), spark.table(b._3))
+    }
+  }
+
   private[graft] def splitN[A](rows: Array[A], n: Int): Seq[Seq[A]] =
     rows.grouped(math.max(1, rows.length / n + 1)).map(_.toSeq).toSeq
 
@@ -1177,9 +1209,12 @@ object StreamingQueries {
     graft.Mat.withScratchDirs("nsw_incr_corpus", "nsw_incr_ckpt",
       "nsw_incr_idx") { case Seq(out, ckpt, idxDir) =>
         var gen = -1
-        // per-batch incremental fold: size its shuffles to the batch
-        // (conf held across the replay, so foreachBatch plans under it)
-        withStreamPartitions(s, vecs.length.toLong / 3 + 1) {
+        // NOT wrapped in withStreamPartitions: the per-batch fold's
+        // cost is the per-BUCKET graph rebuild (nswShards groupBy
+        // centroid), so its parallelism must stay at bucket width —
+        // row-count-derived state partitions would serialize the
+        // builds into one task (measured: 5.5 → 7.7 s)
+        locally {
           val input = MemoryStream[(Long, Seq[Double])]
           val q = input.toDF().toDF("vec_id", "embedding").writeStream
             .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1295,9 +1330,6 @@ object StreamingQueries {
       .as[(Long, Seq[String])].collect().sortBy(_._1)
     def half[A](xs: Array[A]): Seq[Seq[A]] =
       xs.grouped(math.max(1, xs.length / 2)).map(_.toSeq).toSeq
-    val vecOut = drain(s, half(qv), "update", sinkName("stream_hybrid_vec"))(
-      knnServe(corpus, Bm25.TopN))
-      .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
     // the sparse tier serves the SAME shared at-rest postings layout
     // as the graded batch family (built once per corpus per JVM) — a
     // serving deployment has one index, not one per consumer
@@ -1306,8 +1338,16 @@ object StreamingQueries {
     val dl = s.read.parquet(s"$idx/dl")
     val dfT = s.read.parquet(s"$idx/df")
     val tot = s.read.parquet(s"$idx/tot").collect().head
-    val bmOut = drain(s, half(qt), "append", sinkName("stream_hybrid_bm"))(
-      bm25Serve(tf, dl, dfT, tot.getLong(0), tot.getLong(1), Bm25.TopN))
+    // the two tiers are independent request paths over the same
+    // arrivals — replay them CONCURRENTLY (drain2), not back-to-back
+    val (vecT, bmT) = drain2(s,
+      (half(qv), "update", sinkName("stream_hybrid_vec"),
+        knnServe(corpus, Bm25.TopN) _),
+      (half(qt), "append", sinkName("stream_hybrid_bm"),
+        bm25Serve(tf, dl, dfT, tot.getLong(0), tot.getLong(1), Bm25.TopN) _))
+    val vecOut = vecT
+      .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
+    val bmOut = bmT
       .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
     graft.Mat.detach(Bm25.fuseRrf(vecOut, bmOut))
   }
@@ -1351,11 +1391,18 @@ object StreamingQueries {
     def half[A](xs: Array[A]): Seq[Seq[A]] =
       xs.grouped(math.max(1, xs.length / 2)).map(_.toSeq).toSeq
     // dense tier: streaming candidate generation off the coded layout
-    // (code-only scan in the probed partitions), batch rerank at TopN
+    // (code-only scan in the probed partitions), batch rerank at TopN.
+    // The dense and sparse tiers are independent request paths over the
+    // same arrivals — replayed CONCURRENTLY (drain2, guide §2.6).
     val codes = idx.coded.select(col("vec_id"), col("code"),
       col("centroid").cast("int").as("centroid"))
-    val cands = drain(s, half(qv), "update", sinkName("stream_serve_dense"))(
-      codedServe(codes, centroids, BinaryQuant.IvfNprobe, BinaryQuant.RerankR))
+    val totRow = idx.tot.collect().head
+    val (cands, bmT) = drain2(s,
+      (half(qv), "update", sinkName("stream_serve_dense"),
+        codedServe(codes, centroids, BinaryQuant.IvfNprobe, BinaryQuant.RerankR) _),
+      (half(qt), "append", sinkName("stream_serve_bm"),
+        bm25Serve(idx.tf, idx.dl, idx.dfT,
+          totRow.getLong(0), totRow.getLong(1), Bm25.TopN) _))
     val qvDf = emb.filter(col("vec_id") < Bm25.NQueriesB)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qv"))
@@ -1379,9 +1426,8 @@ object StreamingQueries {
       .select(col("qid"), col("vec_id").as("id"), col("rank").as("vec_rank"))
     lastStreamServeRerank = vec // stashed so the spec can census the pruned plan
     // sparse tier: online-terms streaming BM25 over the shared layout
-    val tot = idx.tot.collect().head
-    val bmOut = drain(s, half(qt), "append", sinkName("stream_serve_bm"))(
-      bm25Serve(idx.tf, idx.dl, idx.dfT, tot.getLong(0), tot.getLong(1), Bm25.TopN))
+    // (drained above, concurrently with the dense tier)
+    val bmOut = bmT
       .select(col("qid"), col("doc_id").as("id"), col("rank").as("bm25_rank"))
     // fusion: the same RRF arithmetic over the two bounded drained lists
     val fusedRows = Bm25.fuseRrf(vec, bmOut)
