@@ -21,6 +21,71 @@ object Mat {
     df.sparkSession.createDataFrame(rows, df.schema)
   }
 
+  /** Run independent Spark actions concurrently and propagate the first
+    * failure. Small fixed pool: enough to overlap job/commit latencies,
+    * not enough to contend for executors (guide §2.6). Shared inputs
+    * must be materialized (persist + count / checkpoint) BEFORE the
+    * concurrent section so the branches read, not race to compute.
+    * On failure the outstanding siblings are cancelled and awaited so
+    * the caller's cleanup (finally unpersist/delete) never races a
+    * still-running branch. */
+  def concurrently(fs: (() => Unit)*): Unit = {
+    if (fs.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    val futs = fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+      override def call(): Unit = f()
+    }))
+    try {
+      futs.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException =>
+        futs.foreach(_.cancel(true))
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw e.getCause
+    } finally pool.shutdown()
+  }
+
+  /** Shuffle-partition count for an iterative loop, derived from the
+    * loop's MATERIALIZED working-set row count instead of the session's
+    * corpus-scan constant (guide §2: scale-adaptive partitioning, done
+    * by hand because a superstep's per-round exchanges are tiny-task
+    * overhead AQE's coalescing floor never shrinks below the session
+    * parallelism). ceil(rows / rowsPerPartition) capped at the session
+    * parallelism: a corpus-scale graph saturates the cap, a small
+    * component/kNN graph stops paying 32 state-of-nothing tasks per
+    * round. Deployment knob: spark.graft.loop.rowsPerPartition
+    * (default 8192 rows per shuffle partition — the streaming
+    * replay's measured sweet spot for row-shaped state). */
+  def loopPartitions(spark: org.apache.spark.sql.SparkSession, nRows: Long): Int = {
+    val cap = spark.sessionState.conf.numShufflePartitions
+    val target = spark.conf.getOption("spark.graft.loop.rowsPerPartition")
+      .map(_.toLong).filter(_ > 0).getOrElse(8192L)
+    math.max(1L, math.min(cap.toLong, (nRows + target - 1) / target)).toInt
+  }
+
+  /** Run an iterative loop body with `spark.sql.shuffle.partitions`
+    * sized by loopPartitions, restoring the session value after. The
+    * body must MATERIALIZE its result before returning (eager
+    * localCheckpoint / per-round actions): a plan left lazy executes
+    * under the caller's restored conf and gains nothing. Nested calls
+    * are a pass-through — the outer scope's sizing (from the larger,
+    * enclosing working set) stays in force; sequential calls are the
+    * supported composition. NOT safe from concurrent branches (the
+    * conf is session-global) — Mat.concurrently callers must size
+    * partitions before the concurrent section. */
+  def withLoopPartitions[T](spark: org.apache.spark.sql.SparkSession, nRows: Long)
+                           (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val stash = "spark.graft.loop.outerPartitions"
+    if (spark.conf.getOption(stash).isDefined) return body
+    val old = spark.conf.get(key)
+    spark.conf.set(stash, old)
+    spark.conf.set(key, loopPartitions(spark, nRows).toString)
+    try body finally { spark.conf.set(key, old); spark.conf.unset(stash) }
+  }
+
+  private val fanoutCtr = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Fan a compute-dense input out to the session's full parallelism
     * BEFORE its heavy projection. Small or unsplittable inputs (a
     * single-row-group parquet shard, a MemoryStream batch, an
@@ -36,27 +101,10 @@ object Mat {
     * the input-derived STATE partition count (sized for state-store
     * commit cost, not for map compute), so the pre-override parallelism
     * is read from the stash withStreamPartitions leaves. */
-  /** Run independent Spark actions concurrently and propagate the first
-    * failure. Small fixed pool: enough to overlap job/commit latencies,
-    * not enough to contend for executors (guide §2.6). Shared inputs
-    * must be materialized (persist + count / checkpoint) BEFORE the
-    * concurrent section so the branches read, not race to compute. */
-  def concurrently(fs: (() => Unit)*): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
-    try {
-      val futs = fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
-        override def call(): Unit = f()
-      }))
-      futs.foreach(_.get())
-    } catch {
-      case e: java.util.concurrent.ExecutionException => throw e.getCause
-    } finally pool.shutdown()
-  }
-
-  private val fanoutCtr = new java.util.concurrent.atomic.AtomicLong(0L)
   def fanout(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val n = s.conf.getOption("spark.graft.stream.sessionParallelism")
+      .orElse(s.conf.getOption("spark.graft.loop.outerPartitions"))
       .map(_.toInt).filter(_ > 0)
       .getOrElse(s.sessionState.conf.numShufflePartitions)
     // CollapseProject pushes a deterministic Project THROUGH a bare

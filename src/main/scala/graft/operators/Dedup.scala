@@ -128,7 +128,8 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    if (edges.count() <= CcDriverEdgeLimit) {
+    val nEdges = edges.count()
+    if (nEdges <= CcDriverEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()
@@ -148,6 +149,9 @@ object Dedup {
       val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       return spark.createDataFrame(out).toDF("doc_id", "canonical_id").orderBy("doc_id")
     }
+    // loop shuffles sized from the materialized edge count, not the
+    // session's corpus-scan constant (guide §2 — the superstep template)
+    graft.Mat.withLoopPartitions(pairs.sparkSession, nEdges) {
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("comp", col("id"))
     var changed = 1L
@@ -174,7 +178,10 @@ object Dedup {
       s"connectedComponents: min-label propagation did not converge in $rounds rounds " +
         s"($changed labels still moving) — component diameter exceeds the cap; " +
         "use ccLargeStar (O(log n) rounds at any diameter) for this graph")
+    // labels is checkpointed per round, so only this trivial projection
+    // runs outside the loop-partition scope
     labels.select(col("id").as("doc_id"), col("comp").as("canonical_id")).orderBy("doc_id")
+    }
   }
 
   /** Connected components via LARGE-STAR / SMALL-STAR (Kiveris et al.,
@@ -201,6 +208,12 @@ object Dedup {
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
     var edges = sym0.localCheckpoint(true)
+    // every round's exchanges (groupBy min, star joins, distinct,
+    // exceptAll fixpoint test) sized from the materialized edge count
+    // (guide §2): at 32 session partitions a small pair graph paid
+    // ~40 near-empty tasks per round across ~6 rounds
+    val nEdges = edges.count()
+    graft.Mat.withLoopPartitions(pairs.sparkSession, nEdges) {
     var rounds = 0
     var done = false
     // O(log n) alternations suffice (SoCC'14 Thm 3); 60 is headroom,
@@ -210,9 +223,13 @@ object Dedup {
       val mL = edges.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
       val ls = edges.join(mL, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")).filter(col("u") =!= col("v"))
-      // small-star on the large-star output (symmetrized)
+      // small-star on the large-star output (symmetrized). LAZY
+      // checkpoint: lsSym is referenced three times in `next`'s plan
+      // (min-aggregate + two star joins) — the lazy form shares one
+      // evaluation and truncates lineage WITHOUT scheduling its own
+      // job, so a round costs 2 actions (next + fixpoint test), not 3
       val lsSym = ls.unionAll(ls.select(col("v").as("u"), col("u").as("v"))).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val mS = lsSym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
       val ss = lsSym.join(mS, "u").filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v")).filter(col("u") =!= col("v"))
@@ -229,9 +246,12 @@ object Dedup {
       rounds += 1
     }
     // stars rooted at component minima: canonical = min neighbor ∪ self
+    // (eager checkpoint: the final aggregate runs under the loop conf)
     edges.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("canonical_id"))
       .select(col("u").as("doc_id"), col("canonical_id"))
+      .localCheckpoint(true)
       .orderBy("doc_id")
+    }
   }
 
   def dedupClustersLargestar(s: SparkSession, dir: String): DataFrame =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.OracleSql
+import graft.{Mat, OracleSql}
 
 /** PageRank over the exact k-NN similarity graph — graph centrality
   * for data curation (Page et al. 1999).
@@ -68,6 +68,13 @@ object GraphRank {
     * 10 edges: driver-side detach 271 s → per-iteration checkpoints
     * 33 s → partitioned edge cache 13 s. On a cluster the same role is
     * played by checkpoint()/persist per superstep. */
+  /** Deliberately NOT wrapped in Mat.withLoopPartitions: with no
+    * mid-loop action (small graphs take the single-action lazy path,
+    * big graphs size to the cap anyway) the wrapper would need a forced
+    * final materialization, and that was MEASURED to regress the
+    * single-action form 0.35 → 0.82 s at sf0.1 (+4 driver round-trips
+    * outweigh 32→3-task stage savings). canonicalRank evaluates this
+    * same lazy chain inside its own loop scope instead. */
   def pagerankOverEdges(rawEdges: DataFrame, outDeg: Int): DataFrame = {
     // edges CACHED pre-partitioned on the join key: every iteration's
     // edge⋈rank join reuses this one exchange and only the (node-count
@@ -167,6 +174,8 @@ object GraphRank {
       .select(col("id").as("vec_id"), col("ppr_scaled"))
       .orderBy("vec_id")
 
+  /** Same single-action shape as pagerankOverEdges — same reason it is
+    * not wrapped in Mat.withLoopPartitions (see there). */
   def pprOverEdges(rawEdges: DataFrame, outDeg: Int, seedsBelow: Long): DataFrame = {
     val parts = rawEdges.sparkSession.sessionState.conf.numShufflePartitions
     val edges = rawEdges.repartition(parts, col("src"))
@@ -225,20 +234,33 @@ object GraphRank {
     * the components, the rank), composed here into one statement on
     * both engines. */
   def canonicalRank(s: SparkSession, dir: String): DataFrame = {
+    // the compute-dense pair scoring and the CC materialize OUTSIDE the
+    // loop scope (full session parallelism for the n² similarity pass);
+    // the pagerank iterations + window/joins — all sized by the kNN
+    // edge count — evaluate INSIDE it (guide §2: superstep shuffles
+    // sized from the working set, not the session's corpus constant)
     val pairs = TextOps.dedupEmbedding(s, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val cc = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("canonical_id").as("comp"))
-    val pr = pagerank(s, dir)
-    val j = cc.join(pr, "vec_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("comp").orderBy(col("pr_scaled").desc, col("vec_id").asc)
-    val canon = j.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("comp"), col("vec_id").as("canonical_id"))
-    j.join(canon, "comp")
-      .select(col("vec_id"), col("comp"), col("canonical_id"), col("pr_scaled"))
-      .orderBy("vec_id")
+    val edges = sharedEdges(s, dir)
+    Mat.withLoopPartitions(s, edges.count()) {
+      val pr = pagerank(s, dir)
+      // j embeds the whole pagerank iteration chain and is referenced
+      // twice (canon + the final join) — LAZY checkpoint shares one
+      // evaluation without scheduling its own job
+      val j = cc.join(pr, "vec_id").localCheckpoint(false)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp").orderBy(col("pr_scaled").desc, col("vec_id").asc)
+      val canon = j.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("comp"), col("vec_id").as("canonical_id"))
+      // eager: the pagerank chain and both joins execute here, under
+      // the loop-sized conf
+      j.join(canon, "comp")
+        .select(col("vec_id"), col("comp"), col("canonical_id"), col("pr_scaled"))
+        .localCheckpoint(true)
+    }.orderBy("vec_id")
   }
 
   val canonicalRankSql: String =
@@ -295,10 +317,13 @@ object GraphRank {
       .orderBy("vec_id")
 
   def hitsOverEdges(rawEdges: DataFrame): DataFrame = {
+    val nEdges = rawEdges.count()
+    Mat.withLoopPartitions(rawEdges.sparkSession, nEdges) {
     val parts = rawEdges.sparkSession.sessionState.conf.numShufflePartitions
     val edges = rawEdges.repartition(parts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val big = edges.count() > 1000000L
+    try {
+    val big = nEdges > 1000000L
     def step(df: DataFrame): DataFrame = if (big) df.localCheckpoint(true) else df
     val nodes = step(edges.select(col("src").as("id")).distinct())
     // one half-step: raw in-sums over `key` (dst for auth, src for hub),
@@ -328,6 +353,9 @@ object GraphRank {
     }
     nodes.join(hub.withColumnRenamed("r", "hub_scaled"), "id")
       .join(auth.withColumnRenamed("r", "auth_scaled"), "id")
+      .localCheckpoint(true)
+    } finally edges.unpersist(blocking = false)
+    }
   }
 
   val hitsSql: String = {
@@ -541,9 +569,12 @@ object GraphRank {
 
   private[graft] def kcoreOverEdges(rawEdges: DataFrame): DataFrame = {
     val ss = rawEdges.sparkSession
+    val nEdges = rawEdges.count()
+    Mat.withLoopPartitions(ss, nEdges) {
     val und0 = rawEdges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val nodes0 = und0.select(col("u").as("id")).union(und0.select(col("v").as("id")))
       .distinct()
     val deg0 = nodes0.join(
@@ -592,6 +623,9 @@ object GraphRank {
     deg0.join(peeled, Seq("id"), "left")
       .select(col("id").as("vec_id"), col("deg0"),
         coalesce(col("peel_round"), lit(0L)).as("peel_round"))
+      .localCheckpoint(true)
+    } finally und0.unpersist(blocking = false)
+    }
   }
 
   val kcoreSql: String = {
@@ -644,11 +678,14 @@ object GraphRank {
 
   private[graft] def lpaOverEdges(rawEdges: DataFrame,
                                   rounds: Int = LpaT): DataFrame = {
+    val nEdges = rawEdges.count()
+    Mat.withLoopPartitions(rawEdges.sparkSession, nEdges) {
     val und = rawEdges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
     val adj = und.select(col("u").as("id"), col("v").as("nb"))
       .union(und.select(col("v").as("id"), col("u").as("nb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val nodes = adj.select("id").distinct().localCheckpoint(false)
     var lab = nodes.withColumn("lab", col("id"))
     for (_ <- 1 to rounds) {
@@ -661,6 +698,9 @@ object GraphRank {
         .localCheckpoint(false)
     }
     lab.select(col("id").as("vec_id"), col("lab").as("comm"))
+      .localCheckpoint(true)
+    } finally adj.unpersist(blocking = false)
+    }
   }
 
   val lpaSql: String = {
@@ -700,11 +740,14 @@ object GraphRank {
       .orderBy("vec_id")
 
   private[graft] def bfsOverEdges(rawEdges: DataFrame, seedsBelow: Long): DataFrame = {
+    val nEdges = rawEdges.count()
+    Mat.withLoopPartitions(rawEdges.sparkSession, nEdges) {
     val und = rawEdges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
     val adj = und.select(col("u").as("id"), col("v").as("nb"))
       .union(und.select(col("v").as("id"), col("u").as("nb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val nodes = adj.select("id").distinct().localCheckpoint(false)
     var dist = nodes.withColumn("dist",
       when(col("id") < seedsBelow, lit(0L)))
@@ -718,6 +761,9 @@ object GraphRank {
         .localCheckpoint(false)
     }
     dist.select(col("id").as("vec_id"), col("dist"))
+      .localCheckpoint(true)
+    } finally adj.unpersist(blocking = false)
+    }
   }
 
   val bfsLevelsSql: String = {
