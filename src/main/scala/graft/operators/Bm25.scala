@@ -255,35 +255,50 @@ object Bm25 {
     * again. Build-time certificate: the integer-scoring Long range is
     * asserted against this corpus's actual extremes. */
   def writePostingsLayout(docs: DataFrame, dir: String,
-      targetRows: Long = PostingsTargetRows): Unit = {
-    val spark = docs.sparkSession
-    // fan the doc scan out before the tokenize-explode (single-task on
-    // an unsplittable shard otherwise; the exploded token stream feeds
-    // the partial aggregation map-side, so parallelism here is the
-    // whole build's parallelism)
-    val tf = graft.Mat.fanout(docs).select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      targetRows: Long = PostingsTargetRows, certify: Boolean = true): Unit = {
+    val tf = postingsTf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      // materialize the shared postings cache once, then land the four
-      // derived tables + the range certificate as CONCURRENT actions
-      // (guide §2.6 — they are independent given tf; serially each
-      // write's commit+job latency was pure idle tail for the others)
+      // materialize the shared postings cache once, then land the
+      // derived tables as concurrent actions
       tf.count()
-      graft.Mat.concurrently(
-        () => writeTfSalted(tf, dfT, targetRows, s"$dir/tf"),
-        () => dl.write.mode("overwrite").parquet(s"$dir/dl"),
-        () => dfT.write.mode("overwrite").parquet(s"$dir/df"),
-        // corpus totals derive from the SAME persisted-tf lineage the
-        // dl table is written from (a read-back of the just-written
-        // file would scan identical rows)
-        () => dl.agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"))
-          .write.mode("overwrite").parquet(s"$dir/tot"),
-        () => certifyRangeOver(tf, dl, dfT))
+      writePostingsFromTf(tf, dir, targetRows, certify)
     } finally tf.unpersist()
+  }
+
+  /** The tokenize pass → (doc_id, word, tf) postings. Fans the doc
+    * scan out before the tokenize-explode (single-task on an
+    * unsplittable shard otherwise; the exploded token stream feeds the
+    * partial aggregation map-side, so parallelism here is the whole
+    * build's parallelism). */
+  private[graft] def postingsTf(docs: DataFrame): DataFrame =
+    graft.Mat.fanout(docs).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
+  /** Land the four derived tables (+ optionally the range certificate)
+    * from an already-MATERIALIZED tf (persisted-and-counted or
+    * checkpointed — the branches must read, not race to compute) as
+    * CONCURRENT actions (guide §2.6 — they are independent given tf;
+    * serially each write's commit+job latency was pure idle tail for
+    * the others). A shard build inside a multi-writer ingest passes
+    * certify=false: only the MERGED layout is the served one there,
+    * and it re-certifies over the merged extremes at merge time. */
+  private[graft] def writePostingsFromTf(tf: DataFrame, dir: String,
+      targetRows: Long = PostingsTargetRows, certify: Boolean = true): Unit = {
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val acts = Seq[() => Unit](
+      () => writeTfSalted(tf, dfT, targetRows, s"$dir/tf"),
+      () => dl.write.mode("overwrite").parquet(s"$dir/dl"),
+      () => dfT.write.mode("overwrite").parquet(s"$dir/df"),
+      // corpus totals derive from the SAME materialized-tf lineage the
+      // dl table is written from (a read-back of the just-written
+      // file would scan identical rows)
+      () => dl.agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"))
+        .write.mode("overwrite").parquet(s"$dir/tot")) ++
+      (if (certify) Seq(() => certifyRangeOver(tf, dl, dfT)) else Nil)
+    graft.Mat.concurrently(acts: _*)
   }
 
 
@@ -316,21 +331,21 @@ object Bm25 {
     * merge is where hot-word postings grow largest). */
   def mergePostingsLayouts(spark: SparkSession, shardDirs: Seq[String],
       dst: String, targetRows: Long = PostingsTargetRows): Unit = {
-    val tf = shardDirs.map(d => spark.read.parquet(s"$d/tf")).reduce(_ unionByName _)
-      .groupBy("doc_id", "word").agg(sum("tf").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      tf.count()
-      graft.Mat.concurrently(
-        () => writeTfSalted(tf, dfT, targetRows, s"$dst/tf"),
-        () => dl.write.mode("overwrite").parquet(s"$dst/dl"),
-        () => dfT.write.mode("overwrite").parquet(s"$dst/df"),
-        () => dl.agg(sum("dl").as("big_t"), count(lit(1)).as("big_n"))
-          .write.mode("overwrite").parquet(s"$dst/tot"),
-        () => certifyRangeOver(tf, dl, dfT))
-    } finally tf.unpersist()
+    val un = shardDirs.map(d => spark.read.parquet(s"$d/tf")).reduce(_ unionByName _)
+    // size the whole merge's shuffles from the shard postings count
+    // (guide §2; a cheap footer-driven count — for disjoint doc slices
+    // it EQUALS the merged count, and it bounds it otherwise), so the
+    // merged tf persists at the loop width and every concurrent
+    // derived-table action scans that many cached partitions instead
+    // of the session's corpus-scan constant
+    graft.Mat.withLoopPartitions(spark, un.count()) {
+      val tf = un.groupBy("doc_id", "word").agg(sum("tf").as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        tf.count()
+        writePostingsFromTf(tf, dst, targetRows)
+      } finally tf.unpersist()
+    }
   }
 
   /** Serve directly over a SET of shard layouts — the live view of a

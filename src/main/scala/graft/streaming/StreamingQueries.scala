@@ -578,13 +578,43 @@ object StreamingQueries {
         // whole replay, so foreachBatch plans under it)
         withStreamPartitions(s, chunks.headOption.map(_.size.toLong).getOrElse(1L)) {
           val input = MemoryStream[(Long, String)]
-          val q = input.toDS().toDF("doc_id", "text").writeStream
-            .foreachBatch { (batch: DataFrame, id: Long) =>
-              Bm25.writePostingsLayout(batch, s"$root/shard_$id")
+          // the trigger itself only tokenizes and MATERIALIZES the
+          // shard's tf (the eager checkpoint pins the batch's rows);
+          // the four derived-table writes land ASYNC so their
+          // job+commit tail overlaps the NEXT trigger (guide §2.6 —
+          // independent jobs back-fill the executor idle time). Shard
+          // certificates are skipped: the merged layout is the one
+          // served here, and mergePostingsLayouts re-certifies over
+          // the merged extremes. All writes are awaited before the
+          // merge reads the shard dirs.
+          val pool = new java.util.concurrent.ThreadPoolExecutor(2, 2,
+            0L, java.util.concurrent.TimeUnit.MILLISECONDS,
+            new java.util.concurrent.LinkedBlockingQueue[Runnable]())
+          // spawn the worker threads HERE, on the driver thread: Spark's
+          // job group/tags are inheritable thread-locals, and a thread
+          // born inside foreachBatch would inherit the streaming query's
+          // tags — q.stop() would then cancel the in-flight shard writes
+          pool.prestartAllCoreThreads()
+          val pending =
+            new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[Unit]]()
+          try {
+            val q = input.toDS().toDF("doc_id", "text").writeStream
+              .foreachBatch { (batch: DataFrame, id: Long) =>
+                val tf = Bm25.postingsTf(batch).localCheckpoint(true)
+                pending.add(pool.submit(new java.util.concurrent.Callable[Unit] {
+                  override def call(): Unit =
+                    Bm25.writePostingsFromTf(tf, s"$root/shard_$id", certify = false)
+                }))
+                ()
+              }
+              .option("checkpointLocation", s"$root/_ckpt").start()
+            try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+            finally q.stop()
+            try pending.forEach(f => f.get())
+            catch {
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
             }
-            .option("checkpointLocation", s"$root/_ckpt").start()
-          try chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
-          finally q.stop()
+          } finally pool.shutdown()
         }
         // shard discovery via the Hadoop FileSystem API (same reason as
         // the IVF layout ops: the shard root is object-store territory
