@@ -1239,6 +1239,12 @@ object StreamingQueries {
     graft.Mat.withScratchDirs("nsw_incr_corpus", "nsw_incr_ckpt",
       "nsw_incr_idx") { case Seq(out, ckpt, idxDir) =>
         var gen = -1
+        // the CURRENT shard table, eagerly checkpointed per fold: the
+        // next fold's untouched-bucket carry-over reads it directly
+        // instead of reading gen_N's parquet back (§6 — never re-read
+        // what you just wrote; values are identical, the parquet
+        // round-trip was a plain serialization of these same rows)
+        var cur: DataFrame = null
         // NOT wrapped in withStreamPartitions: the per-batch fold's
         // cost is the per-BUCKET graph rebuild (nswShards groupBy
         // centroid), so its parallelism must stay at bucket width —
@@ -1246,25 +1252,52 @@ object StreamingQueries {
         // builds into one task (measured: 5.5 → 7.7 s)
         locally {
           val input = MemoryStream[(Long, Seq[Double])]
-          val q = input.toDF().toDF("vec_id", "embedding").writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              val assigned = IvfIndex.assign(batch, centroids)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
-                assigned.write.mode("append").partitionBy("centroid").parquet(out)
-                val touched = assigned.select("centroid").distinct()
-                  .collect().map(_.getInt(0)).toSeq.sorted
-                val old =
-                  if (gen < 0) HnswAnn.nswShards(assigned.limit(0))
-                  else s.read.parquet(s"$idxDir/gen_$gen")
-                HnswAnn.incrementalShards(s, out, old, touched)
-                  .write.mode("overwrite").parquet(s"$idxDir/gen_${gen + 1}")
-                gen += 1
-              } finally assigned.unpersist()
+          // gen_N+1 lands ASYNC (pre-started threads — see the bm25
+          // ingest note on job-tag inheritance) so the write+commit
+          // tail overlaps the next trigger's rebuild; the fold itself
+          // never waits on it (it folds over `cur`, the checkpointed
+          // rows the write serializes). All writes are awaited before
+          // the serve reads the final generation. A deployment that
+          // needs per-trigger durability of the index generation keeps
+          // the write inside the trigger; the replay's contract (serve
+          // after full drain) only needs it by serve time.
+          val pool = new java.util.concurrent.ThreadPoolExecutor(1, 1,
+            0L, java.util.concurrent.TimeUnit.MILLISECONDS,
+            new java.util.concurrent.LinkedBlockingQueue[Runnable]())
+          pool.prestartAllCoreThreads()
+          val pending =
+            new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[Unit]]()
+          try {
+            val q = input.toDF().toDF("vec_id", "embedding").writeStream
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                val assigned = IvfIndex.assign(batch, centroids)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                try {
+                  assigned.write.mode("append").partitionBy("centroid").parquet(out)
+                  val touched = assigned.select("centroid").distinct()
+                    .collect().map(_.getInt(0)).toSeq.sorted
+                  val old =
+                    if (gen < 0) HnswAnn.nswShards(assigned.limit(0))
+                    else cur
+                  val next = HnswAnn.incrementalShards(s, out, old, touched)
+                    .localCheckpoint(true)
+                  gen += 1
+                  val dst = s"$idxDir/gen_$gen"
+                  pending.add(pool.submit(new java.util.concurrent.Callable[Unit] {
+                    override def call(): Unit =
+                      next.write.mode("overwrite").parquet(dst)
+                  }))
+                  cur = next
+                } finally assigned.unpersist()
+              }
+              .option("checkpointLocation", ckpt).start()
+            try split3(vecs).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+            finally q.stop()
+            try pending.forEach(f => f.get())
+            catch {
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
             }
-            .option("checkpointLocation", ckpt).start()
-          try split3(vecs).foreach { c => input.addData(c: _*); q.processAllAvailable() }
-          finally q.stop()
+          } finally pool.shutdown()
         }
         val shards = s.read.parquet(s"$idxDir/gen_$gen")
         lastStreamNswIncrAdj = HnswAnn.adjFromShards(shards)
