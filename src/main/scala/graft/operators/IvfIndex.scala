@@ -528,11 +528,15 @@ object IvfIndex {
 
     graft.Mat.withScratchDirs("shard_a", "shard_b", "merged") {
       case Seq(shardA, shardB, merged) =>
-        // Two writers, disjoint row sets, one frozen codebook.
-        assign(emb.filter(col("vec_id") % 2 === 0), centroids)
-          .write.partitionBy("centroid").mode("overwrite").parquet(shardA)
-        assign(emb.filter(col("vec_id") % 2 === 1), centroids)
-          .write.partitionBy("centroid").mode("overwrite").parquet(shardB)
+        // Two writers, disjoint row sets, one frozen codebook — and two
+        // INDEPENDENT writes, landed concurrently (guide §2.6: they are
+        // the two ingestion jobs the merge models; serially each
+        // write's job+commit latency idled the other's tail)
+        graft.Mat.concurrently(
+          () => assign(emb.filter(col("vec_id") % 2 === 0), centroids)
+            .write.partitionBy("centroid").mode("overwrite").parquet(shardA),
+          () => assign(emb.filter(col("vec_id") % 2 === 1), centroids)
+            .write.partitionBy("centroid").mode("overwrite").parquet(shardB))
         // Merge = union of shard layouts compacted bucket-by-bucket,
         // via the salted write: a hot bucket is split across
         // ceil(size/MergeTargetRows) write tasks instead of becoming
@@ -633,14 +637,16 @@ object IvfIndex {
             when(pmod(col("vec_id"), lit(TombstoneMod)) === TombstoneRes, lit("delete"))
               .otherwise(lit("upsert")))
             .withColumn("shard_seq", lit(seqNo))
-        shardDf(emb.filter(col("vec_id") % 2 === 0), 0)
-          .write.partitionBy("centroid").mode("overwrite").parquet(shardA)
         // shard B: the odd rows PLUS re-upserts of every 10th even row
         // — overlapping ids whose LWW copy (identical payload, later
-        // seq) must survive exactly once in the merged layout.
-        shardDf(emb.filter(col("vec_id") % 2 === 1)
-            .unionByName(emb.filter(col("vec_id") % 10 === 0)), 1)
-          .write.partitionBy("centroid").mode("overwrite").parquet(shardB)
+        // seq) must survive exactly once in the merged layout. The two
+        // writers are independent jobs — landed concurrently (§2.6).
+        graft.Mat.concurrently(
+          () => shardDf(emb.filter(col("vec_id") % 2 === 0), 0)
+            .write.partitionBy("centroid").mode("overwrite").parquet(shardA),
+          () => shardDf(emb.filter(col("vec_id") % 2 === 1)
+              .unionByName(emb.filter(col("vec_id") % 10 === 0)), 1)
+            .write.partitionBy("centroid").mode("overwrite").parquet(shardB))
         // LWW-resolved rows land through the same salted bounded write
         // as indexMerge — no straggler task on a hot bucket.
         writeSalted(mergeShardsLww(Seq(s.read.parquet(shardA), s.read.parquet(shardB))),

@@ -1234,9 +1234,21 @@ object Relational {
     * (support DESC, brand_a, brand_b). */
   def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
     val pt = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    // ONE exchange by the basket key feeds everything downstream: the
+    // (order, brand) distinct clusters by a superset of the partition
+    // key, the basket self-join joins on it, and the distinct-order
+    // count groups by it — so the cached table's HashPartitioning
+    // (l_orderkey) satisfies all three and the plan keeps a single
+    // Exchange where distinct + both join sides + the count each paid
+    // their own (guide §2.4: operations keyed the same way share one
+    // exchange). This is also what un-anti-scales the pair explosion:
+    // it now runs in place on the cached partitions, map-side-partial
+    // into a 300-group shuffle.
     val b = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .select(col("l_orderkey"), col("p_brand"))
+      .repartition(col("l_orderkey"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val cBrand = b.groupBy("p_brand").agg(count(lit(1)).as("c1"))
