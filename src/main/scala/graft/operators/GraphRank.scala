@@ -49,7 +49,10 @@ object GraphRank {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[graft] def sharedEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache.computeIfAbsent(s"${s.sparkContext.applicationId}|$dir", _ =>
-      VectorSearch.knnGraph(s, dir)
+      // a thin projection of the ALREADY-CHECKPOINTED shared kNN rows
+      // (VectorSearch.knnGraphShared) — one scoring job per corpus,
+      // shared with the graded knn_graph key itself, payer pinned
+      VectorSearch.knnGraphShared(s, dir)
         .select(col("qid").as("src"), col("vec_id").as("dst"))
         .localCheckpoint(true))
 

@@ -41,6 +41,11 @@ object NnDescent {
     val ea = e.select(col("id").as("a"), col("v").as("va"))
     val ec = e.select(col("id").as("c"), col("v").as("vc"))
 
+    // NOT fanned out (Mat.fanout was tried r17 and measured a loss):
+    // the candidate scoring is n·k·deg SKINNY cosines (~100 ms of
+    // single-core compute at sf0.1), so widening it to session width
+    // just adds an exchange plus 32-task scheduling overhead per
+    // round; the rounds are job-count-bound, not compute-bound
     def score(cand: DataFrame): DataFrame =
       cand.join(ea, "a").join(ec, "c")
         .withColumn("score", VectorOps.cosineSim(col("va"), col("vc")))

@@ -70,6 +70,13 @@ object StreamingQueries {
     // (Mat.fanout inside a build) can still fan their map work out to
     // the session's full width while STATE stays at the adaptive count.
     val capKey = "spark.graft.stream.sessionParallelism"
+    // NOT reentrant: a nested/concurrent use would clobber the stash
+    // and restore the inner override as the session value — fail fast
+    // instead of silently mis-restoring (every replay here is a
+    // sequential top-level drain; nothing legitimate nests)
+    require(spark.conf.getOption(capKey).isEmpty,
+      "withStreamPartitions is not reentrant: " +
+        s"$capKey already stashed (nested or concurrent replay?)")
     val old = spark.conf.get(key)
     val oldNd = spark.conf.get(ndKey)
     spark.conf.set(capKey, old)
@@ -982,11 +989,16 @@ object StreamingQueries {
     val cand = drain(s, split3(hits), "append", sinkName("stream_dedup")) { ds =>
       StreamingDedup.candidatePairs(ds).toDF()
     }.distinct()
-    val base = graft.Mat.fanout(docs)
+    // one fanout PER JOIN BRANCH: the un-checkpointed shingle subtree
+    // is duplicated in this self-join's plan either way, and a single
+    // shared fanout would put the SAME observe (CollectMetrics) name on
+    // both branches — a pattern CheckAnalysis has rejected in some
+    // Spark versions; a fresh fanout per side carries a fresh name
+    def shingled() = graft.Mat.fanout(docs)
       .select(col("doc_id"), Dedup.shingleHashes3(col("text")).as("sh"))
     broadcast(cand)
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shingled().select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled().select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         graft.functions.JaccardOps.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= Dedup.JaccardThreshold)

@@ -2,7 +2,8 @@
 # Run a graft main class via plain java (keeps the sbt target lock free).
 # Usage: tools/jrun.sh <MainClass> [args...]   (env: SPARK_DRIVER_MEM, SPARK_GRAFT_CPUS)
 MAIN=$1; shift
-exec java -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+exec java -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
