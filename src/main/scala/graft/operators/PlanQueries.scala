@@ -76,14 +76,17 @@ object PlanQueries {
     val ord = s"ord_bg_${java.util.UUID.randomUUID.toString.take(8)}"
     withConfs(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       try {
-        Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), round(col("l_quantity") * 100).cast("long").as("qc"))
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .mode("overwrite").saveAsTable(li)
-        Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .mode("overwrite").saveAsTable(ord)
+        // two independent table builds — landed concurrently (§2.6);
+        // the fact-side write's job+commit tail idled the dim side's
+        graft.Mat.concurrently(
+          () => Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey"), round(col("l_quantity") * 100).cast("long").as("qc"))
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable(li),
+          () => Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable(ord))
         val j = s.table(li)
           .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), col("pc").as("total_cents"))
