@@ -236,11 +236,13 @@ object Dedup {
         .unionAll(lsSym.join(mS, "u").select(col("u"), col("m")).filter(col("u") =!= col("m"))
           .select(col("u"), col("m").as("v")))
         .distinct()
+      // LAZY checkpoint + the fixpoint test as the materializing
+      // action: ONE job per round both lands next's rows and tests the
+      // symmetric difference (the eager-checkpoint + isEmpty pair was
+      // two driver round-trips per round; the symmetric multiset
+      // difference is empty iff the edge sets are equal)
       val next = ss.unionAll(ss.select(col("v").as("u"), col("u").as("v"))).distinct()
-        .localCheckpoint(true)
-      // one action for the fixpoint test: the symmetric multiset
-      // difference is empty iff the edge sets are equal (two separate
-      // isEmpty jobs doubled the per-round driver round-trips)
+        .localCheckpoint(false)
       done = next.exceptAll(edges).unionAll(edges.exceptAll(next)).isEmpty
       edges = next
       rounds += 1
