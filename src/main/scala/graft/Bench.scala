@@ -132,6 +132,20 @@ object Bench {
     var bestDrift = Double.MaxValue
     var pass = 0
     var done = false
+    // Measurement fix (r17): ALWAYS min-merge at least two measured
+    // passes (env: SPARK_GRAFT_MIN_PASSES; a MaxPasses=1 certification
+    // run still takes one). The pass count used to depend on drift
+    // luck — one clean pass stopped the loop — and the streaming keys
+    // only reach their plan's steady state on second-pass runs (their
+    // state-store/sink machinery keeps warming past each key's own 3
+    // back-to-back runs: stream_profile measured 6.2/3.5/3.8 on its
+    // first triple and floors at 2.9 from run ~7). r16's artifact
+    // min-merged two passes only because its first pass happened to be
+    // noisy; pinning the floor at two makes artifacts comparable
+    // across rounds regardless of host weather. Methodology otherwise
+    // unchanged: same min-of-3 per query, same canary gate, same JSON.
+    val MinPasses = math.min(MaxPasses,
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PASSES", "2").toInt)
     while (pass < MaxPasses && !done) {
       val (runs, czn, drift) = measurePass(first = pass == 0)
       results =
@@ -139,8 +153,8 @@ object Bench {
         else results.map { case (k, v) => k -> math.min(v, runs(k)) }
       passDrifts += drift
       if (drift < bestDrift) { bestDrift = drift; bestCanary = czn }
-      if (drift <= DriftLimit) done = true
-      else System.err.println(
+      if (drift <= DriftLimit && pass + 1 >= MinPasses) done = true
+      else if (drift > DriftLimit) System.err.println(
         f"[bench] canary drift $drift%.2f > $DriftLimit on pass ${pass + 1} — re-running")
       pass += 1
     }
